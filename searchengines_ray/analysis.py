@@ -1,0 +1,193 @@
+"""Text analysis: tokenization, stopwords, stemming.
+
+This is the single most important byte-level contract in the engine: the exact
+same pure functions run at index-build time (inside Ray ``map_batches`` tasks)
+and at query-parse time (driver side), and in the single-process test oracle.
+
+Reference semantics (``/root/reference/QryEval/QryParser.java:40-49,428-445``):
+lowercase -> English stopword removal -> Krovetz (KSTEM) stemming, via Lucene's
+``EnglishAnalyzerConfigurable``.  That class ships in the course Lucene jar and
+is not present in the reference repo, and the Lucene index itself is absent, so
+byte-fidelity to Lucene is untestable here.  Per SURVEY.md §5.2 / §7.5 we
+therefore *pin* our own deterministic analyzer as the frozen contract:
+
+- **Word splitting**: runs of ``[0-9a-z]`` after NFC-agnostic ``str.lower()``.
+  This splits hyphenated tokens (``near-death`` -> ``near``, ``death``) exactly
+  like the reference's query parser expects
+  (``/root/reference/QryEval/QryParser.java:168-171``), and splits possessives.
+- **Stopwords**: Lucene's classic 33-word English stop set (the default of
+  ``EnglishAnalyzer``).  Removed terms still OCCUPY POSITIONS: field length
+  includes stopword positions and #NEAR/#WINDOW distances count them
+  (``/root/reference/QryEval/Idx.java:93-98``,
+  ``/root/reference/QryEval/TermVector.java:16-20`` — stem index 0 = stopword).
+- **Stemmer**: ``kstem_lite`` — a frozen, rule-only Krovetz-style stemmer
+  (plural / past-tense / -ing removal with undoubling, no dictionary).
+  Deviation from Lucene KStem is documented and accepted; determinism and
+  oracle/pipeline self-consistency are the testable properties.
+
+Everything here is pure Python + ``re`` — no Ray, no global mutable state —
+so that the functions pickle cheaply into Ray tasks and behave identically
+everywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import lru_cache
+
+# Lucene's classic English stop set (EnglishAnalyzer / StandardAnalyzer
+# default, 33 words) — the stop list the reference's analyzer uses.
+LUCENE_STOPWORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+_WORD_RE = re.compile(r"[0-9a-z]+")
+
+# The reference's hard-coded field whitelist
+# (/root/reference/QryEval/QryParser.java:157-165).
+FIELDS = ("body", "title", "url", "keywords", "inlink")
+DEFAULT_FIELD = "body"
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Pinned analyzer configuration.
+
+    ``stem=False, stop=False`` gives the "simple" analyzer used by the
+    SQL-checkable pipeline variants (DuckDB can replicate regex split +
+    lowercase, but not the stemmer).
+    """
+
+    lowercase: bool = True
+    stop: bool = True
+    stem: bool = True
+
+
+DEFAULT_ANALYZER = AnalyzerConfig()
+SIMPLE_ANALYZER = AnalyzerConfig(stop=False, stem=False)
+
+_VOWELS = "aeiou"
+
+
+def _undouble(stem: str) -> str:
+    """Undouble a final doubled consonant (planned -> plan), sparing l/s/z."""
+    if (
+        len(stem) >= 3
+        and stem[-1] == stem[-2]
+        and stem[-1] not in _VOWELS
+        and stem[-1] not in "lsz"
+    ):
+        return stem[:-1]
+    return stem
+
+
+@lru_cache(maxsize=65536)
+def kstem_lite(w: str) -> str:
+    """Frozen rule-only Krovetz-style stemmer.
+
+    Order of rules mirrors Krovetz's morphology passes (plural -> past ->
+    present participle), without the head-word dictionary.  Purely
+    deterministic; shared verbatim by the oracle and every Ray stage.
+    """
+    if len(w) <= 3 or not w.isalpha():
+        return w
+    # --- plurals ---
+    if w.endswith("ies") and len(w) > 4:
+        w = w[:-3] + "y"
+    elif w.endswith("es") and len(w) > 4 and w[-3] in "sxzh":
+        # churches -> church, boxes -> box, kisses -> kiss(es->'' then ss kept)
+        w = w[:-2]
+    elif w.endswith("s") and not w.endswith(("ss", "us", "is")):
+        w = w[:-1]
+    if len(w) <= 3:
+        return w
+    # --- past tense ---
+    if w.endswith("ied") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("eed"):
+        return w
+    if w.endswith("ed") and len(w) > 4:
+        stem = w[:-2]
+        stem = _undouble(stem)
+        # hoped -> hope: restore 'e' when the stem ends consonant-'e' pattern
+        # is unrecoverable without a dictionary; frozen rule: restore 'e' when
+        # stem ends in a non-vowel preceded by a vowel preceded by a non-vowel
+        # and the stem is short (CVC heuristic).
+        if (
+            len(stem) >= 2
+            and stem == w[:-2]  # was not undoubled
+            and stem[-1] not in _VOWELS
+            and stem[-1] not in "wxy"
+            and len(stem) >= 3
+            and stem[-2] in _VOWELS
+            and stem[-3] not in _VOWELS
+            and len(stem) <= 4
+        ):
+            return stem + "e"
+        return stem
+    # --- present participle ---
+    if w.endswith("ing") and len(w) > 5:
+        stem = w[:-3]
+        stem2 = _undouble(stem)
+        if stem2 != stem:
+            return stem2
+        if (
+            len(stem) >= 3
+            and stem[-1] not in _VOWELS
+            and stem[-1] not in "wxy"
+            and stem[-2] in _VOWELS
+            and stem[-3] not in _VOWELS
+            and len(stem) <= 4
+        ):
+            return stem + "e"
+        return stem
+    return w
+
+
+def tokenize_positions(
+    text: str, config: AnalyzerConfig = DEFAULT_ANALYZER
+) -> list[str | None]:
+    """Tokenize ``text`` into a position-preserving term list.
+
+    Returns one slot per raw word token; stopword slots hold ``None`` (they
+    occupy a position — field length and #NEAR distances include them, matching
+    ``/root/reference/QryEval/Idx.java:93-98``).  Surviving slots hold the
+    (optionally stemmed) term.
+    """
+    if not text:
+        return []
+    if config.lowercase:
+        text = text.lower()
+    out: list[str | None] = []
+    stop = LUCENE_STOPWORDS if config.stop else ()
+    stem = config.stem
+    for m in _WORD_RE.finditer(text):
+        w = m.group()
+        if w in stop:
+            out.append(None)
+        else:
+            out.append(kstem_lite(w) if stem else w)
+    return out
+
+
+def tokenize(text: str, config: AnalyzerConfig = DEFAULT_ANALYZER) -> list[str]:
+    """Tokenize dropping stopword slots — the reference's ``tokenizeString``
+    (``/root/reference/QryEval/QryParser.java:428-445``): used for query terms.
+    """
+    return [t for t in tokenize_positions(text, config) if t is not None]
+
+
+def derive_title(text: str) -> str:
+    """Derived ``title`` field: first line of the extracted text (frozen rule,
+    SURVEY.md §1.5)."""
+    if not text:
+        return ""
+    return text.split("\n", 1)[0]
+
+
+def url_field_text(url: str) -> str:
+    """Derived ``url`` field: the url itself; tokenization splits it on
+    non-alphanumerics (scheme/host/path become terms)."""
+    return url or ""
