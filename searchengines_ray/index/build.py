@@ -1,0 +1,405 @@
+"""Distributed SPIMI index build on Ray Data.
+
+Replaces the reference's *pre-built Lucene index* (``indexPath=INPUT_DIR/
+index-cw09``, ``/root/reference/QryEval/Idx.java:236-259``) with a
+from-scratch, Ray-Data-native build that reproduces the exact `Idx`
+statistics contract (SURVEY.md §1.1/§4.3): N, per-field docCount /
+sumOfFieldLengths, per-(field,term) df/ctf, per-(doc,field) length incl.
+stopword positions, url<->docid maps, positional postings.
+
+Architecture — document-sharded SPIMI (scale rationale):
+
+- Each ``map_batches`` task tokenizes ONE batch of pages and writes ONE
+  self-contained index *segment* (postings + docmeta + optional forward
+  index + manifest).  Because every posting of a document is produced by the
+  task that read it, **posting construction needs no corpus-wide shuffle at
+  all** — the classic SPIMI insight.  At 10^12 docs this is the difference
+  between a node-local write and an all-to-all exchange of the entire corpus.
+- The only wide operations are (a) optional url-dedup (hash shuffle keyed on
+  ``url`` — unavoidable, done on pruned columns with an in-batch partial
+  dedup first) and (b) global term-stats aggregation, which runs over the
+  *vocabulary-sized* per-segment (field,term,df,ctf) partials, not the
+  corpus: a pre-aggregated ``groupby().sum()`` — the "combiner before
+  shuffle" pattern.  Term skew (stopword-heavy terms) therefore never ships
+  positions anywhere; a hot term contributes one 4-int row per segment.
+- Segments are written atomically (tmp dir + rename) with a per-segment
+  ``MANIFEST.json`` carrying lineage (content hash of member urls), row
+  counts, bytes and wall time; a rerun that produces an already-manifested
+  segment skips the write => checkpointed resumability.
+
+Query-time doc-sharding means BM25/Indri/positional evaluation is local to a
+segment given broadcast global stats; a query scatters to segment-holding
+actors and gathers per-shard top-k (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis import (
+    AnalyzerConfig,
+    DEFAULT_ANALYZER,
+    FIELDS,
+    derive_title,
+    tokenize_positions,
+    url_field_text,
+)
+from . import encode
+
+STATS_FILE = "stats.json"
+SEGMENT_DIR = "segments"
+TERMSTATS_DIR = "termstats"
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("ctf", pa.int64()),
+        ("docs", pa.binary()),  # encoded local doc indices (delta blocks)
+        ("tfs", pa.binary()),  # encoded tfs (absolute blocks)
+        ("positions", pa.binary()),  # encoded flat positions (absolute)
+        ("bm_max_doc", pa.list_(pa.int32())),  # block-max metadata
+        ("bm_max_tf", pa.list_(pa.int32())),
+        ("bm_min_dl", pa.list_(pa.int32())),
+    ]
+)
+
+
+def doc_id_from_url(url: str) -> int:
+    """Deterministic 63-bit docid for inputs without one: no global sort or
+    prefix-sum pass needed at 10^12 docs (SURVEY §7.5: driver work must be
+    O(queries+vocab), never O(docs))."""
+    h = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "big") & 0x7FFFFFFFFFFFFFFF
+
+
+def doc_fields(url: str, text: str) -> dict[str, str]:
+    """Frozen field derivation (SURVEY.md §1.5): body = extracted text
+    verbatim (byte-identical per-url invariant), title = first line,
+    url field = the url itself (tokenized on non-alphanumerics)."""
+    return {
+        "body": text or "",
+        "title": derive_title(text or ""),
+        "url": url_field_text(url),
+    }
+
+
+def write_segment(
+    batch: pa.Table,
+    out_dir: str,
+    config: AnalyzerConfig = DEFAULT_ANALYZER,
+    keep_forward: bool = False,
+) -> pa.Table:
+    """Tokenize one batch of pages and write one SPIMI segment.
+
+    Returns a one-row manifest table (the build's control-plane output; tiny).
+    Idempotent: the segment id is a content hash of member urls, and an
+    existing valid segment is not rewritten (resume path).
+    """
+    t0 = time.perf_counter()
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("text").to_pylist()
+    if "doc_id" in batch.column_names:
+        doc_ids = batch.column("doc_id").to_pylist()
+    else:
+        doc_ids = [doc_id_from_url(u) for u in urls]
+    kw = (
+        batch.column("keywords").to_pylist()
+        if "keywords" in batch.column_names
+        else None
+    )
+    inl = (
+        batch.column("inlink").to_pylist()
+        if "inlink" in batch.column_names
+        else None
+    )
+
+    # deterministic segment id from member urls (lineage + resume key)
+    h = hashlib.blake2b(digest_size=8)
+    for u in sorted(urls):
+        h.update(u.encode("utf-8"))
+        h.update(b"\x00")
+    seg_id = h.hexdigest()
+    seg_dir = os.path.join(out_dir, SEGMENT_DIR, f"seg-{seg_id}")
+    manifest_path = os.path.join(seg_dir, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        m["resumed"] = True
+        return _manifest_table(m)
+
+    # docid-ascending processing order => postings docid-ascending for free
+    order = sorted(range(len(urls)), key=lambda i: doc_ids[i])
+
+    postings: dict[tuple[str, str], list] = {}
+    # per (field,term): [local_doc_idx list, tf list, positions flat list]
+    doclens = {f: np.zeros(len(order), dtype=np.int32) for f in FIELDS}
+    fwd_rows: list[tuple[int, str, list]] = []
+    seg_doc_ids = np.empty(len(order), dtype=np.int64)
+    seg_urls: list[str] = []
+
+    for local, i in enumerate(order):
+        seg_doc_ids[local] = doc_ids[i]
+        seg_urls.append(urls[i])
+        fields = doc_fields(urls[i], texts[i])
+        if kw is not None:
+            fields["keywords"] = kw[i] or ""
+        if inl is not None:
+            fields["inlink"] = inl[i] or ""
+        for fname, ftext in fields.items():
+            if not ftext:
+                continue
+            toks = tokenize_positions(ftext, config)
+            if not toks:
+                continue
+            doclens[fname][local] = len(toks)
+            if keep_forward:
+                fwd_rows.append(
+                    (int(doc_ids[i]), fname, ["" if t is None else t for t in toks])
+                )
+            per_term: dict[str, list[int]] = {}
+            for pos, t in enumerate(toks):
+                if t is not None:
+                    per_term.setdefault(t, []).append(pos)
+            for t, plist in per_term.items():
+                entry = postings.setdefault((fname, t), [[], [], []])
+                entry[0].append(local)
+                entry[1].append(len(plist))
+                entry[2].extend(plist)
+
+    # --- build postings table (sorted by field,term for determinism) ---
+    keys = sorted(postings.keys())
+    cols = {name: [] for name in POSTINGS_SCHEMA.names}
+    n_postings = 0
+    for key in keys:
+        fname, term = key
+        docs, tfs, poss = postings[key]
+        docs_a = np.asarray(docs, dtype=np.uint64)
+        tfs_a = np.asarray(tfs, dtype=np.uint64)
+        n_postings += len(docs_a)
+        cols["field"].append(fname)
+        cols["term"].append(term)
+        cols["df"].append(len(docs_a))
+        cols["ctf"].append(int(tfs_a.sum()))
+        cols["docs"].append(encode.encode_doc_ids(docs_a))
+        cols["tfs"].append(encode.encode_values(tfs_a))
+        cols["positions"].append(
+            encode.encode_values(np.asarray(poss, dtype=np.uint64))
+        )
+        bmd, bmt, bml = encode.block_maxes(
+            docs_a, tfs_a, doclens[fname][docs_a.astype(np.int64)]
+        )
+        cols["bm_max_doc"].append(bmd)
+        cols["bm_max_tf"].append(bmt)
+        cols["bm_min_dl"].append(bml)
+    postings_tbl = pa.Table.from_pydict(cols, schema=POSTINGS_SCHEMA)
+
+    docmeta_cols = {
+        "doc_id": pa.array(seg_doc_ids, pa.int64()),
+        "url": pa.array(seg_urls, pa.string()),
+    }
+    for f in FIELDS:
+        docmeta_cols[f"len_{f}"] = pa.array(doclens[f], pa.int32())
+    docmeta_tbl = pa.table(docmeta_cols)
+
+    # --- atomic write: tmp dir + rename ---
+    tmp_dir = seg_dir + f".tmp-{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(postings_tbl, os.path.join(tmp_dir, "postings.parquet"))
+    pq.write_table(docmeta_tbl, os.path.join(tmp_dir, "docmeta.parquet"))
+    if keep_forward and fwd_rows:
+        fwd_tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in fwd_rows], pa.int64()),
+                "field": pa.array([r[1] for r in fwd_rows], pa.string()),
+                "terms": pa.array(
+                    [r[2] for r in fwd_rows], pa.list_(pa.string())
+                ),
+            }
+        )
+        pq.write_table(fwd_tbl, os.path.join(tmp_dir, "fwd.parquet"))
+
+    manifest = {
+        "segment": f"seg-{seg_id}",
+        "n_docs": len(order),
+        "n_terms": len(keys),
+        "n_postings": n_postings,
+        "doc_count": {
+            f: int((doclens[f] > 0).sum()) for f in FIELDS
+        },
+        "sum_field_len": {f: int(doclens[f].sum()) for f in FIELDS},
+        "input_hash": seg_id,
+        "wall_s": round(time.perf_counter() - t0, 4),
+        "bytes": sum(
+            os.path.getsize(os.path.join(tmp_dir, p))
+            for p in os.listdir(tmp_dir)
+        ),
+        "resumed": False,
+    }
+    with open(os.path.join(tmp_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.rename(tmp_dir, seg_dir)
+    except OSError:
+        # another (retried) task won the rename race: theirs is identical
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return _manifest_table(manifest)
+
+
+def _manifest_table(m: dict) -> pa.Table:
+    row = {
+        "segment": [m["segment"]],
+        "n_docs": [m["n_docs"]],
+        "n_terms": [m["n_terms"]],
+        "n_postings": [m["n_postings"]],
+        "wall_s": [m.get("wall_s", 0.0)],
+        "bytes": [m.get("bytes", 0)],
+        "resumed": [m.get("resumed", False)],
+    }
+    for f in FIELDS:
+        row[f"doc_count_{f}"] = [m["doc_count"][f]]
+        row[f"sum_len_{f}"] = [m["sum_field_len"][f]]
+    return pa.table(row)
+
+
+def _batch_dedup(batch: pa.Table) -> pa.Table:
+    """In-batch partial dedup by url (combiner before the url shuffle)."""
+    df = batch.to_pandas()
+    df = df.sort_values(
+        ["url", "warc_ts"] if "warc_ts" in df.columns else ["url"],
+        kind="mergesort",
+    ).drop_duplicates("url", keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _group_keep_first(group):
+    sort_cols = ["warc_ts"] if "warc_ts" in group.columns else []
+    if sort_cols:
+        group = group.sort_values(sort_cols, kind="mergesort")
+    return group.head(1)
+
+
+def dedup_pages(ds):
+    """Exact dedup of pages by url, keep-first by (warc_ts) — required by
+    Common-Crawl-style recrawls (SURVEY.md §2.10). Hash shuffle keyed on url
+    after an in-batch partial dedup."""
+    ds = ds.map_batches(_batch_dedup, batch_format="pyarrow")
+    return ds.groupby("url").map_groups(_group_keep_first, batch_format="pandas")
+
+
+def build_index(
+    pages,
+    out_dir: str,
+    config: AnalyzerConfig = DEFAULT_ANALYZER,
+    docs_per_segment: int = 2000,
+    dedup: bool = False,
+    keep_forward: bool = False,
+) -> dict:
+    """Build a full index from a pages Dataset (or parquet path).
+
+    Returns the global stats dict (also persisted to ``stats.json``).
+    Pass ``dedup=True`` for inputs that may contain url recrawls.
+    """
+    import ray.data
+
+    if isinstance(pages, str):
+        import pyarrow.dataset as pads
+
+        # prune at the read: html (potentially MBs/row) is NEVER read —
+        # extraction is identity on the `text` column (SURVEY.md §1.5)
+        avail = pads.dataset(pages).schema.names
+        cols = [
+            c
+            for c in ("url", "warc_ts", "text", "doc_id", "keywords", "inlink")
+            if c in avail
+        ]
+        pages = ray.data.read_parquet(pages, columns=cols)
+
+    if dedup:
+        pages = dedup_pages(pages)
+
+    os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
+    fn = partial(
+        write_segment,
+        out_dir=out_dir,
+        config=config,
+        keep_forward=keep_forward,
+    )
+    manifests = pages.map_batches(
+        fn, batch_format="pyarrow", batch_size=docs_per_segment
+    )
+    mrows = manifests.take_all()  # one row per segment: control-plane sized
+
+    stats = {
+        "n_docs": int(sum(r["n_docs"] for r in mrows)),
+        "doc_count": {
+            f: int(sum(r[f"doc_count_{f}"] for r in mrows)) for f in FIELDS
+        },
+        "sum_field_len": {
+            f: int(sum(r[f"sum_len_{f}"] for r in mrows)) for f in FIELDS
+        },
+        "segments": sorted(r["segment"] for r in mrows),
+        "analyzer": {
+            "lowercase": config.lowercase,
+            "stop": config.stop,
+            "stem": config.stem,
+        },
+        "n_postings": int(sum(r["n_postings"] for r in mrows)),
+        "build_wall_s_per_segment": {
+            r["segment"]: r["wall_s"] for r in mrows
+        },
+    }
+    with open(os.path.join(out_dir, STATS_FILE), "w") as f:
+        json.dump(stats, f, indent=1)
+
+    _build_termstats(out_dir, stats["segments"])
+    return stats
+
+
+def _build_termstats(out_dir: str, segments: list[str]) -> None:
+    """Global (field,term) -> (df,ctf): vocabulary-sized groupby over
+    per-segment partials (pre-aggregated; the shuffle never touches
+    positions).  Written hash-bucketed by term for point lookups at scale."""
+    import ray.data
+
+    paths = [
+        os.path.join(out_dir, SEGMENT_DIR, s, "postings.parquet")
+        for s in segments
+    ]
+    ds = ray.data.read_parquet(paths, columns=["field", "term", "df", "ctf"])
+    agg = ds.groupby(["field", "term"]).sum(["df", "ctf"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        terms = batch.column("term").to_pylist()
+        buckets = [
+            int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=2).digest(), "big"
+            )
+            % 16
+            for t in terms
+        ]
+        batch = batch.rename_columns(
+            [
+                {"sum(df)": "df", "sum(ctf)": "ctf"}.get(c, c)
+                for c in batch.column_names
+            ]
+        )
+        return batch.append_column("tbucket", pa.array(buckets, pa.int16()))
+
+    agg = agg.map_batches(add_bucket, batch_format="pyarrow")
+    ts_dir = os.path.join(out_dir, TERMSTATS_DIR)
+    agg.write_parquet(ts_dir, partition_cols=["tbucket"])

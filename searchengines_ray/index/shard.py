@@ -1,0 +1,183 @@
+"""Segment reader: the query-time view of one SPIMI segment.
+
+The Ray analog of the reference's materialized inverted lists
+(``/root/reference/QryEval/QryIop.java:50-54``, ``InvList.java:109-154``): a
+segment's postings parquet is memory-mapped once per actor (``__init__``-time,
+never per batch) and individual (field,term) lists are decoded on demand into
+numpy arrays, with an LRU-ish decode cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..analysis import FIELDS
+from . import encode
+from .build import SEGMENT_DIR, STATS_FILE, TERMSTATS_DIR
+
+
+class PostingList:
+    """Decoded postings of one (field, term) within a segment.
+
+    ``docs`` are LOCAL doc indices (int64, ascending) into the segment's doc
+    table; ``positions`` is a flat int32 array sliced by ``offsets``
+    (``offsets[i]:offsets[i+1]`` = positions of docs[i]).
+    """
+
+    __slots__ = ("docs", "tfs", "positions", "offsets", "bm")
+
+    def __init__(self, docs, tfs, positions, bm=None):
+        self.docs = docs
+        self.tfs = tfs
+        self.positions = positions
+        self.offsets = np.concatenate(
+            ([0], np.cumsum(tfs, dtype=np.int64))
+        )
+        self.bm = bm  # (max_doc, max_tf, min_dl) per block or None
+
+    def pos_of(self, i: int) -> np.ndarray:
+        return self.positions[self.offsets[i] : self.offsets[i + 1]]
+
+
+class Segment:
+    """One memory-mapped segment: doc table + term dictionary + postings."""
+
+    def __init__(self, seg_dir: str, decode_cache: int = 4096):
+        self.seg_dir = seg_dir
+        self.name = os.path.basename(seg_dir)
+        dm = pq.read_table(
+            os.path.join(seg_dir, "docmeta.parquet"), memory_map=True
+        )
+        self.doc_ids = dm.column("doc_id").to_numpy()
+        self.urls = np.asarray(dm.column("url").to_pylist(), dtype=object)
+        self.doclen = {
+            f: dm.column(f"len_{f}").to_numpy().astype(np.float64)
+            for f in FIELDS
+        }
+        self.n_docs = len(self.doc_ids)
+        tbl = pq.read_table(
+            os.path.join(seg_dir, "postings.parquet"), memory_map=True
+        )
+        self._tbl = tbl
+        # term dictionary: (field, term) -> row index
+        fields = tbl.column("field").to_pylist()
+        terms = tbl.column("term").to_pylist()
+        self._dict = {
+            (f, t): i for i, (f, t) in enumerate(zip(fields, terms))
+        }
+        self._df = tbl.column("df").to_numpy()
+        self._ctf = tbl.column("ctf").to_numpy()
+        self._cache: dict[tuple[str, str], Optional[PostingList]] = {}
+        self._cache_cap = decode_cache
+        self._fwd = None
+
+    def postings(self, field: str, term: str) -> Optional[PostingList]:
+        key = (field, term)
+        if key in self._cache:
+            return self._cache[key]
+        row = self._dict.get(key)
+        out = None
+        if row is not None:
+            out = PostingList(
+                encode.decode_doc_ids(
+                    self._tbl.column("docs")[row].as_py()
+                ).astype(np.int64),
+                encode.decode_values(
+                    self._tbl.column("tfs")[row].as_py()
+                ).astype(np.int64),
+                encode.decode_values(
+                    self._tbl.column("positions")[row].as_py()
+                ).astype(np.int32),
+                bm=(
+                    np.asarray(self._tbl.column("bm_max_doc")[row].as_py()),
+                    np.asarray(self._tbl.column("bm_max_tf")[row].as_py()),
+                    np.asarray(self._tbl.column("bm_min_dl")[row].as_py()),
+                ),
+            )
+        if len(self._cache) >= self._cache_cap:
+            self._cache.clear()
+        self._cache[key] = out
+        return out
+
+    def local_stats(self, field: str, term: str) -> tuple[int, int]:
+        row = self._dict.get((field, term))
+        if row is None:
+            return 0, 0
+        return int(self._df[row]), int(self._ctf[row])
+
+    def forward(self):
+        """Forward index (term vectors) if built with keep_forward: dict
+        (doc_id, field) -> list[str] ('' = stopword position)."""
+        if self._fwd is None:
+            path = os.path.join(self.seg_dir, "fwd.parquet")
+            self._fwd = {}
+            if os.path.exists(path):
+                t = pq.read_table(path, memory_map=True)
+                for d, f, ts in zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("field").to_pylist(),
+                    t.column("terms").to_pylist(),
+                ):
+                    self._fwd[(d, f)] = ts
+        return self._fwd
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        return json.load(f)
+
+
+def segment_dirs(index_dir: str) -> list[str]:
+    stats = load_stats(index_dir)
+    return [
+        os.path.join(index_dir, SEGMENT_DIR, s) for s in stats["segments"]
+    ]
+
+
+def load_termstats(
+    index_dir: str, terms: Optional[list[tuple[str, str]]] = None
+) -> dict[tuple[str, str], tuple[int, int]]:
+    """Global (field,term) -> (df, ctf).
+
+    With ``terms`` given, reads only the needed hash buckets (point-lookup
+    path: O(query terms), not O(vocabulary) — the scale path for serving).
+    Without, loads the full table (test/driver convenience at small scale).
+    """
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    ts_dir = os.path.join(index_dir, TERMSTATS_DIR)
+    dataset = pads.dataset(ts_dir, partitioning="hive")
+    if terms is not None:
+        buckets = sorted(
+            {
+                int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=2).digest(), "big"
+                )
+                % 16
+                for _, t in terms
+            }
+        )
+        import pyarrow.compute as pc
+
+        tbl = dataset.to_table(
+            columns=["field", "term", "df", "ctf"],
+            filter=pc.field("tbucket").isin(buckets),
+        )
+    else:
+        tbl = dataset.to_table(columns=["field", "term", "df", "ctf"])
+    out = {}
+    for f, t, df, ctf in zip(
+        tbl.column("field").to_pylist(),
+        tbl.column("term").to_pylist(),
+        tbl.column("df").to_pylist(),
+        tbl.column("ctf").to_pylist(),
+    ):
+        out[(f, t)] = (int(df), int(ctf))
+    return out

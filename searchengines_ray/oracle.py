@@ -38,7 +38,6 @@ unreachable in reference runs).
 from __future__ import annotations
 
 import math
-from bisect import insort
 from dataclasses import dataclass, field as dc_field
 from typing import Callable, Iterable, Optional
 
@@ -52,6 +51,7 @@ from .analysis import (
 )
 from .models import BM25, Indri, RankedBoolean, RetrievalModel, UnrankedBoolean
 from .parser import Node, parse_query
+from .positional import near_positions, window_positions
 
 
 # ----------------------------------------------------------------------------
@@ -171,69 +171,14 @@ def eval_iop(node: Node, idx: OracleIndex) -> EvaluatedIop:
         for doc in common:
             plists = [m[doc] for m in maps]
             locs = (
-                _near_positions(plists, n)
+                near_positions(plists, n)
                 if node.op == "near"
-                else _window_positions(plists, n)
+                else window_positions(plists, n)
             )
             if locs:
                 out.append((doc, locs))
         return EvaluatedIop(field, out)
     raise ValueError(f"not an Iop: {node.op}")
-
-
-def _near_positions(plists: list[list[int]], dist: int) -> list[int]:
-    """#NEAR/n within one doc (``QryIopNear.java:60-179``)."""
-    its = [0] * len(plists)
-    out: list[int] = []
-    while True:
-        # align: each arg strictly after the previous arg's location
-        if its[0] >= len(plists[0]):
-            break
-        left = plists[0][its[0]]
-        aligned = True
-        for i in range(1, len(plists)):
-            while its[i] < len(plists[i]) and plists[i][its[i]] <= left:
-                its[i] += 1
-            if its[i] >= len(plists[i]):
-                aligned = False
-                break
-            left = plists[i][its[i]]
-        if not aligned:
-            break
-        # check adjacent gaps <= dist
-        ok = True
-        prev = plists[0][its[0]]
-        for i in range(1, len(plists)):
-            cur = plists[i][its[i]]
-            if cur - prev > dist:
-                ok = False
-                break
-            prev = cur
-        if ok:
-            out.append(plists[-1][its[-1]])
-            for i in range(len(its)):
-                its[i] += 1
-        else:
-            its[0] += 1
-    return out
-
-
-def _window_positions(plists: list[list[int]], dist: int) -> list[int]:
-    """#WINDOW/n within one doc (``QryIopWindow.java:55-178``)."""
-    its = [0] * len(plists)
-    out: list[int] = []
-    while all(its[i] < len(plists[i]) for i in range(len(plists))):
-        locs = [plists[i][its[i]] for i in range(len(plists))]
-        lo, hi = min(locs), max(locs)
-        if hi - lo < dist:
-            out.append(hi)
-            for i in range(len(its)):
-                its[i] += 1
-        else:
-            for i in range(len(its)):
-                if locs[i] == lo:
-                    its[i] += 1
-    return out
 
 
 # ----------------------------------------------------------------------------

@@ -1,0 +1,229 @@
+"""Distributed query serving: segment-holding actor pool + scatter/gather.
+
+The Ray analog of the reference's static ``Idx.INDEXREADER``
+(``/root/reference/QryEval/Idx.java:32``): each :class:`SegmentSearcher`
+actor memory-maps its assigned segments ONCE in ``__init__`` (never per
+query) and serves per-segment top-k; the driver scatters parsed query trees
+to all actors and merges the per-shard heaps under the (score desc, url asc)
+key — the scatter/gather architecture of SURVEY.md §3.4.
+
+Global statistics flow:
+- corpus stats (N, docCount, sumFieldLen) from ``stats.json``;
+- per-term df/ctf from the termstats table via hash-bucket point lookups
+  (O(query terms), never O(vocabulary));
+- composite-Iop (#SYN/#NEAR/#WINDOW) derived df/ctf via a stats pass: every
+  actor evaluates the derived lists over its segments and returns (df,ctf)
+  partials, summed on the driver, then broadcast with the scoring request —
+  matching the reference's whole-corpus derived lists
+  (``InvList.java:163-178``).
+
+Queries are batched: one scatter serves a whole query file, so the
+per-round-trip overhead amortizes (the reference processes queries one at a
+time in a single JVM — ``QryEval.java:1375-1419``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+
+from ..analysis import AnalyzerConfig, DEFAULT_ANALYZER
+from ..index.shard import Segment, load_stats, load_termstats, segment_dirs
+from ..models import RetrievalModel
+from ..parser import Node, parse_query
+from .exec import (
+    GlobalStats,
+    collect_iop_stats,
+    eval_sop,
+    iter_term_keys,
+    segment_topk,
+)
+
+
+def _has_composite(node: Node) -> bool:
+    if node.op in ("syn", "near", "window"):
+        return True
+    return any(_has_composite(a) for a in node.args)
+
+
+class LocalSearcher:
+    """Evaluates queries over a set of segments in-process.
+
+    Used standalone for tests/small corpora, and as the worker core inside
+    each :class:`SegmentSearcher` actor.
+    """
+
+    def __init__(self, index_dir: str, seg_dirs: Optional[Sequence[str]] = None):
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        dirs = list(seg_dirs) if seg_dirs is not None else segment_dirs(index_dir)
+        self.segments = [Segment(d) for d in dirs]
+
+    def base_stats(self) -> GlobalStats:
+        return GlobalStats(
+            n_docs=self.stats["n_docs"],
+            doc_count=self.stats["doc_count"],
+            sum_field_len=self.stats["sum_field_len"],
+        )
+
+    def iop_stats_partial(self, trees: Sequence[Optional[Node]]) -> dict:
+        out: dict = {}
+        for tree in trees:
+            if tree is None:
+                continue
+            for seg in self.segments:
+                collect_iop_stats(tree, seg, out)
+        return out
+
+    def search_trees(
+        self,
+        trees: Sequence[Optional[Node]],
+        g: GlobalStats,
+        model: RetrievalModel,
+        k: Optional[int],
+    ) -> list[list[tuple[int, str, float]]]:
+        """Per-query partial top-k over THIS searcher's segments."""
+        results = []
+        for tree in trees:
+            if tree is None:
+                results.append([])
+                continue
+            partials: list[tuple[int, str, float]] = []
+            for seg in self.segments:
+                ev = eval_sop(tree, seg, g, model)
+                partials.extend(segment_topk(ev, seg, k))
+            partials.sort(key=lambda r: (-r[2], r[1]))
+            results.append(partials[:k] if k is not None else partials)
+        return results
+
+
+class SearchEngine:
+    """Scatter/gather engine over a segment-sharded index.
+
+    ``num_searchers`` actors each own ``len(segments)/num_searchers``
+    segments (round-robin).  With ``num_searchers=0`` everything runs
+    in-process (no Ray needed) — used by unit tests and the oracle-equality
+    harness.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_searchers: int = 0,
+        config: AnalyzerConfig = DEFAULT_ANALYZER,
+    ):
+        self.index_dir = index_dir
+        self.config = config
+        self.stats = load_stats(index_dir)
+        self._termstats_cache: Optional[dict] = None
+        self._local: Optional[LocalSearcher] = None
+        self._actors: list = []
+        if num_searchers and num_searchers > 0:
+            import ray
+
+            dirs = segment_dirs(index_dir)
+            shards: list[list[str]] = [[] for _ in range(num_searchers)]
+            for i, d in enumerate(dirs):
+                shards[i % num_searchers].append(d)
+            actor_cls = ray.remote(num_cpus=1)(LocalSearcher)
+            self._actors = [
+                actor_cls.remote(index_dir, s) for s in shards if s
+            ]
+        else:
+            self._local = LocalSearcher(index_dir)
+
+    # ------------------------------------------------------------------ stats
+
+    def _term_stats(self, keys: set) -> dict:
+        n_vocab_smallish = 2_000_000
+        if self._termstats_cache is None and (
+            self.stats.get("n_postings", 0) < n_vocab_smallish
+        ):
+            # small index: load once, reuse across query batches
+            self._termstats_cache = load_termstats(self.index_dir)
+        if self._termstats_cache is not None:
+            return self._termstats_cache
+        # scale path: hash-bucket point lookups for just these terms
+        return load_termstats(self.index_dir, terms=sorted(keys))
+
+    def global_stats_for(self, trees: Sequence[Optional[Node]]) -> GlobalStats:
+        keys: set = set()
+        for t in trees:
+            if t is not None:
+                iter_term_keys(t, keys)
+        g = GlobalStats(
+            n_docs=self.stats["n_docs"],
+            doc_count=self.stats["doc_count"],
+            sum_field_len=self.stats["sum_field_len"],
+            term_stats=self._term_stats(keys),
+        )
+        live = [t for t in trees if t is not None and _has_composite(t)]
+        if live:
+            if self._actors:
+                import ray
+
+                partials = ray.get(
+                    [a.iop_stats_partial.remote(live) for a in self._actors]
+                )
+            else:
+                partials = [self._local.iop_stats_partial(live)]
+            merged: dict = {}
+            for p in partials:
+                for key, (df, ctf) in p.items():
+                    d0, c0 = merged.get(key, (0, 0))
+                    merged[key] = (d0 + df, c0 + ctf)
+            g.iop_stats = merged
+        return g
+
+    # ----------------------------------------------------------------- search
+
+    def search_batch(
+        self,
+        queries: Sequence[tuple[str, str]],
+        model: RetrievalModel,
+        k: Optional[int] = 10,
+    ) -> pd.DataFrame:
+        """Run a batch of ``(qid, raw_query)`` pairs.
+
+        Returns a DataFrame ``qid, doc_id, url, score, rank`` (rank 1-based),
+        ordered per query by (score desc, url asc) and truncated to k —
+        rank-identical to the oracle.
+        """
+        trees = [
+            parse_query(text, model.default_op, self.config)
+            for _, text in queries
+        ]
+        g = self.global_stats_for(trees)
+
+        if self._actors:
+            import ray
+
+            gref = ray.put(g)
+            per_actor = ray.get(
+                [
+                    a.search_trees.remote(trees, gref, model, k)
+                    for a in self._actors
+                ]
+            )
+        else:
+            per_actor = [self._local.search_trees(trees, g, model, k)]
+
+        rows = []
+        for qi, (qid, _) in enumerate(queries):
+            merged: list[tuple[int, str, float]] = []
+            for actor_res in per_actor:
+                merged.extend(actor_res[qi])
+            merged.sort(key=lambda r: (-r[2], r[1]))
+            if k is not None:
+                merged = merged[:k]
+            for rank, (doc_id, url, score) in enumerate(merged, 1):
+                rows.append((qid, doc_id, url, score, rank))
+        return pd.DataFrame(
+            rows, columns=["qid", "doc_id", "url", "score", "rank"]
+        )
+
+    def search(
+        self, query: str, model: RetrievalModel, k: Optional[int] = 10
+    ) -> pd.DataFrame:
+        return self.search_batch([("q", query)], model, k)

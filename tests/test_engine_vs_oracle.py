@@ -1,0 +1,142 @@
+"""The primary correctness gate (SURVEY.md §5.2): the distributed Ray
+pipeline must be EXACTLY rank- and score-identical to the single-process
+oracle — same docids, same urls, bit-equal float scores, same order under
+the (score desc, url asc) tie-break."""
+
+import os
+
+import pytest
+
+from searchengines_ray.index.build import build_index
+from searchengines_ray.models import (
+    BM25,
+    Indri,
+    RankedBoolean,
+    UnrankedBoolean,
+)
+from searchengines_ray.oracle import OracleIndex, run_query
+from searchengines_ray.query.engine import SearchEngine
+from searchengines_ray.sources.pages import dedup_pages_pandas, synth_pages
+
+QUERIES = [
+    "w0001 w0005 w0123",  # bag-of-words BM25 flagship
+    "w0002",
+    "w0000 w0000 w0017",  # duplicate query term (counts twice in #SUM)
+    "#AND(w0003 w0008)",
+    "#OR(w0004 w0777)",
+    "#SUM(w0009 #AND(w0010 w0011))",
+    "#NEAR/1(w0001 w0002)",
+    "#NEAR/3(w0005 w0006)",
+    "#WINDOW/5(w0007 w0012)",
+    "#SYN(w0013 w0014 w0015)",
+    "#WAND(0.6 w0016 0.4 w0018)",
+    "#WSUM(0.3 w0019 0.7 w0020)",
+    "#SUM(#NEAR/2(w0021 w0022) w0023)",
+    "#AND(w0024.title w0025)",
+    "p.url 000123.url",  # url field
+    "the of and",  # all stopwords -> no hits
+    "zzzznohit",  # zero-hit
+    "#OR(#NEAR/1(w0030 w0031) #WINDOW/4(w0032 w0033))",
+]
+
+MODELS = [
+    BM25(),
+    BM25(k_1=0.9, b=0.4, k_3=7.0),
+    Indri(mu=300.0, lam=0.4),
+    Indri(mu=1500.0, lam=0.7),
+    RankedBoolean(),
+    UnrankedBoolean(),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    import ray.data
+
+    tbl = synth_pages(n=240, seed=11, vocab=400)
+    out = str(tmp_path_factory.mktemp("index"))
+    ds = ray.data.from_arrow(tbl.drop_columns(["html"]))
+    stats = build_index(
+        ds, out, docs_per_segment=40, dedup=True, keep_forward=False
+    )
+    # oracle over the same deduped rows, same frozen dedup rule
+    df = dedup_pages_pandas(tbl)
+    docs = [
+        {
+            "doc_id": __import__(
+                "searchengines_ray.index.build", fromlist=["doc_id_from_url"]
+            ).doc_id_from_url(r.url),
+            "url": r.url,
+            "body": r.text,
+        }
+        for r in df.itertuples()
+    ]
+    oidx = OracleIndex.build(docs)
+    return out, oidx, stats
+
+
+def test_stats_match(corpus):
+    out, oidx, stats = corpus
+    assert stats["n_docs"] == oidx.n_docs
+    assert stats["doc_count"] == oidx.doc_count
+    assert stats["sum_field_len"] == oidx.sum_field_len
+
+
+@pytest.mark.parametrize("model_i", range(len(MODELS)))
+def test_inprocess_engine_matches_oracle(corpus, model_i):
+    out, oidx, _ = corpus
+    model = MODELS[model_i]
+    eng = SearchEngine(out, num_searchers=0)
+    res = eng.search_batch([(str(i), q) for i, q in enumerate(QUERIES)], model, k=15)
+    for i, q in enumerate(QUERIES):
+        want = run_query(oidx, q, model, k=15)
+        got = res[res.qid == str(i)]
+        got_rows = list(
+            zip(got.doc_id.tolist(), got.url.tolist(), got.score.tolist())
+        )
+        assert got_rows == want, (
+            f"model={model.name} query={q!r}\n got={got_rows[:5]}\nwant={want[:5]}"
+        )
+
+
+def test_actor_engine_matches_oracle(corpus, ray_session):
+    out, oidx, _ = corpus
+    model = BM25()
+    eng = SearchEngine(out, num_searchers=3)
+    res = eng.search_batch([(str(i), q) for i, q in enumerate(QUERIES)], model, k=15)
+    for i, q in enumerate(QUERIES):
+        want = run_query(oidx, q, model, k=15)
+        got = res[res.qid == str(i)]
+        got_rows = list(
+            zip(got.doc_id.tolist(), got.url.tolist(), got.score.tolist())
+        )
+        assert got_rows == want, f"query={q!r}"
+
+
+def test_actor_engine_composite_indri(corpus, ray_session):
+    # composite-Iop derived ctf must be summed ACROSS actors before scoring
+    out, oidx, _ = corpus
+    model = Indri(mu=700.0, lam=0.5)
+    eng = SearchEngine(out, num_searchers=3)
+    qs = ["#NEAR/2(w0001 w0003)", "#SYN(w0002 w0004)", "#WINDOW/6(w0001 w0005)"]
+    res = eng.search_batch([(str(i), q) for i, q in enumerate(qs)], model, k=20)
+    for i, q in enumerate(qs):
+        want = run_query(oidx, q, model, k=20)
+        got = res[res.qid == str(i)]
+        got_rows = list(
+            zip(got.doc_id.tolist(), got.url.tolist(), got.score.tolist())
+        )
+        assert got_rows == want, f"query={q!r}"
+
+
+def test_resume_skips_existing_segments(corpus, ray_session):
+    import ray.data
+
+    out, _, stats = corpus
+    tbl = synth_pages(n=240, seed=11, vocab=400)
+    ds = ray.data.from_arrow(tbl.drop_columns(["html"]))
+    stats2 = build_index(
+        ds, out, docs_per_segment=40, dedup=True, keep_forward=False
+    )
+    assert stats2["n_docs"] == stats["n_docs"]
+    assert sorted(stats2["segments"]) == sorted(stats["segments"])
