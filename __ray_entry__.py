@@ -1,44 +1,538 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline (SPIMI index build + BM25 batch retrieval)
+over ``/root/testdata/sf0.001``.
+``queries()`` — one callable per implemented operator/pipeline (SURVEY.md §2
+plus the training-data operators); each takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible entries.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+``ray.init``/``ray.shutdown``.  Indexes built for query entries are cached
+under /tmp keyed by (sf_dir, analyzer) so the per-entry cost is one build.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+from searchengines_ray.analysis import DEFAULT_ANALYZER, SIMPLE_ANALYZER
+from searchengines_ray.index.build import build_index
+from searchengines_ray.models import BM25, Indri, RankedBoolean
+from searchengines_ray.query.engine import SearchEngine
+from searchengines_ray.sources.pages import pages_from_documents, url_for_doc_id
+
+_ENGINES: dict[tuple, SearchEngine] = {}
+
+# fixed query sets (terms from the synthetic documents vocabulary; 'dup' is
+# the rare term with positive BM25 idf, the rest exercise the tie-break path)
+BM25_QUERIES = [
+    ("q1", "dup"),
+    ("q2", "dup key value"),
+    ("q3", "spark join window"),
+    ("q4", "customer query fast"),
+    ("q5", "zzz9nohit"),
+]
+STRUCTURED_QUERIES = [
+    ("s1", "#NEAR/2(hash join)"),
+    ("s2", "#WINDOW/4(window agg)"),
+    ("s3", "#SYN(dup key)"),
+    ("s4", "#AND(spark #OR(join merge))"),
+    ("s5", "#WAND(0.7 dup 0.3 batch)"),
+    ("s6", "#WSUM(0.5 scan 0.5 filter)"),
+    ("s7", "#SUM(#NEAR/3(stream batch) dup)"),
+]
+
+
+def _index_for(sf_dir: str, simple: bool) -> str:
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|{simple}|v1".encode(), digest_size=6
+    ).hexdigest()
+    out = f"/tmp/seray_index/{tag}"
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        os.makedirs(out, exist_ok=True)
+        pages = pages_from_documents(sf_dir)
+        build_index(
+            pages,
+            out,
+            config=SIMPLE_ANALYZER if simple else DEFAULT_ANALYZER,
+            docs_per_segment=512,
+            dedup=False,  # documents.parquet doc_ids/urls are unique
+            keep_forward=not simple,
+        )
+    return out
+
+
+def _engine(sf_dir: str, simple: bool) -> SearchEngine:
+    key = (os.path.abspath(sf_dir), simple)
+    if key not in _ENGINES:
+        _ENGINES[key] = SearchEngine(
+            _index_for(sf_dir, simple),
+            config=SIMPLE_ANALYZER if simple else DEFAULT_ANALYZER,
+        )
+    return _ENGINES[key]
+
+
+# --------------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the sf0.001 index and run the BM25 + structured query
+    battery; returns the result table (qid, doc_id, url, score, rank)."""
+    eng = _engine("/root/testdata/sf0.001", simple=False)
+    res = eng.search_batch(BM25_QUERIES + STRUCTURED_QUERIES, BM25(), k=10)
+    return res
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _q_term_stats_simple(sf_dir: str) -> pd.DataFrame:
+    """Full SPIMI pipeline check: global (term, df, ctf) over the body field
+    with the simple analyzer (lower + [0-9a-z]+ split; SQL-replicable)."""
+    from searchengines_ray.index.shard import load_termstats
+
+    idx = _index_for(sf_dir, simple=True)
+    ts = load_termstats(idx)
+    rows = [
+        (t, df, ctf) for (f, t), (df, ctf) in ts.items() if f == "body"
+    ]
+    return (
+        pd.DataFrame(rows, columns=["term", "df", "ctf"])
+        .astype({"df": "int64", "ctf": "int64"})
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
+def _q_doc_lengths(sf_dir: str) -> pd.DataFrame:
+    """docmeta lengths (body/title) from the built index."""
+    import pyarrow.parquet as pq
+
+    from searchengines_ray.index.shard import segment_dirs
+
+    idx = _index_for(sf_dir, simple=True)
+    frames = []
+    for d in segment_dirs(idx):
+        t = pq.read_table(
+            os.path.join(d, "docmeta.parquet"),
+            columns=["doc_id", "len_body", "len_title"],
+        )
+        frames.append(t.to_pandas())
+    out = pd.concat(frames, ignore_index=True).sort_values("doc_id")
+    return out.astype(
+        {"doc_id": "int64", "len_body": "int64", "len_title": "int64"}
+    ).reset_index(drop=True)
+
+
+def _q_bm25_topk_simple(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-20 with the simple analyzer — fully SQL-expressible.
+
+    Scores are floored to 1e-6 before ranking IN BOTH ENGINES so ULP-level
+    summation-order noise cannot flip ranks; ties break by url ascending
+    (the reference tie-break, ScoreList.java:90-106)."""
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(BM25_QUERIES, BM25(), k=None)
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    res = res[res["rank"] <= 20]
+    return res[["qid", "url", "rank", "score_r"]].reset_index(drop=True).astype(
+        {"rank": "int64"}
+    )
+
+
+def _q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Flagship BM25 (full analyzer: stopwords+kstem) — correctness is pinned
+    by the oracle-equality pytest suite, rows-only here."""
+    eng = _engine(sf_dir, simple=False)
+    return _engine_out(eng.search_batch(BM25_QUERIES, BM25(), k=20))
+
+
+def _q_indri_topk(sf_dir: str) -> pd.DataFrame:
+    eng = _engine(sf_dir, simple=False)
+    return _engine_out(
+        eng.search_batch(BM25_QUERIES, Indri(mu=1000.0, lam=0.4), k=20)
+    )
+
+
+def _q_structured(sf_dir: str) -> pd.DataFrame:
+    eng = _engine(sf_dir, simple=False)
+    return _engine_out(eng.search_batch(STRUCTURED_QUERIES, BM25(), k=20))
+
+
+def _q_structured_indri(sf_dir: str) -> pd.DataFrame:
+    eng = _engine(sf_dir, simple=False)
+    return _engine_out(
+        eng.search_batch(STRUCTURED_QUERIES, Indri(mu=800.0, lam=0.5), k=20)
+    )
+
+
+def _q_boolean(sf_dir: str) -> pd.DataFrame:
+    eng = _engine(sf_dir, simple=False)
+    return _engine_out(
+        eng.search_batch(
+            [("b1", "#AND(dup key)"), ("b2", "#OR(dup window)")],
+            RankedBoolean(),
+            k=20,
+        )
+    )
+
+
+def _engine_out(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["score_r"] = np.floor(df["score"].to_numpy() * 1e9) / 1e9
+    return df[["qid", "doc_id", "url", "rank", "score_r"]].astype(
+        {"doc_id": "int64", "rank": "int64"}
+    )
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+def _q_token_counts(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.text import token_counts
+
+    out = token_counts(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.text import quality_scores
+
+    out = quality_scores(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_windowed_agg(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from searchengines_ray.stages.windows import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = tumbling_window_agg(ev, minutes=60).to_pandas()
+    out["sum_value_r"] = np.floor(out["sum_value"].to_numpy() * 1e6) / 1e6
+    return (
+        out[["event_type", "window_start", "n_events", "sum_value_r"]]
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.similarity import cosine_topk
+
+    emb = _emb(sf_dir)
+    qdf = emb.to_pandas().sort_values("vec_id").head(3)
+    queries = np.stack([np.asarray(v) for v in qdf["embedding"]]).astype(
+        np.float64
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out[["query_id", "vec_id", "rank"]].astype("int64").reset_index(
+        drop=True
+    )
+
+
+def _q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.dedup import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+    out["jaccard_r"] = np.floor(out["jaccard"].to_numpy() * 1e6) / 1e6
+    return out[["doc_a", "doc_b", "jaccard_r"]]
+
+
+def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.dedup import (
+        dedup_survivors_from_pairs,
+        minhash_dedup_pairs,
+    )
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    ids = docs.to_pandas()["doc_id"]
+    return dedup_survivors_from_pairs(ids, pairs)
+
+
+def _q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(_emb(sf_dir), threshold=0.9)
+    out["cosine_r"] = np.floor(out.pop("cosine").to_numpy() * 1e4) / 1e4
+    return out
+
+
+def _q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.text import fingerprints
+
+    return (
+        fingerprints(_docs(sf_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_lang_id(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.text import lang_id
+
+    return (
+        lang_id(_docs(sf_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.similarity import IVFIndex
+
+    emb = _emb(sf_dir)
+    qdf = emb.to_pandas().sort_values("vec_id").head(3)
+    queries = np.stack([np.asarray(v) for v in qdf["embedding"]]).astype(
+        np.float64
+    )
+    ivf = IVFIndex(nlist=8).fit(emb).assign(emb)
+    out = ivf.search(queries, k=10, nprobe=4)
+    return out[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+def _q_sessionize(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from searchengines_ray.stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap_minutes=30).to_pandas()
+    out["sum_value_r"] = np.floor(out["sum_value"].to_numpy() * 1e6) / 1e6
+    return (
+        out[["user_id", "session_start", "session_end", "n_events", "sum_value_r"]]
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_multimodal(sf_dir: str) -> pd.DataFrame:
+    """Image-decode plumbing over deterministic fake payloads derived from
+    the documents table (binary column + actor-pool decode stage)."""
+    import pyarrow as pa
+
+    from searchengines_ray.stages.multimodal import decode_images
+
+    docs = _docs(sf_dir)
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [
+                        (t or "").encode("utf-8")[:256]
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    imgs = decode_images(
+        docs.map_batches(to_payload, batch_format="pyarrow"),
+        concurrency=2,
+        batch_size=64,
+    ).to_pandas()
+    return (
+        imgs[["doc_id", "width", "height", "channels"]]
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # search-engine core (SURVEY.md §2)
+        "term_stats_simple": _q_term_stats_simple,
+        "doc_lengths": _q_doc_lengths,
+        "bm25_topk_simple": _q_bm25_topk_simple,
+        "bm25_topk": _q_bm25_topk,
+        "indri_topk": _q_indri_topk,
+        "structured_queries": _q_structured,
+        "structured_indri": _q_structured_indri,
+        "boolean_topk": _q_boolean,
+        # training-data operators
+        "exact_dedup": _q_exact_dedup,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "windowed_agg": _q_windowed_agg,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "fingerprints": _q_fingerprints,
+        "lang_id": _q_lang_id,
+        "ivf_topk": _q_ivf_topk,
+        "sessionize": _q_sessionize,
+        "multimodal_decode": _q_multimodal,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle sql
+
+_TOKS = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term"
+    " FROM documents"
+)
+
+_BM25_SQL_QUERIES = " , ".join(
+    f"('{qid}', '{t}')"
+    for qid, q in BM25_QUERIES
+    for t in q.split()
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_stats_simple": f"""
+            WITH toks AS ({_TOKS})
+            SELECT term,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS ctf
+            FROM toks GROUP BY term ORDER BY term
+        """,
+        "doc_lengths": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[0-9a-z]+')) AS BIGINT) AS len_body,
+                   CAST(len(regexp_extract_all(lower(split_part(text, chr(10), 1)), '[0-9a-z]+')) AS BIGINT) AS len_title
+            FROM documents ORDER BY doc_id
+        """,
+        "bm25_topk_simple": f"""
+            WITH toks AS ({_TOKS}),
+            doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
+                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
+            scores AS (
+              SELECT q.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (doclen.dl / (fstats.sum_len / fstats.doc_count)))))
+                     ) AS score
+              FROM q
+              JOIN tf ON q.term = tf.term
+              JOIN df ON q.term = df.term
+              JOIN doclen ON tf.doc_id = doclen.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY q.qid, tf.doc_id
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     FLOOR(score * 1000000) / 1000000 AS score_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM scores
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[0-9a-z]+')) AS BIGINT) AS n_word_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[0-9a-z]+'))
+                        + len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT) AS n_bpe_ish
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": r"""
+            WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term FROM documents),
+            tok_agg AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_words,
+                     SUM(CASE WHEN term IN ('a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with') THEN 1 ELSE 0 END) AS n_stop,
+                     SUM(len(term)) AS sum_wlen
+              FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.text) AS BIGINT) AS n_chars,
+                   CAST(COALESCE(t.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(d.text, '[!-/:-@\[-`{-~]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(d.text, '[0-9]')) AS BIGINT) AS n_digits,
+                   CAST(COALESCE(t.n_stop, 0) AS BIGINT) AS n_stopwords,
+                   CAST(COALESCE(t.n_stop, 0) AS DOUBLE) / GREATEST(CAST(COALESCE(t.n_words, 0) AS DOUBLE), 1.0) AS stopword_ratio,
+                   CAST(len(regexp_extract_all(d.text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / GREATEST(CAST(COALESCE(t.n_words, 0) AS DOUBLE), 1.0) AS punct_ratio,
+                   CAST(COALESCE(t.sum_wlen, 0) AS DOUBLE) / GREATEST(CAST(COALESCE(t.n_words, 0) AS DOUBLE), 1.0) AS mean_word_len
+            FROM documents d LEFT JOIN tok_agg t USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "windowed_agg": """
+            SELECT event_type,
+                   time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   FLOOR(SUM(value) * 1000000) / 1000000 AS sum_value_r
+            FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS cosine
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+    }

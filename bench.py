@@ -1,0 +1,192 @@
+"""Benchmark harness: headline = SPIMI index-build throughput (docs/sec) +
+BM25 batch query latency, plus the training-data pipelines.
+
+Default mode prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "n_docs": ...}
+
+``--scaling`` runs the SAME job twice in fresh processes at
+``RAY_GRAFT_CPUS=8`` and ``32`` (the sandbox stand-in for N vs 4N Ray
+nodes) and reports both throughputs + scaling efficiency.
+
+Input: pages derived from ``$GRAFT_SF_DIR/documents.parquet`` (default
+sf0.1), replicated ``$GRAFT_REPLICATE`` times (default 20) with disjoint
+doc_id/url ranges — deterministic, no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def _replicated_pages(sf_dir: str, repl: int):
+    """documents -> pages, replicated with disjoint doc_id/url ranges."""
+    import pyarrow as pa
+    import ray.data
+
+    from searchengines_ray.sources.pages import url_for_doc_id
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text")
+        out = []
+        for i in range(repl):
+            ids = doc_ids + i * 10_000_000
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "url": pa.array(
+                            [url_for_doc_id(d) for d in ids], pa.string()
+                        ),
+                        "text": texts,
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=256)
+
+
+def run_bench(num_cpus: int, sf_dir: str, repl: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    from searchengines_ray.index.build import build_index
+    from searchengines_ray.models import BM25
+    from searchengines_ray.query.engine import SearchEngine
+
+    out_dir = f"/tmp/seray_bench_index_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    pages = _replicated_pages(sf_dir, repl)
+    pages.count()
+
+    t0 = time.perf_counter()
+    pages = _replicated_pages(sf_dir, repl)
+    stats = build_index(pages, out_dir, docs_per_segment=2000, dedup=False)
+    timings["index_build"] = time.perf_counter() - t0
+    n_docs = stats["n_docs"]
+
+    # BM25 batch query latency over the built index (actor scatter/gather)
+    queries = [
+        (f"q{i}", q)
+        for i, q in enumerate(
+            [
+                "dup",
+                "dup key value",
+                "spark join window",
+                "customer query fast",
+                "hash join merge sort",
+                "stream batch filter",
+                "#NEAR/2(hash join)",
+                "#SYN(dup key)",
+                "#WAND(0.7 dup 0.3 batch)",
+                "#WINDOW/4(window agg)",
+            ]
+        )
+    ]
+    t0 = time.perf_counter()
+    eng = SearchEngine(out_dir, num_searchers=min(8, max(2, num_cpus // 4)))
+    res = eng.search_batch(queries, BM25(), k=10)
+    timings["bm25_batch_10q"] = time.perf_counter() - t0
+    assert len(res) > 0
+
+    # training-data pipelines at native sf scale
+    import ray.data
+
+    from searchengines_ray.stages.dedup import minhash_dedup_pairs
+    from searchengines_ray.stages.similarity import cosine_topk
+    from searchengines_ray.stages.text import quality_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    timings["minhash_dedup"] = time.perf_counter() - t0
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qv = np.stack(
+        [np.asarray(v) for v in emb.limit(8).to_pandas()["embedding"]]
+    ).astype(np.float64)
+    t0 = time.perf_counter()
+    cosine_topk(emb, qv, k=10)
+    timings["ann_topk"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    quality_scores(docs).materialize()
+    timings["quality_scores"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    result = {
+        "metric": "SPIMI index build + BM25 query batch + data pipelines",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "n_dup_pairs": int(len(pairs)),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, repl: int) -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 (sandbox stand-in for
+    N vs 4N nodes); efficiency on index-build throughput."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tp_lo, tp_hi = lo["docs_per_sec"], hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    return {
+        "metric": "index-build scaling efficiency (8 -> 32 cpus)",
+        "docs_per_sec_8": tp_lo,
+        "docs_per_sec_32": tp_hi,
+        "build_sec_8": lo["queries"]["index_build"],
+        "build_sec_32": hi["queries"]["index_build"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repl = int(os.environ.get("GRAFT_REPLICATE", "20"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir, repl)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(num_cpus, sf_dir, repl)))

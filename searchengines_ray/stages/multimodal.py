@@ -1,0 +1,126 @@
+"""Multimodal column stages: image/audio/video as opaque ``binary`` columns.
+
+The container ships no image/audio codecs, so the DECODE step is stubbed
+behind ``fake=True`` (a deterministic, seeded fake decoder) or raises
+``NotImplementedError`` — but every piece of Ray-side plumbing is real and
+tested: actor-pool stages (decoder "model" loaded once per actor in
+``__init__``), small batch sizes for wide binary rows, typed metadata
+columns, and an output schema that downstream stages consume.
+
+Scale notes: binary payloads dominate block size — callers should pass
+``batch_size`` small (e.g. 32) and keep ``batch_format="pyarrow"`` so bytes
+stay zero-copy in the object store; blocks spill instead of heaping.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class ImageDecoder:
+    """binary -> (width, height, channels, feature vector).
+
+    ``fake=True``: deterministic metadata/features derived from a blake2b of
+    the payload (stands in for a real PIL/torchvision decode, which is not
+    installable here).  ``fake=False`` raises NotImplementedError at init —
+    loudly, not at the 400th batch.
+    """
+
+    OUT_FEATURES = 8
+
+    def __init__(self, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real image decoding requires an image codec library "
+                "(not available in this environment); use fake=True"
+            )
+        self.fake = fake
+
+    def _decode_one(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        h = hashlib.blake2b(payload or b"", digest_size=16).digest()
+        width = 64 + h[0] * 4
+        height = 64 + h[1] * 4
+        feats = (
+            np.frombuffer(h[8:], dtype=np.uint8).astype(np.float64) / 255.0
+        )
+        return width, height, 3, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, feats = [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            w, hgt, c, f = self._decode_one(payload)
+            widths.append(w)
+            heights.append(hgt)
+            chans.append(c)
+            feats.append(f.tolist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "features": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSampler:
+    """video binary -> every-nth-frame sample descriptors (stubbed decode,
+    real fan-out plumbing: one input row -> n output rows)."""
+
+    def __init__(self, every_n: int = 10, fake: bool = True):
+        if not fake:
+            raise NotImplementedError("real video decode unavailable here")
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, frame_hash = [], [], []
+        for doc, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+            n_frames = 1 + h[0] % 50
+            for i in range(0, n_frames, self.every_n):
+                doc_ids.append(doc)
+                frame_idx.append(i)
+                frame_hash.append(
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            (payload or b"") + i.to_bytes(4, "big"),
+                            digest_size=8,
+                        ).digest(),
+                        "big",
+                    )
+                    >> 1
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame_hash": pa.array(frame_hash, pa.int64()),
+            }
+        )
+
+
+def decode_images(ds, concurrency: int = 2, batch_size: int = 32):
+    """Actor-pool decode stage (state loaded once per actor)."""
+    return ds.map_batches(
+        ImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds, every_n: int = 10, concurrency: int = 2, batch_size: int = 16):
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

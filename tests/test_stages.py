@@ -1,0 +1,232 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_token_counts_match_pandas(docs_ds, docs_pd):
+    from searchengines_ray.stages.text import token_counts
+
+    got = token_counts(docs_ds).to_pandas().set_index("doc_id").sort_index()
+    import re
+
+    ws = docs_pd.set_index("doc_id")["text"].str.count(re.compile(r"\S+"))
+    assert got["n_ws_tokens"].equals(ws.sort_index().astype("int64"))
+
+
+def test_quality_scores(docs_ds, docs_pd):
+    from searchengines_ray.stages.text import quality_scores
+
+    got = quality_scores(docs_ds).to_pandas().set_index("doc_id").sort_index()
+    assert (got["n_chars"] == docs_pd.set_index("doc_id")["text"].str.len().sort_index()).all()
+    assert ((got["stopword_ratio"] >= 0) & (got["stopword_ratio"] <= 1)).all()
+
+
+def test_lang_id_mostly_en(docs_ds):
+    from searchengines_ray.stages.text import lang_id
+
+    got = lang_id(docs_ds).to_pandas()
+    # deterministic & total
+    assert len(got) == 500 and got["lang_pred"].notna().all()
+
+
+def test_fingerprints_deterministic(docs_ds):
+    from searchengines_ray.stages.text import fingerprints
+
+    a = fingerprints(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = fingerprints(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "hello world"},
+            {"doc_id": 2, "text": "hello world"},
+            {"doc_id": 3, "text": "different"},
+            {"doc_id": 4, "text": "hello world"},
+        ]
+    )
+    got = sorted(exact_dedup(ds).to_pandas()["doc_id"].tolist())
+    assert got == [1, 3]
+
+
+def test_minhash_finds_planted_neardups(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        dedup_survivors_from_pairs,
+        minhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [{"doc_id": i, "text": f"unique document number {i} " + " ".join(f"tok{i}_{j}" for j in range(50))} for i in range(20)]
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " tiny extra suffix"})
+    ds = ray.data.from_items(rows)
+    pairs = minhash_dedup_pairs(ds, threshold=0.5)
+    assert [(100, 101)] == list(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert pairs["jaccard"].iloc[0] > 0.5
+    surv = dedup_survivors_from_pairs(
+        pd.Series([r["doc_id"] for r in rows]), pairs
+    )
+    assert 100 in surv["doc_id"].tolist() and 101 not in surv["doc_id"].tolist()
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import simhash_dup_pairs
+
+    base = " ".join(f"word{j}" for j in range(200))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # identical -> hamming 0
+        {"doc_id": 3, "text": " ".join(f"other{j}" for j in range(200))},
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = simhash_dup_pairs(ds, max_hamming=3)
+    got = sorted(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+    # no-pair input keeps a stable schema
+    ds2 = ray.data.from_items(rows[2:])
+    empty = simhash_dup_pairs(ds2, max_hamming=0)
+    assert list(empty.columns) == ["doc_a", "doc_b"] and empty.empty
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 16))
+    vecs[21] = vecs[20] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(30)]
+    )
+    pairs = embedding_neardup_pairs(ds, threshold=0.98)
+    got = sorted(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (20, 21) in got
+
+
+def test_cosine_topk_matches_bruteforce(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import cosine_topk
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(
+        [np.asarray(v) for v in emb.to_pandas().sort_values("vec_id")["embedding"]]
+    ).astype(np.float64)
+    ids = np.sort(emb.to_pandas()["vec_id"].to_numpy())
+    queries = mat[:3]
+    got = cosine_topk(emb, queries, k=5)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ norm.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        want = [int(ids[j]) for j in order]
+        g = got[got.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert g == want, (qi, g, want)
+
+
+def test_ivf_recall(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import IVFIndex, cosine_topk
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    queries = np.stack(
+        [np.asarray(v) for v in emb.limit(5).to_pandas()["embedding"]]
+    ).astype(np.float64)
+    exact = cosine_topk(emb, queries, k=10)
+    ivf = IVFIndex(nlist=8).fit(emb).assign(emb)
+    approx = ivf.search(queries, k=10, nprobe=4)
+    # recall@10 over 5 queries should be high with half the buckets probed
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = (
+        tumbling_window_agg(ev, minutes=60)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    pdf = ev.to_pandas()
+    pdf["window_start"] = pdf["ts"].dt.floor("60min")
+    want = (
+        pdf.groupby(["event_type", "window_start"], as_index=False)
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_sessionize(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = sessionize(ev, gap_minutes=30).to_pandas()
+    assert (got["session_end"] >= got["session_start"]).all()
+    assert got["n_events"].sum() == ev.count()
+
+
+def test_multimodal_stubs(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.multimodal import (
+        ImageDecoder,
+        decode_images,
+        sample_frames,
+    )
+
+    rows = [
+        {"doc_id": i, "payload": bytes([i]) * (100 + i)} for i in range(10)
+    ]
+    ds = ray.data.from_items(rows)
+    imgs = decode_images(ds, concurrency=2, batch_size=4).to_pandas()
+    assert set(imgs.columns) == {"doc_id", "width", "height", "channels", "features"}
+    assert len(imgs) == 10 and (imgs["width"] >= 64).all()
+    # determinism
+    imgs2 = decode_images(ds, concurrency=2, batch_size=4).to_pandas()
+    assert imgs.sort_values("doc_id")["width"].tolist() == imgs2.sort_values("doc_id")["width"].tolist()
+    frames = sample_frames(ds, every_n=5, concurrency=2).to_pandas()
+    assert set(frames.columns) == {"doc_id", "frame_idx", "frame_hash"}
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False)
