@@ -229,15 +229,26 @@ def _q_quality(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_windowed_agg(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate.  The value sum is computed over
+    PRE-FLOORED milli-units (integer-valued doubles): integer sums are
+    order-independent, so the distributed aggregate matches SQL exactly —
+    a raw float SUM differs in ULPs by reduction order."""
     import ray.data
 
     from searchengines_ray.stages.windows import tumbling_window_agg
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def prefloor(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value"] = np.floor(batch["value"].to_numpy() * 1000.0)
+        return batch
+
+    ev = ev.map_batches(prefloor, batch_format="pandas")
     out = tumbling_window_agg(ev, minutes=60).to_pandas()
-    out["sum_value_r"] = np.floor(out["sum_value"].to_numpy() * 1e6) / 1e6
+    out["sum_value_m"] = out["sum_value"].astype("int64")
     return (
-        out[["event_type", "window_start", "n_events", "sum_value_r"]]
+        out[["event_type", "window_start", "n_events", "sum_value_m"]]
         .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )
@@ -508,7 +519,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    time_bucket(INTERVAL '60 minutes', ts) AS window_start,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   FLOOR(SUM(value) * 1000000) / 1000000 AS sum_value_r
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
             FROM events
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start

@@ -76,6 +76,21 @@ class LocalSearcher:
                 collect_iop_stats(tree, seg, out)
         return out
 
+    def term_vectors(
+        self, doc_ids: Sequence[int], field: str
+    ) -> dict[int, list[str]]:
+        """Forward-index (term vector) fetch for docs held by MY segments
+        (requires the index to be built with keep_forward=True)."""
+        want = set(int(d) for d in doc_ids)
+        out: dict[int, list[str]] = {}
+        for seg in self.segments:
+            fwd = seg.forward()
+            for d in want:
+                v = fwd.get((d, field))
+                if v is not None:
+                    out[d] = v
+        return out
+
     def search_trees(
         self,
         trees: Sequence[Optional[Node]],
@@ -227,3 +242,27 @@ class SearchEngine:
         self, query: str, model: RetrievalModel, k: Optional[int] = 10
     ) -> pd.DataFrame:
         return self.search_batch([("q", query)], model, k)
+
+    def term_vectors(
+        self, doc_ids: Sequence[int], field: str
+    ) -> dict[int, list[str]]:
+        """Scatter/gather forward-index fetch (doc-sharded: each actor owns
+        the vectors of its segments' docs)."""
+        if self._actors:
+            import ray
+
+            parts = ray.get(
+                [
+                    a.term_vectors.remote(list(doc_ids), field)
+                    for a in self._actors
+                ]
+            )
+            out: dict[int, list[str]] = {}
+            for p in parts:
+                out.update(p)
+            return out
+        return self._local.term_vectors(doc_ids, field)
+
+    def term_stats_for(self, keys: list) -> dict:
+        """Global (field,term) -> (df, ctf) for the given keys."""
+        return self._term_stats(set(keys))

@@ -137,12 +137,12 @@ def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
         r = len(sig) // bands
         for b in range(bands):
             chunk = sig[b * r : (b + 1) * r]
-            acc = np.uint64(0)
+            acc = 0  # Python int: explicit mod-2^64 wraparound, no warnings
             for v in chunk:
-                acc = acc * np.uint64(1000003) + v
+                acc = (acc * 1000003 + int(v)) & 0xFFFFFFFFFFFFFFFF
             doc_ids.append(doc)
             band_ids.append(b)
-            band_hashes.append(int(acc & np.uint64(0x7FFFFFFFFFFFFFFF)))
+            band_hashes.append(acc & 0x7FFFFFFFFFFFFFFF)
     return pd.DataFrame(
         {
             "doc_id": pd.array(doc_ids, dtype="int64"),
