@@ -388,6 +388,101 @@ def _q_multimodal(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_prf_expansion(sf_dir: str) -> pd.DataFrame:
+    """Indri PRF expansion terms (qid, term, score) for the BM25 query set."""
+    from searchengines_ray.models import Indri
+    from searchengines_ray.pipelines.prf import PrfParams, run_prf
+
+    eng = _engine(sf_dir, simple=False)
+    _, exp_terms, _ = run_prf(
+        eng,
+        BM25_QUERIES[:4],
+        Indri(mu=1000.0, lam=0.4),
+        PrfParams(num_docs=5, num_terms=8, mu=40.0, orig_weight=0.5),
+        k=10,
+    )
+    rows = []
+    for qid, terms in exp_terms.items():
+        for rank, (term, score) in enumerate(terms, 1):
+            rows.append((qid, term, rank, np.floor(score * 1e9) / 1e9))
+    return pd.DataFrame(rows, columns=["qid", "term", "rank", "score_r"])
+
+
+def _q_diversity(sf_dir: str, algorithm: str) -> pd.DataFrame:
+    from searchengines_ray.pipelines.diversity import diversify
+
+    eng = _engine(sf_dir, simple=False)
+    intents = {"q3": ["", "spark", "join window"], "q4": ["", "customer", "query fast"]}
+    flat = [(q, t) for q, t in BM25_QUERIES if q in intents]
+    for qid, its in intents.items():
+        for j, it in enumerate(its):
+            if j >= 1:
+                flat.append((f"{qid}.{j}", it))
+    res = eng.search_batch(flat, BM25(), k=20)
+    rankings = {
+        qid: list(
+            zip(res[res.qid == qid].url, res[res.qid == qid].score)
+        )
+        for qid, _ in flat
+    }
+    rows = []
+    for qid in intents:
+        ilists = [[]] + [
+            rankings.get(f"{qid}.{j}", [])
+            for j in range(1, len(intents[qid]))
+        ]
+        ranked = diversify(
+            qid, rankings.get(qid, []), ilists, algorithm=algorithm,
+            lam=0.6, max_input=20, max_result=10, trec_len=10,
+        )
+        for rank, (url, score) in enumerate(ranked, 1):
+            rows.append((qid, url, rank, np.floor(score * 1e9) / 1e9))
+    return pd.DataFrame(rows, columns=["qid", "url", "rank", "score_r"])
+
+
+def _q_diversity_xquad(sf_dir: str) -> pd.DataFrame:
+    return _q_diversity(sf_dir, "xQuAD")
+
+
+def _q_diversity_pm2(sf_dir: str) -> pd.DataFrame:
+    return _q_diversity(sf_dir, "PM2")
+
+
+def _q_ltr_features(sf_dir: str) -> pd.DataFrame:
+    """LTR features over top-5 BM25 candidates per query (un-normalized)."""
+    from searchengines_ray.models import Indri
+    from searchengines_ray.pipelines.ltr import extract_features
+
+    eng = _engine(sf_dir, simple=False)
+    from searchengines_ray.analysis import tokenize
+
+    rows = []
+    for qid, qtext in BM25_QUERIES[:4]:
+        cand = eng.search_batch([(qid, qtext)], BM25(), k=5)
+        docs = [(0, int(r.doc_id), r.url) for r in cand.itertuples()]
+        qv: dict[str, int] = {}
+        for t in tokenize(qtext):
+            qv[t] = qv.get(t, 0) + 1
+        fvs = extract_features(
+            eng, qid, qv, docs, BM25(), Indri(mu=1000.0, lam=0.4)
+        )
+        for fv in fvs:
+            rows.append(
+                (
+                    qid,
+                    fv.external_id,
+                    np.floor((fv.features[5] or 0.0) * 1e9) / 1e9,
+                    np.floor((fv.features[6] or 0.0) * 1e9) / 1e9,
+                    int(fv.features[7] or 0),
+                    np.floor((fv.features[17] or 0.0) * 1e9) / 1e9,
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["qid", "url", "f5_bm25_body", "f6_indri_body", "f7_count_body", "f17_idf_url"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # search-engine core (SURVEY.md §2)
@@ -399,6 +494,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "structured_queries": _q_structured,
         "structured_indri": _q_structured_indri,
         "boolean_topk": _q_boolean,
+        "prf_expansion": _q_prf_expansion,
+        "diversity_xquad": _q_diversity_xquad,
+        "diversity_pm2": _q_diversity_pm2,
+        "ltr_features": _q_ltr_features,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
