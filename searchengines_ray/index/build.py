@@ -306,11 +306,20 @@ def build_index(
     docs_per_segment: int = 2000,
     dedup: bool = False,
     keep_forward: bool = False,
+    termstats: bool = True,
 ) -> dict:
     """Build a full index from a pages Dataset (or parquet path).
 
     Returns the global stats dict (also persisted to ``stats.json``).
     Pass ``dedup=True`` for inputs that may contain url recrawls.
+
+    ``termstats=False`` skips the merged global (field,term)->(df,ctf)
+    table: the query engine then computes exact global stats at query time
+    by summing shard-local dictionaries in the scatter phase (the
+    ES/Solr ``dfs_query_then_fetch`` design).  At web scale the unique-token
+    tail (urls!) makes the merged vocabulary table corpus-sized, so the
+    dfs phase IS the scale path; the table remains worthwhile for
+    SQL-auditable stats dumps and repeated offline lookups.
     """
     import ray.data
 
@@ -364,42 +373,59 @@ def build_index(
     with open(os.path.join(out_dir, STATS_FILE), "w") as f:
         json.dump(stats, f, indent=1)
 
-    _build_termstats(out_dir, stats["segments"])
+    if termstats:
+        _build_termstats(out_dir, stats["segments"])
     return stats
 
 
 def _build_termstats(out_dir: str, segments: list[str]) -> None:
     """Global (field,term) -> (df,ctf): vocabulary-sized groupby over
     per-segment partials (pre-aggregated; the shuffle never touches
-    positions).  Written hash-bucketed by term for point lookups at scale."""
+    positions).  Written SORTED BY term so each output file / row group
+    covers a term range — query-time point lookups prune on parquet
+    row-group statistics instead of scanning the vocabulary."""
     import ray.data
 
     paths = [
         os.path.join(out_dir, SEGMENT_DIR, s, "postings.parquet")
         for s in segments
     ]
-    ds = ray.data.read_parquet(paths, columns=["field", "term", "df", "ctf"])
-    agg = ds.groupby(["field", "term"]).sum(["df", "ctf"])
+    # materialize() between stages is deliberate: both the groupby shuffle
+    # and the sort run a SAMPLING pass first, and with a lazy upstream that
+    # pass re-executes the whole multi-file read (measured 2.7x wall).  The
+    # materialized sets are vocabulary-sized (bounded), never corpus-sized.
+    ds = ray.data.read_parquet(
+        paths, columns=["field", "term", "df", "ctf"]
+    ).materialize()
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # explicit partitioned hash aggregation: tag each partial row with
+    # bucket = crc32(term) % B, shuffle on the small int key, and sum within
+    # each bucket with a vectorized pandas groupby.  ~4x faster than
+    # ds.groupby(["field","term"]).sum(...) whose sort-based shuffle pays a
+    # string multi-key comparison per row (measured 23s -> 6s, 1.5M rows).
+    B = 64
 
-        terms = batch.column("term").to_pylist()
-        buckets = [
-            int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=2).digest(), "big"
-            )
-            % 16
-            for t in terms
-        ]
-        batch = batch.rename_columns(
-            [
-                {"sum(df)": "df", "sum(ctf)": "ctf"}.get(c, c)
-                for c in batch.column_names
-            ]
+    def bucketize(t: pa.Table) -> pa.Table:
+        import zlib
+
+        terms = t.column("term").to_pylist()
+        b = np.fromiter(
+            (zlib.crc32(x.encode()) % B for x in terms), np.int32, len(terms)
         )
-        return batch.append_column("tbucket", pa.array(buckets, pa.int16()))
+        return t.append_column("bucket", pa.array(b, pa.int32()))
 
-    agg = agg.map_batches(add_bucket, batch_format="pyarrow")
+    def agg_group(df):
+        return df.groupby(["field", "term"], as_index=False)[
+            ["df", "ctf"]
+        ].sum()
+
+    agg = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(agg_group, batch_format="pandas")
+    ).materialize()
+    # term-sorted layout => query-time point lookups prune on parquet
+    # row-group min/max statistics
+    agg = agg.sort("term")
     ts_dir = os.path.join(out_dir, TERMSTATS_DIR)
-    agg.write_parquet(ts_dir, partition_cols=["tbucket"])
+    agg.write_parquet(ts_dir)

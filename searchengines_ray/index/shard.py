@@ -148,27 +148,17 @@ def load_termstats(
     path: O(query terms), not O(vocabulary) — the scale path for serving).
     Without, loads the full table (test/driver convenience at small scale).
     """
-    import hashlib
-
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     ts_dir = os.path.join(index_dir, TERMSTATS_DIR)
-    dataset = pads.dataset(ts_dir, partitioning="hive")
+    dataset = pads.dataset(ts_dir)
     if terms is not None:
-        buckets = sorted(
-            {
-                int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=2).digest(), "big"
-                )
-                % 16
-                for _, t in terms
-            }
-        )
-        import pyarrow.compute as pc
-
+        # term-sorted layout: isin filter prunes files/row-groups by the
+        # parquet min/max term statistics — O(query terms), not O(vocab)
         tbl = dataset.to_table(
             columns=["field", "term", "df", "ctf"],
-            filter=pc.field("tbucket").isin(buckets),
+            filter=pc.field("term").isin(sorted({t for _, t in terms})),
         )
     else:
         tbl = dataset.to_table(columns=["field", "term", "df", "ctf"])

@@ -67,6 +67,19 @@ class LocalSearcher:
             sum_field_len=self.stats["sum_field_len"],
         )
 
+    def term_stats_partial(self, keys: Sequence[tuple]) -> dict:
+        """Shard-local (df, ctf) sums for the given (field, term) keys — the
+        'dfs phase' of distributed global statistics (dictionary lookups
+        only; no posting decode)."""
+        out: dict = {}
+        for seg in self.segments:
+            for key in keys:
+                df, ctf = seg.local_stats(*key)
+                if df:
+                    d0, c0 = out.get(key, (0, 0))
+                    out[key] = (d0 + df, c0 + ctf)
+        return out
+
     def iop_stats_partial(self, trees: Sequence[Optional[Node]]) -> dict:
         out: dict = {}
         for tree in trees:
@@ -151,6 +164,28 @@ class SearchEngine:
     # ------------------------------------------------------------------ stats
 
     def _term_stats(self, keys: set) -> dict:
+        import os
+
+        from ..index.build import TERMSTATS_DIR
+
+        if not os.path.exists(os.path.join(self.index_dir, TERMSTATS_DIR)):
+            # no merged table: 'dfs phase' — sum shard-local dictionary
+            # stats across searchers (exact global df/ctf, one scatter)
+            keys_l = sorted(keys)
+            if self._actors:
+                import ray
+
+                parts = ray.get(
+                    [a.term_stats_partial.remote(keys_l) for a in self._actors]
+                )
+            else:
+                parts = [self._local.term_stats_partial(keys_l)]
+            merged: dict = {}
+            for p in parts:
+                for key, (df, ctf) in p.items():
+                    d0, c0 = merged.get(key, (0, 0))
+                    merged[key] = (d0 + df, c0 + ctf)
+            return merged
         n_vocab_smallish = 2_000_000
         if self._termstats_cache is None and (
             self.stats.get("n_postings", 0) < n_vocab_smallish
@@ -159,7 +194,7 @@ class SearchEngine:
             self._termstats_cache = load_termstats(self.index_dir)
         if self._termstats_cache is not None:
             return self._termstats_cache
-        # scale path: hash-bucket point lookups for just these terms
+        # scale path: term-sorted parquet point lookups for just these terms
         return load_termstats(self.index_dir, terms=sorted(keys))
 
     def global_stats_for(self, trees: Sequence[Optional[Node]]) -> GlobalStats:

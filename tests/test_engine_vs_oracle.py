@@ -140,3 +140,32 @@ def test_resume_skips_existing_segments(corpus, ray_session):
     )
     assert stats2["n_docs"] == stats["n_docs"]
     assert sorted(stats2["segments"]) == sorted(stats["segments"])
+
+
+def test_dfs_phase_without_termstats_table(corpus, tmp_path_factory, ray_session):
+    """termstats=False build: global df/ctf come from the query-time dfs
+    phase (shard-local dictionary sums) and must be EXACTLY equivalent."""
+    import ray.data
+
+    from searchengines_ray.models import Indri
+
+    tbl = synth_pages(n=240, seed=11, vocab=400)
+    out = str(tmp_path_factory.mktemp("index_nots"))
+    ds = ray.data.from_arrow(tbl.drop_columns(["html"]))
+    build_index(
+        ds, out, docs_per_segment=40, dedup=True, keep_forward=False,
+        termstats=False,
+    )
+    _, oidx, _ = corpus
+    for model in (BM25(), Indri(mu=777.0, lam=0.3)):
+        eng = SearchEngine(out, num_searchers=0)
+        res = eng.search_batch(
+            [(str(i), q) for i, q in enumerate(QUERIES)], model, k=15
+        )
+        for i, q in enumerate(QUERIES):
+            want = run_query(oidx, q, model, k=15)
+            got = res[res.qid == str(i)]
+            got_rows = list(
+                zip(got.doc_id.tolist(), got.url.tolist(), got.score.tolist())
+            )
+            assert got_rows == want, f"model={model.name} query={q!r}"
