@@ -41,6 +41,17 @@ from .exec import (
 )
 
 
+def bag_of_words_terms(node: Node):
+    """[(field, term)] leaves in query order when the tree is a pure BM25
+    bag-of-words (#SUM of TERM leaves, or a single TERM) — the WAND-eligible
+    shape; else None."""
+    if node.op == "term":
+        return [(node.field, node.term)]
+    if node.op == "sum" and all(a.op == "term" for a in node.args):
+        return [(a.field, a.term) for a in node.args]
+    return None
+
+
 def _has_composite(node: Node) -> bool:
     if node.op in ("syn", "near", "window"):
         return True
@@ -110,17 +121,35 @@ class LocalSearcher:
         g: GlobalStats,
         model: RetrievalModel,
         k: Optional[int],
+        use_wand: bool = False,
     ) -> list[list[tuple[int, str, float]]]:
-        """Per-query partial top-k over THIS searcher's segments."""
+        """Per-query partial top-k over THIS searcher's segments.
+
+        ``use_wand=True`` routes BM25 bag-of-words queries through
+        document-at-a-time block-max WAND (exact same top-k, provably
+        sub-threshold blocks skipped)."""
+        from ..models import BM25 as _BM25
+        from .wand import bm25_wand_topk
+
         results = []
         for tree in trees:
             if tree is None:
                 results.append([])
                 continue
+            bow = (
+                bag_of_words_terms(tree)
+                if use_wand and isinstance(model, _BM25) and k is not None
+                else None
+            )
             partials: list[tuple[int, str, float]] = []
             for seg in self.segments:
-                ev = eval_sop(tree, seg, g, model)
-                partials.extend(segment_topk(ev, seg, k))
+                if bow is not None:
+                    partials.extend(
+                        bm25_wand_topk(bow, seg, g, model, k)
+                    )
+                else:
+                    ev = eval_sop(tree, seg, g, model)
+                    partials.extend(segment_topk(ev, seg, k))
             partials.sort(key=lambda r: (-r[2], r[1]))
             results.append(partials[:k] if k is not None else partials)
         return results
@@ -233,6 +262,7 @@ class SearchEngine:
         queries: Sequence[tuple[str, str]],
         model: RetrievalModel,
         k: Optional[int] = 10,
+        use_wand: bool = False,
     ) -> pd.DataFrame:
         """Run a batch of ``(qid, raw_query)`` pairs.
 
@@ -252,12 +282,14 @@ class SearchEngine:
             gref = ray.put(g)
             per_actor = ray.get(
                 [
-                    a.search_trees.remote(trees, gref, model, k)
+                    a.search_trees.remote(trees, gref, model, k, use_wand)
                     for a in self._actors
                 ]
             )
         else:
-            per_actor = [self._local.search_trees(trees, g, model, k)]
+            per_actor = [
+                self._local.search_trees(trees, g, model, k, use_wand)
+            ]
 
         rows = []
         for qi, (qid, _) in enumerate(queries):

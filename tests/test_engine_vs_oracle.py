@@ -169,3 +169,27 @@ def test_dfs_phase_without_termstats_table(corpus, tmp_path_factory, ray_session
                 zip(got.doc_id.tolist(), got.url.tolist(), got.score.tolist())
             )
             assert got_rows == want, f"model={model.name} query={q!r}"
+
+
+def test_wand_exactly_matches_exhaustive(corpus):
+    """Block-max WAND must return the EXACT exhaustive top-k (docids, urls,
+    bit-equal scores, tie-break order) — it may only skip provably
+    sub-threshold docs."""
+    out, oidx, _ = corpus
+    eng = SearchEngine(out, num_searchers=0)
+    bow_queries = [
+        ("a", "w0001 w0005 w0123"),
+        ("b", "w0002"),
+        ("c", "w0000 w0000 w0017"),
+        ("d", "w0003 w0008 w0004 w0010 w0016"),
+        ("e", "zzzznohit"),
+    ]
+    for model in (BM25(), BM25(k_1=0.9, b=0.4)):
+        for k in (1, 5, 15, 50):
+            exact = eng.search_batch(bow_queries, model, k=k)
+            wand = eng.search_batch(bow_queries, model, k=k, use_wand=True)
+            for qid, _ in bow_queries:
+                a = exact[exact.qid == qid]
+                w = wand[wand.qid == qid]
+                assert a.url.tolist() == w.url.tolist(), (model, k, qid)
+                assert a.score.tolist() == w.score.tolist(), (model, k, qid)
