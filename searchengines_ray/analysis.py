@@ -160,16 +160,12 @@ def tokenize_positions(
         return []
     if config.lowercase:
         text = text.lower()
-    out: list[str | None] = []
+    words = _WORD_RE.findall(text)  # ordinal positions == list index
     stop = LUCENE_STOPWORDS if config.stop else ()
-    stem = config.stem
-    for m in _WORD_RE.finditer(text):
-        w = m.group()
-        if w in stop:
-            out.append(None)
-        else:
-            out.append(kstem_lite(w) if stem else w)
-    return out
+    if config.stem:
+        ks = kstem_lite
+        return [None if w in stop else ks(w) for w in words]
+    return [None if w in stop else w for w in words]
 
 
 def tokenize(text: str, config: AnalyzerConfig = DEFAULT_ANALYZER) -> list[str]:

@@ -1,0 +1,186 @@
+"""Command-line entry points.
+
+``python -m searchengines_ray.cli <cmd>``:
+
+- ``build --pages <parquet> --out <index_dir> [--dedup] [--forward]
+  [--simple] [--docs-per-segment N] [--no-termstats]`` — SPIMI index build.
+- ``run --param <file> --index <dir>`` — execute a reference-style param
+  file (Flow A/B/C: retrieval, PRF, LTR, diversity) -> trec output
+  (the ``QryEval.main`` analog, ``/root/reference/QryEval/QryEval.java:45-92``).
+- ``search --index <dir> --query "text" [--model bm25|indri] [--k N]
+  [--wand]`` — ad-hoc query.
+- ``inspect --index <dir> [--term t [--field f]] [--doc url]`` — index
+  inspector (the ``InspectIndex`` analog,
+  ``/root/reference/QryEval/InspectIndex.java:20-668``).
+
+These own their Ray session (guarded init); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def cmd_build(args) -> None:
+    _ensure_ray()
+    from .analysis import DEFAULT_ANALYZER, SIMPLE_ANALYZER
+    from .index.build import build_index
+
+    stats = build_index(
+        args.pages,
+        args.out,
+        config=SIMPLE_ANALYZER if args.simple else DEFAULT_ANALYZER,
+        docs_per_segment=args.docs_per_segment,
+        dedup=args.dedup,
+        keep_forward=args.forward,
+        termstats=not args.no_termstats,
+    )
+    print(
+        json.dumps(
+            {
+                "n_docs": stats["n_docs"],
+                "n_postings": stats["n_postings"],
+                "segments": len(stats["segments"]),
+            }
+        )
+    )
+
+
+def cmd_run(args) -> None:
+    _ensure_ray()
+    from .pipelines.retrieval import run_param_file
+    from .query.engine import SearchEngine
+
+    eng = SearchEngine(args.index, num_searchers=args.searchers)
+    out = run_param_file(args.param, eng)
+    print(out)
+
+
+def cmd_search(args) -> None:
+    _ensure_ray()
+    from .models import BM25, Indri, RankedBoolean, UnrankedBoolean
+    from .query.engine import SearchEngine
+
+    model = {
+        "bm25": BM25(),
+        "indri": Indri(),
+        "rankedboolean": RankedBoolean(),
+        "unrankedboolean": UnrankedBoolean(),
+    }[args.model]
+    eng = SearchEngine(args.index, num_searchers=args.searchers)
+    res = eng.search_batch(
+        [("q", args.query)], model, k=args.k, use_wand=args.wand
+    )
+    for r in res.itertuples():
+        print(f"{r.rank}\t{r.url}\t{r.score!r}")
+
+
+def cmd_inspect(args) -> None:
+    from .index.shard import load_stats, segment_dirs, Segment
+
+    stats = load_stats(args.index)
+    if args.term:
+        field = args.field or "body"
+        total_df = total_ctf = 0
+        for d in segment_dirs(args.index):
+            seg = Segment(d)
+            df, ctf = seg.local_stats(field, args.term)
+            total_df += df
+            total_ctf += ctf
+            if args.postings and df:
+                pl = seg.postings(field, args.term)
+                for i in range(len(pl.docs)):
+                    print(
+                        f"{seg.name}\t{seg.urls[pl.docs[i]]}\t"
+                        f"tf={pl.tfs[i]}\tpos={pl.pos_of(i).tolist()}"
+                    )
+        print(f"{field}:{args.term}\tdf={total_df}\tctf={total_ctf}")
+        return
+    if args.doc:
+        for d in segment_dirs(args.index):
+            seg = Segment(d)
+            hits = [i for i, u in enumerate(seg.urls) if u == args.doc]
+            for i in hits:
+                lens = {f: int(seg.doclen[f][i]) for f in seg.doclen}
+                print(
+                    json.dumps(
+                        {
+                            "segment": seg.name,
+                            "doc_id": int(seg.doc_ids[i]),
+                            "url": args.doc,
+                            "field_lengths": lens,
+                        }
+                    )
+                )
+        return
+    print(
+        json.dumps(
+            {
+                "n_docs": stats["n_docs"],
+                "n_postings": stats["n_postings"],
+                "segments": len(stats["segments"]),
+                "doc_count": stats["doc_count"],
+                "sum_field_len": stats["sum_field_len"],
+                "analyzer": stats["analyzer"],
+            },
+            indent=1,
+        )
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="searchengines_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--dedup", action="store_true")
+    b.add_argument("--forward", action="store_true")
+    b.add_argument("--simple", action="store_true")
+    b.add_argument("--no-termstats", action="store_true")
+    b.add_argument("--docs-per-segment", type=int, default=2000)
+    b.set_defaults(fn=cmd_build)
+
+    r = sub.add_parser("run")
+    r.add_argument("--param", required=True)
+    r.add_argument("--index", required=True)
+    r.add_argument("--searchers", type=int, default=0)
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--model", default="bm25")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--wand", action="store_true")
+    s.add_argument("--searchers", type=int, default=0)
+    s.set_defaults(fn=cmd_search)
+
+    i = sub.add_parser("inspect")
+    i.add_argument("--index", required=True)
+    i.add_argument("--term")
+    i.add_argument("--field")
+    i.add_argument("--doc")
+    i.add_argument("--postings", action="store_true")
+    i.set_defaults(fn=cmd_inspect)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
