@@ -189,7 +189,7 @@ def run_scaling(sf_dir: str, repl: int) -> dict:
             GRAFT_BUILD_ONLY="1",
             # compute-dominated input: at the default repl the build is
             # fixed-overhead-bound and 8 cpus already saturate it
-            GRAFT_REPLICATE=os.environ.get("GRAFT_SCALE_REPLICATE", "600"),
+            GRAFT_REPLICATE=os.environ.get("GRAFT_SCALE_REPLICATE", "1500"),
             # larger segments for the probe: per-segment fixed costs (file
             # opens, manifests) stop masking the compute scaling
             GRAFT_DOCS_PER_SEGMENT=os.environ.get(
@@ -209,15 +209,17 @@ def run_scaling(sf_dir: str, repl: int) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    pair = os.environ.get("GRAFT_SCALE_CPUS", "8,32").split(",")
+    n_lo, n_hi = int(pair[0]), int(pair[1])
+    lo, hi = run(n_lo), run(n_hi)
     tp_lo, tp_hi = lo["docs_per_sec"], hi["docs_per_sec"]
-    eff = (tp_hi / tp_lo) / (32 / 8)
+    eff = (tp_hi / tp_lo) / (n_hi / n_lo)
     return {
-        "metric": "index-build scaling efficiency (8 -> 32 cpus)",
-        "docs_per_sec_8": tp_lo,
-        "docs_per_sec_32": tp_hi,
-        "build_sec_8": lo["queries"]["index_build"],
-        "build_sec_32": hi["queries"]["index_build"],
+        "metric": f"index-build scaling efficiency ({n_lo} -> {n_hi} cpus)",
+        f"docs_per_sec_{n_lo}": tp_lo,
+        f"docs_per_sec_{n_hi}": tp_hi,
+        f"build_sec_{n_lo}": lo["queries"]["index_build"],
+        f"build_sec_{n_hi}": hi["queries"]["index_build"],
         "scaling_efficiency": round(eff, 3),
         "sf": sf_dir,
     }

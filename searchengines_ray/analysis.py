@@ -175,6 +175,77 @@ def tokenize(text: str, config: AnalyzerConfig = DEFAULT_ANALYZER) -> list[str]:
     return [t for t in tokenize_positions(text, config) if t is not None]
 
 
+def tokenize_arrow_batch(texts, config: AnalyzerConfig = DEFAULT_ANALYZER):
+    """Vectorized :func:`tokenize_positions` over an Arrow string column.
+
+    The hot path of the index build: splitting/lowercasing run as Arrow C++
+    kernels; Python only touches the per-batch UNIQUE vocabulary (stemming +
+    stopword mapping), so per-token object churn disappears.  Semantics are
+    pinned to be IDENTICAL to tokenize_positions (same regex class, stopwords
+    occupy positions, '' split artifacts are not positions).
+
+    Returns ``(parent, pos, sid, doclens, vocab)``:
+      parent  int64[n_tok]  doc row index per surviving (non-stop) token
+      pos     int32[n_tok]  ordinal position (stopword slots counted)
+      sid     int64[n_tok]  stemmed-term id into ``vocab``
+      doclens int64[n_docs] positions per doc INCLUDING stopword slots
+      vocab   list[str]     stemmed terms indexed by sid
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    if n == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int32),
+            np.empty(0, np.int64),
+            np.zeros(0, np.int64),
+            [],
+        )
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(texts) if config.lowercase else texts
+    toks = pc.split_pattern_regex(low, pattern="[^0-9a-z]+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.fill_null(pc.not_equal(flat, ""), False).to_numpy(
+        zero_copy_only=False
+    )
+    uniq = pc.unique(flat)
+    vids = pc.index_in(flat, value_set=uniq)
+    vids = pc.fill_null(vids, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    parent = parent[nonempty]
+    vids = vids[nonempty]
+    doclens = np.bincount(parent, minlength=n).astype(np.int64)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(doclens, out=starts[1:])
+    pos = (np.arange(len(parent), dtype=np.int64) - starts[parent]).astype(
+        np.int32
+    )
+    # vocabulary-level stop/stem mapping (tiny relative to the token stream)
+    vocab_raw = uniq.to_pylist()
+    stem_vocab: list[str] = []
+    stem_index: dict[str, int] = {}
+    map_arr = np.empty(len(vocab_raw), dtype=np.int64)
+    stop = LUCENE_STOPWORDS if config.stop else ()
+    stem = config.stem
+    for vi, w in enumerate(vocab_raw):
+        if not w or w in stop:
+            map_arr[vi] = -1
+            continue
+        t = kstem_lite(w) if stem else w
+        j = stem_index.get(t)
+        if j is None:
+            j = stem_index[t] = len(stem_vocab)
+            stem_vocab.append(t)
+        map_arr[vi] = j
+    sids = map_arr[vids]
+    keep = sids >= 0
+    return parent[keep], pos[keep], sids[keep], doclens, stem_vocab
+
+
 def derive_title(text: str) -> str:
     """Derived ``title`` field: first line of the extracted text (frozen rule,
     SURVEY.md §1.5)."""

@@ -106,23 +106,38 @@ def write_segment(
     Idempotent: the segment id is a content hash of member urls, and an
     existing valid segment is not rewritten (resume path).
     """
+    import gc
+
     t0 = time.perf_counter()
+    # the tokenize loop allocates millions of short-lived objects; cyclic GC
+    # scans during it are pure overhead (no cycles created here)
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return _write_segment_inner(
+            batch, out_dir, config, keep_forward, t0
+        )
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _write_segment_inner(batch, out_dir, config, keep_forward, t0):
+    import pyarrow.compute as pc
+
+    from ..analysis import tokenize_arrow_batch
+
+    n = batch.num_rows
+    if "doc_id" not in batch.column_names:
+        ids = pa.array(
+            [doc_id_from_url(u) for u in batch.column("url").to_pylist()],
+            pa.int64(),
+        )
+        batch = batch.append_column("doc_id", ids)
+    # docid-ascending row order => postings docid-ascending for free
+    batch = batch.take(pc.sort_indices(batch.column("doc_id")))
+    doc_ids = batch.column("doc_id").to_numpy()
     urls = batch.column("url").to_pylist()
-    texts = batch.column("text").to_pylist()
-    if "doc_id" in batch.column_names:
-        doc_ids = batch.column("doc_id").to_pylist()
-    else:
-        doc_ids = [doc_id_from_url(u) for u in urls]
-    kw = (
-        batch.column("keywords").to_pylist()
-        if "keywords" in batch.column_names
-        else None
-    )
-    inl = (
-        batch.column("inlink").to_pylist()
-        if "inlink" in batch.column_names
-        else None
-    )
 
     # deterministic segment id from member urls (lineage + resume key)
     h = hashlib.blake2b(digest_size=8)
@@ -138,78 +153,93 @@ def write_segment(
         m["resumed"] = True
         return _manifest_table(m)
 
-    # docid-ascending processing order => postings docid-ascending for free
-    order = sorted(range(len(urls)), key=lambda i: doc_ids[i])
+    # field text columns (frozen derivation, SURVEY.md §1.5)
+    text_col = pc.fill_null(batch.column("text"), "")
+    field_cols = {
+        "body": text_col,
+        "title": pc.list_element(
+            pc.split_pattern(text_col, pattern="\n", max_splits=1), 0
+        ),
+        "url": batch.column("url"),
+    }
+    for extra in ("keywords", "inlink"):
+        if extra in batch.column_names:
+            field_cols[extra] = pc.fill_null(batch.column(extra), "")
 
-    postings: dict[tuple[str, str], list] = {}
-    # per (field,term): [local_doc_idx list, tf list, positions flat list]
-    doclens = {f: np.zeros(len(order), dtype=np.int32) for f in FIELDS}
-    fwd_rows: list[tuple[int, str, list]] = []
-    seg_doc_ids = np.empty(len(order), dtype=np.int64)
-    seg_urls: list[str] = []
-
-    for local, i in enumerate(order):
-        seg_doc_ids[local] = doc_ids[i]
-        seg_urls.append(urls[i])
-        fields = doc_fields(urls[i], texts[i])
-        if kw is not None:
-            fields["keywords"] = kw[i] or ""
-        if inl is not None:
-            fields["inlink"] = inl[i] or ""
-        for fname, ftext in fields.items():
-            if not ftext:
-                continue
-            toks = tokenize_positions(ftext, config)
-            if not toks:
-                continue
-            doclens[fname][local] = len(toks)
-            if keep_forward:
-                fwd_rows.append(
-                    (int(doc_ids[i]), fname, ["" if t is None else t for t in toks])
-                )
-            per_term: dict[str, list[int]] = {}
-            for pos, t in enumerate(toks):
-                if t is not None:
-                    per_term.setdefault(t, []).append(pos)
-            for t, plist in per_term.items():
-                entry = postings.setdefault((fname, t), [[], [], []])
-                entry[0].append(local)
-                entry[1].append(len(plist))
-                entry[2].extend(plist)
-
-    # --- build postings table (sorted by field,term for determinism) ---
-    keys = sorted(postings.keys())
+    doclens = {f: np.zeros(n, dtype=np.int64) for f in FIELDS}
     cols = {name: [] for name in POSTINGS_SCHEMA.names}
     n_postings = 0
-    for key in keys:
-        fname, term = key
-        docs, tfs, poss = postings[key]
-        docs_a = np.asarray(docs, dtype=np.uint64)
-        tfs_a = np.asarray(tfs, dtype=np.uint64)
-        n_postings += len(docs_a)
-        cols["field"].append(fname)
-        cols["term"].append(term)
-        cols["df"].append(len(docs_a))
-        cols["ctf"].append(int(tfs_a.sum()))
-        cols["docs"].append(encode.encode_doc_ids(docs_a))
-        cols["tfs"].append(encode.encode_values(tfs_a))
-        cols["positions"].append(
-            encode.encode_values(np.asarray(poss, dtype=np.uint64))
+    fwd_chunks = []  # (field, offsets, flat term strings) when keep_forward
+
+    for fname in sorted(field_cols):  # deterministic (field, term) order
+        parent, pos, sid, dl, vocab = tokenize_arrow_batch(
+            field_cols[fname], config
         )
-        bmd, bmt, bml = encode.block_maxes(
-            docs_a, tfs_a, doclens[fname][docs_a.astype(np.int64)]
+        doclens[fname] = dl
+        if len(sid) == 0:
+            continue
+        # group the token stream into postings: sort by (term, doc, pos)
+        order = np.lexsort((pos, parent, sid))
+        s_arr, d_arr, p_arr = sid[order], parent[order], pos[order]
+        first = np.ones(len(s_arr), dtype=bool)
+        first[1:] = (s_arr[1:] != s_arr[:-1]) | (d_arr[1:] != d_arr[:-1])
+        run_start = np.nonzero(first)[0]
+        tf_runs = np.diff(np.append(run_start, len(s_arr)))
+        run_docs = d_arr[run_start]
+        run_sids = s_arr[run_start]
+        tfirst = np.ones(len(run_sids), dtype=bool)
+        tfirst[1:] = run_sids[1:] != run_sids[:-1]
+        term_start = np.nonzero(tfirst)[0]
+        term_end = np.append(term_start[1:], len(run_sids))
+        term_sids = run_sids[term_start]
+        # flat position offsets per run
+        pos_start = run_start
+        # iterate terms in lexicographic order (deterministic layout)
+        torder = sorted(
+            range(len(term_sids)), key=lambda i: vocab[term_sids[i]]
         )
-        cols["bm_max_doc"].append(bmd)
-        cols["bm_max_tf"].append(bmt)
-        cols["bm_min_dl"].append(bml)
+        dl_f = dl
+        for ti in torder:
+            a, b = term_start[ti], term_end[ti]
+            docs_a = run_docs[a:b].astype(np.uint64)
+            tfs_a = tf_runs[a:b].astype(np.uint64)
+            flat_pos = p_arr[run_start[a] : run_start[b] if b < len(run_start) else len(p_arr)]
+            n_postings += len(docs_a)
+            cols["field"].append(fname)
+            cols["term"].append(vocab[term_sids[ti]])
+            cols["df"].append(len(docs_a))
+            cols["ctf"].append(int(tfs_a.sum()))
+            cols["docs"].append(encode.encode_doc_ids(docs_a))
+            cols["tfs"].append(encode.encode_values(tfs_a))
+            cols["positions"].append(
+                encode.encode_values(flat_pos.astype(np.uint64))
+            )
+            bmd, bmt, bml = encode.block_maxes(
+                docs_a, tfs_a, dl_f[docs_a.astype(np.int64)]
+            )
+            cols["bm_max_doc"].append(bmd)
+            cols["bm_max_tf"].append(bmt)
+            cols["bm_min_dl"].append(bml)
+        if keep_forward:
+            # reconstruct per-doc token lists ('' marks stopword slots)
+            total = int(dl.sum())
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(dl, out=starts[1:])
+            flat_full = np.full(total, "", dtype=object)
+            vocab_np = np.asarray(vocab, dtype=object)
+            flat_full[starts[parent] + pos] = vocab_np[sid]
+            fwd_chunks.append((fname, starts, flat_full))
+
     postings_tbl = pa.Table.from_pydict(cols, schema=POSTINGS_SCHEMA)
 
     docmeta_cols = {
-        "doc_id": pa.array(seg_doc_ids, pa.int64()),
-        "url": pa.array(seg_urls, pa.string()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "url": pa.array(urls, pa.string()),
     }
     for f in FIELDS:
-        docmeta_cols[f"len_{f}"] = pa.array(doclens[f], pa.int32())
+        docmeta_cols[f"len_{f}"] = pa.array(
+            doclens[f].astype(np.int32), pa.int32()
+        )
     docmeta_tbl = pa.table(docmeta_cols)
 
     # --- atomic write: tmp dir + rename ---
@@ -217,26 +247,31 @@ def write_segment(
     os.makedirs(tmp_dir, exist_ok=True)
     pq.write_table(postings_tbl, os.path.join(tmp_dir, "postings.parquet"))
     pq.write_table(docmeta_tbl, os.path.join(tmp_dir, "docmeta.parquet"))
-    if keep_forward and fwd_rows:
+    if keep_forward and fwd_chunks:
+        fd_doc, fd_field, fd_terms = [], [], []
+        for fname, starts, flat_full in fwd_chunks:
+            for i in range(n):
+                if starts[i + 1] > starts[i]:
+                    fd_doc.append(int(doc_ids[i]))
+                    fd_field.append(fname)
+                    fd_terms.append(
+                        flat_full[starts[i] : starts[i + 1]].tolist()
+                    )
         fwd_tbl = pa.table(
             {
-                "doc_id": pa.array([r[0] for r in fwd_rows], pa.int64()),
-                "field": pa.array([r[1] for r in fwd_rows], pa.string()),
-                "terms": pa.array(
-                    [r[2] for r in fwd_rows], pa.list_(pa.string())
-                ),
+                "doc_id": pa.array(fd_doc, pa.int64()),
+                "field": pa.array(fd_field, pa.string()),
+                "terms": pa.array(fd_terms, pa.list_(pa.string())),
             }
         )
         pq.write_table(fwd_tbl, os.path.join(tmp_dir, "fwd.parquet"))
 
     manifest = {
         "segment": f"seg-{seg_id}",
-        "n_docs": len(order),
-        "n_terms": len(keys),
+        "n_docs": n,
+        "n_terms": postings_tbl.num_rows,
         "n_postings": n_postings,
-        "doc_count": {
-            f: int((doclens[f] > 0).sum()) for f in FIELDS
-        },
+        "doc_count": {f: int((doclens[f] > 0).sum()) for f in FIELDS},
         "sum_field_len": {f: int(doclens[f].sum()) for f in FIELDS},
         "input_hash": seg_id,
         "wall_s": round(time.perf_counter() - t0, 4),

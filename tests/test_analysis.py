@@ -72,3 +72,37 @@ def test_derive_title():
 def test_empty_text():
     assert tokenize_positions("") == []
     assert tokenize("...") == []
+
+
+def test_arrow_batch_matches_scalar_tokenizer():
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengines_ray.analysis import (
+        DEFAULT_ANALYZER,
+        SIMPLE_ANALYZER,
+        tokenize_arrow_batch,
+        tokenize_positions,
+    )
+
+    texts = [
+        "The Quick-Brown foxes were JUMPING over 2 lazy dogs.",
+        "",
+        None,
+        "-x- the of and",
+        "running DOGS and cats; studied hooves!",
+        "a b c " * 50,
+    ]
+    for cfg in (DEFAULT_ANALYZER, SIMPLE_ANALYZER):
+        parent, pos, sid, doclens, vocab = tokenize_arrow_batch(
+            pa.array(texts, pa.string()), cfg
+        )
+        for i, t in enumerate(texts):
+            want = tokenize_positions(t or "", cfg)
+            assert doclens[i] == len(want), (i, cfg)
+            got = [""] * len(want)
+            m = parent == i
+            for p, s in zip(pos[m], sid[m]):
+                got[p] = vocab[s]
+            want_filled = ["" if w is None else w for w in want]
+            assert got == want_filled, (i, cfg, got, want_filled)
