@@ -209,7 +209,7 @@ def run_scaling(sf_dir: str, repl: int) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    pair = os.environ.get("GRAFT_SCALE_CPUS", "8,32").split(",")
+    pair = os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(",")
     n_lo, n_hi = int(pair[0]), int(pair[1])
     lo, hi = run(n_lo), run(n_hi)
     tp_lo, tp_hi = lo["docs_per_sec"], hi["docs_per_sec"]

@@ -127,6 +127,13 @@ def _write_segment_inner(batch, out_dir, config, keep_forward, t0):
 
     from ..analysis import tokenize_arrow_batch
 
+    # one Arrow kernel thread per Ray worker: the default pool spans every
+    # core, so 32 workers x 32 arrow threads oversubscribe the node and the
+    # vectorized build stops scaling past ~8 workers
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+
     n = batch.num_rows
     if "doc_id" not in batch.column_names:
         ids = pa.array(
