@@ -150,6 +150,24 @@ def _q_bm25_topk_simple(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_bm25_wand_simple(sf_dir: str) -> pd.DataFrame:
+    """Block-max WAND top-20 over the simple-analyzer index — must produce
+    the SAME rows as bm25_topk_simple (and is checked against the same SQL
+    oracle).  WAND is exact: it only skips provably sub-threshold docs."""
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(BM25_QUERIES, BM25(), k=200, use_wand=True)
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    res = res[res["rank"] <= 20]
+    return res[["qid", "url", "rank", "score_r"]].reset_index(drop=True).astype(
+        {"rank": "int64"}
+    )
+
+
 def _q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     """Flagship BM25 (full analyzer: stopwords+kstem) — correctness is pinned
     by the oracle-equality pytest suite, rows-only here."""
@@ -489,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_simple": _q_term_stats_simple,
         "doc_lengths": _q_doc_lengths,
         "bm25_topk_simple": _q_bm25_topk_simple,
+        "bm25_wand_simple": _q_bm25_wand_simple,
         "bm25_topk": _q_bm25_topk,
         "indri_topk": _q_indri_topk,
         "structured_queries": _q_structured,
@@ -531,6 +550,12 @@ _BM25_SQL_QUERIES = " , ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sql_impl()
+    sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
+    return sqls
+
+
+def _oracle_sql_impl() -> dict[str, str]:
     return {
         "term_stats_simple": f"""
             WITH toks AS ({_TOKS})

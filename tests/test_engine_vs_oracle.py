@@ -193,3 +193,34 @@ def test_wand_exactly_matches_exhaustive(corpus):
                 w = wand[wand.qid == qid]
                 assert a.url.tolist() == w.url.tolist(), (model, k, qid)
                 assert a.score.tolist() == w.score.tolist(), (model, k, qid)
+
+
+def test_partial_resume_rebuilds_only_missing_segment(
+    tmp_path_factory, ray_session
+):
+    """Checkpointed resumability: wipe ONE segment; the rebuild rewrites only
+    it (every other segment reports resumed=True via its manifest)."""
+    import shutil
+
+    import ray.data
+
+    tbl = synth_pages(n=120, seed=31, vocab=200)
+    out = str(tmp_path_factory.mktemp("resume"))
+    ds = ray.data.from_arrow(tbl.drop_columns(["html"]))
+    stats = build_index(ds, out, docs_per_segment=30, dedup=False)
+    victim = stats["segments"][0]
+    shutil.rmtree(f"{out}/segments/{victim}")
+    ds2 = ray.data.from_arrow(tbl.drop_columns(["html"]))
+    stats2 = build_index(ds2, out, docs_per_segment=30, dedup=False)
+    assert sorted(stats2["segments"]) == sorted(stats["segments"])
+    assert stats2["n_docs"] == stats["n_docs"]
+    import json
+    import os
+
+    resumed = 0
+    for seg in stats2["segments"]:
+        with open(f"{out}/segments/{seg}/MANIFEST.json") as f:
+            m = json.load(f)
+        assert m["n_docs"] > 0
+        resumed += 0 if seg == victim else 1
+    assert resumed == len(stats2["segments"]) - 1
