@@ -137,6 +137,14 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     res = eng.search_batch(queries, BM25(), k=10)
     timings["bm25_batch_10q"] = time.perf_counter() - t0
     assert len(res) > 0
+    # warm latency: actors up, segments mapped, stats cached
+    t0 = time.perf_counter()
+    eng.search_batch(queries, BM25(), k=10)
+    timings["bm25_warm_10q"] = time.perf_counter() - t0
+    bow = [q for q in queries if not q[1].startswith("#")]
+    t0 = time.perf_counter()
+    eng.search_batch(bow, BM25(), k=10, use_wand=True)
+    timings["bm25_wand_warm"] = time.perf_counter() - t0
 
     # training-data pipelines at native sf scale
     import ray.data

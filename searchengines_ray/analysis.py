@@ -45,6 +45,15 @@ LUCENE_STOPWORDS = frozenset(
 
 _WORD_RE = re.compile(r"[0-9a-z]+")
 
+# ASCII-only lowercase (A-Z -> a-z, everything else untouched).  Pinned over
+# full Unicode case mapping: the token class is ASCII, and full mappings
+# diverge between engines on exotic codepoints (e.g. U+0130 'İ' lowers to
+# 'i' + combining dot in Python but a single 'i' variant in Arrow) — the
+# ascii rule makes the scalar and vectorized paths byte-identical.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 # The reference's hard-coded field whitelist
 # (/root/reference/QryEval/QryParser.java:157-165).
 FIELDS = ("body", "title", "url", "keywords", "inlink")
@@ -159,7 +168,7 @@ def tokenize_positions(
     if not text:
         return []
     if config.lowercase:
-        text = text.lower()
+        text = text.translate(_ASCII_LOWER)
     words = _WORD_RE.findall(text)  # ordinal positions == list index
     stop = LUCENE_STOPWORDS if config.stop else ()
     if config.stem:
@@ -206,7 +215,7 @@ def tokenize_arrow_batch(texts, config: AnalyzerConfig = DEFAULT_ANALYZER):
         )
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    low = pc.utf8_lower(texts) if config.lowercase else texts
+    low = pc.ascii_lower(texts) if config.lowercase else texts
     toks = pc.split_pattern_regex(low, pattern="[^0-9a-z]+")
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)

