@@ -28,6 +28,8 @@ import zlib
 import numpy as np
 import pandas as pd
 
+from ..analysis import _ASCII_LOWER
+
 _WORD = re.compile(r"[0-9a-z]+")
 
 
@@ -99,7 +101,7 @@ class MinHasher:
         self.word = _WORD
 
     def shingle_hashes(self, text: str) -> np.ndarray:
-        words = self.word.findall((text or "").lower())
+        words = self.word.findall((text or "").translate(_ASCII_LOWER))
         if len(words) < self.shingle:
             words = words + [""] * (self.shingle - len(words))
         h = np.asarray(
@@ -119,18 +121,113 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack(
-            [self.signature(t) for t in batch["text"]]
-        )  # (docs, perms)
+        """Vectorized signatures for a whole batch.
+
+        Arrow kernels tokenize every doc at once; crc32 runs once per UNIQUE
+        word; rolling shingle hashes and per-doc minima are computed over the
+        flat token stream with `np.minimum.reduceat`.  Produces EXACTLY the
+        same signatures as the scalar :meth:`signature` (pinned by test);
+        docs with fewer than `shingle` words fall back to the scalar path
+        (padding semantics).
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        texts = ["" if t is None else t for t in batch["text"]]
+        n = len(texts)
+        low = pc.ascii_lower(pa.array(texts, pa.string()))
+        toks = pc.split_pattern_regex(low, pattern="[^0-9a-z]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.fill_null(pc.not_equal(flat, ""), False).to_numpy(
+            zero_copy_only=False
+        )
+        uniq = pc.unique(flat)
+        vids = pc.fill_null(pc.index_in(flat, value_set=uniq), 0).to_numpy(
+            zero_copy_only=False
+        )
+        crc_map = np.asarray(
+            [zlib.crc32((w or "").encode()) for w in uniq.to_pylist()],
+            dtype=np.uint64,
+        )
+        parent = parent[nonempty]
+        wh = crc_map[vids[nonempty]]
+        counts = np.bincount(parent, minlength=n)
+
+        k = self.shingle
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        short = counts < k
+        # rolling shingle hashes over the flat stream; shingles crossing doc
+        # boundaries are masked out
+        m = len(wh) - k + 1
+        if m > 0:
+            roll = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                roll = roll * np.uint64(1000003) + wh[j : m + j]
+            valid = parent[: m] == parent[k - 1 :]
+            rp, rr = parent[:m][valid], roll[valid]
+            # per-doc unique shingles: sort by (doc, hash), drop consecutive dups
+            order = np.lexsort((rr, rp))
+            rp, rr = rp[order], rr[order]
+            first = np.ones(len(rp), dtype=bool)
+            first[1:] = (rp[1:] != rp[:-1]) | (rr[1:] != rr[:-1])
+            rp, rr = rp[first], rr[first]
+            if len(rp):
+                starts = np.nonzero(
+                    np.concatenate(([True], rp[1:] != rp[:-1]))
+                )[0]
+                present = rp[starts]
+                for pi in range(self.num_perm):
+                    vals = (rr * self.a[pi] + self.b[pi]) % _MERSENNE
+                    mins = np.minimum.reduceat(vals, starts)
+                    sigs[present, pi] = mins
+                covered = np.zeros(n, dtype=bool)
+                covered[present] = True
+                short = short | ~covered
+            else:
+                short = np.ones(n, dtype=bool)
+        # scalar fallback for short/empty docs (padding semantics)
+        for i in np.nonzero(short)[0]:
+            sigs[i] = self.signature(texts[i])
         return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "sig": list(sigs.astype(np.uint64)),
-            }
+            {"doc_id": batch["doc_id"], "sig": list(sigs)}
         )
 
 
 def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
+    """Signature -> (doc_id, band, band_hash) rows, vectorized across the
+    batch (rolling band combine over the (docs, bands, r) cube)."""
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "band": pd.array([], dtype="int32"),
+                "band_hash": pd.array([], dtype="int64"),
+            }
+        )
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+    r = sigs.shape[1] // bands
+    cube = sigs[:, : bands * r].reshape(n, bands, r)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc = acc * np.uint64(1000003) + cube[:, :, j]
+    acc = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    doc_rep = np.repeat(
+        batch["doc_id"].to_numpy().astype(np.int64), bands
+    )
+    band_rep = np.tile(np.arange(bands, dtype=np.int32), n)
+    return pd.DataFrame(
+        {
+            "doc_id": doc_rep,
+            "band": band_rep,
+            "band_hash": acc.reshape(-1),
+        }
+    )
+
+
+def _band_rows_scalar(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
     doc_ids, band_ids, band_hashes = [], [], []
     for doc, sig in zip(batch["doc_id"], batch["sig"]):
         sig = np.asarray(sig, dtype=np.uint64)

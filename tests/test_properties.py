@@ -124,3 +124,40 @@ def test_near_window_agree_with_bruteforce(data):
     for w in wins:
         assert any(w in pl or True for pl in plists)
     assert all(wins[i] <= wins[i + 1] for i in range(len(wins) - 1))
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(max_codepoint=0x2FF), max_size=120
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_minhash_batch_matches_scalar(texts):
+    import pandas as pd
+
+    from searchengines_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(num_perm=16, shingle=3)
+    batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = mh(batch)
+    for i, t in enumerate(texts):
+        want = mh.signature(t)
+        assert np.array_equal(np.asarray(got["sig"].iloc[i]), want), (i, t)
+
+
+def test_band_rows_vectorized_matches_scalar():
+    import pandas as pd
+
+    from searchengines_ray.stages.dedup import _band_rows, _band_rows_scalar
+
+    rng = np.random.default_rng(9)
+    sigs = [rng.integers(0, 2**61, size=64, dtype=np.uint64) for _ in range(7)]
+    batch = pd.DataFrame({"doc_id": range(7), "sig": sigs})
+    a = _band_rows(batch, 16).sort_values(["doc_id", "band"]).reset_index(drop=True)
+    b = _band_rows_scalar(batch, 16).sort_values(["doc_id", "band"]).reset_index(drop=True)
+    assert a["band_hash"].tolist() == b["band_hash"].tolist()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
