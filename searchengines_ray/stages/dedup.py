@@ -306,8 +306,39 @@ def minhash_candidate_pairs(
     band_rows = sigs.map_batches(
         partial(_band_rows, bands=bands), batch_format="pandas"
     )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        partial(_bucket_pairs, max_bucket=max_bucket), batch_format="pandas"
+
+    # COARSE-bucket shuffle: most (band, band_hash) buckets are singletons,
+    # and a per-LSH-bucket map_groups pays Python overhead per group (~docs x
+    # bands groups).  Shuffling on hash(band_hash) % 1024 instead gives a few
+    # thousand groups, and the fine grouping runs vectorized in pandas inside
+    # each coarse group.
+    def add_coarse(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cb"] = (b["band_hash"].to_numpy() % 1024).astype(np.int32)
+        return b
+
+    def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        sizes = group.groupby(["band", "band_hash"])["doc_id"].transform(
+            "size"
+        )
+        multi = group[sizes > 1]
+        frames = [
+            _bucket_pairs(g, max_bucket)
+            for _, g in multi.groupby(["band", "band_hash"])
+        ]
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = (
+        band_rows.map_batches(add_coarse, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(coarse_pairs, batch_format="pandas")
     )
     # distinct pairs: groupby both keys (the count is discarded)
     dedup = pairs.groupby(["doc_a", "doc_b"]).count()
