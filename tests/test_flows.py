@@ -30,7 +30,7 @@ def setup(tmp_path_factory, ray_session):
         {"doc_id": doc_id_from_url(r.url), "url": r.url, "body": r.text}
         for r in df.itertuples()
     ]
-    oidx = OracleIndex.build(docs)
+    oidx = OracleIndex.build(docs, keep_forward=True)
 
     qry = root / "test.qry"
     qry.write_text("1:w0001 w0005\n2:w0002\n3:zzznohit\n")
@@ -181,3 +181,42 @@ def test_cli_run_param_file(setup, tmp_path):
     )
     cli.main(["run", "--param", str(param), "--index", idx_dir])
     assert out.exists() and len(out.read_text().splitlines()) > 0
+
+
+def test_prf_expansion_engine_matches_oracle_inputs(setup):
+    """run_prf over the DISTRIBUTED engine must produce exactly the expansion
+    terms computed from the oracle's forward index + stats (same frozen
+    algorithm, independent inputs): validates term-vector scatter, global
+    ctf lookups and ranking equality end-to-end."""
+    from searchengines_ray.models import Indri
+    from searchengines_ray.pipelines.prf import (
+        PrfParams,
+        expansion_terms_indri,
+        run_prf,
+    )
+
+    root, idx_dir, eng, oidx = setup
+    model = Indri(mu=900.0, lam=0.4)
+    params = PrfParams(num_docs=4, num_terms=6, mu=30.0, orig_weight=0.5)
+    queries = [("1", "w0001 w0005"), ("2", "w0002")]
+    _, exp_terms, _ = run_prf(eng, queries, model, params, k=10)
+
+    for qid, qtext in queries:
+        top = run_query(oidx, qtext, model, k=params.num_docs)
+        top_docs = [(d, s) for d, _, s in top]
+        tvs = {
+            d: ["" if t is None else t for t in oidx.fwd["body"][d]]
+            for d, _, _ in top
+        }
+        vocab = {
+            t for v in tvs.values() for t in v
+            if t and "." not in t and "," not in t and t.isascii()
+        }
+        ctf_of = {
+            t: sum(len(p) for _, p in oidx.inv_list("body", t))
+            for t in vocab
+        }
+        want = expansion_terms_indri(
+            top_docs, tvs, ctf_of, float(oidx.sum_field_len["body"]), params
+        )
+        assert exp_terms[qid] == want, (qid, exp_terms[qid][:3], want[:3])
