@@ -174,6 +174,7 @@ class SearchEngine:
         self.config = config
         self.stats = load_stats(index_dir)
         self._termstats_cache: Optional[dict] = None
+        self._term_memo: dict = {}  # per-term lookup memo across batches
         self._local: Optional[LocalSearcher] = None
         self._actors: list = []
         if num_searchers and num_searchers > 0:
@@ -197,6 +198,11 @@ class SearchEngine:
 
         from ..index.build import TERMSTATS_DIR
 
+        missing = {k for k in keys if k not in self._term_memo}
+        if not missing:
+            return self._term_memo
+        keys = missing
+
         if not os.path.exists(os.path.join(self.index_dir, TERMSTATS_DIR)):
             # no merged table: 'dfs phase' — sum shard-local dictionary
             # stats across searchers (exact global df/ctf, one scatter)
@@ -214,7 +220,9 @@ class SearchEngine:
                 for key, (df, ctf) in p.items():
                     d0, c0 = merged.get(key, (0, 0))
                     merged[key] = (d0 + df, c0 + ctf)
-            return merged
+            for k in keys:
+                self._term_memo[k] = merged.get(k, (0, 0))
+            return self._term_memo
         n_vocab_smallish = 2_000_000
         if self._termstats_cache is None and (
             self.stats.get("n_postings", 0) < n_vocab_smallish
@@ -224,7 +232,10 @@ class SearchEngine:
         if self._termstats_cache is not None:
             return self._termstats_cache
         # scale path: term-sorted parquet point lookups for just these terms
-        return load_termstats(self.index_dir, terms=sorted(keys))
+        got = load_termstats(self.index_dir, terms=sorted(keys))
+        for k in keys:
+            self._term_memo[k] = got.get(k, (0, 0))
+        return self._term_memo
 
     def global_stats_for(self, trees: Sequence[Optional[Node]]) -> GlobalStats:
         keys: set = set()
