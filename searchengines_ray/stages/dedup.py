@@ -521,8 +521,32 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
             }
         )
 
-    pairs = rows.groupby(["band", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def add_coarse(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cb"] = (b["band_val"].to_numpy() % 1024).astype(np.int32)
+        return b
+
+    def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            bucket_pairs(g)
+            for _, g in group.groupby(["band", "band_val"])
+            if len(g) > 1
+        ]
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    # coarse-bucket shuffle (see minhash_candidate_pairs): per-group Python
+    # overhead amortizes over ~1k coarse groups instead of one per LSH bucket
+    pairs = (
+        rows.map_batches(add_coarse, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(coarse_pairs, batch_format="pandas")
     )
     return _pairs_pandas(
         pairs.groupby(["doc_a", "doc_b"]).count(),
