@@ -356,15 +356,26 @@ def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session windows per user (30-min gap).  Value sums over pre-floored
+    milli-units so the distributed aggregate is integer-exact vs SQL."""
     import ray.data
 
     from searchengines_ray.stages.windows import sessionize
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def prefloor(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value"] = np.floor(batch["value"].to_numpy() * 1000.0)
+        return batch
+
+    ev = ev.map_batches(prefloor, batch_format="pandas")
     out = sessionize(ev, gap_minutes=30).to_pandas()
-    out["sum_value_r"] = np.floor(out["sum_value"].to_numpy() * 1e6) / 1e6
+    out["sum_value_m"] = out["sum_value"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
     return (
-        out[["user_id", "session_start", "session_end", "n_events", "sum_value_r"]]
+        out[["user_id", "session_start", "session_end", "n_events", "sum_value_m"]]
         .sort_values(["user_id", "session_start"])
         .reset_index(drop=True)
     )
@@ -647,6 +658,29 @@ def _oracle_sql_impl() -> dict[str, str]:
             FROM events
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sess
+              FROM e
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_start
         """,
         "ann_topk": """
             WITH q AS (
