@@ -121,12 +121,17 @@ def _q_doc_lengths(sf_dir: str) -> pd.DataFrame:
     for d in segment_dirs(idx):
         t = pq.read_table(
             os.path.join(d, "docmeta.parquet"),
-            columns=["doc_id", "len_body", "len_title"],
+            columns=["doc_id", "len_body", "len_title", "len_url"],
         )
         frames.append(t.to_pandas())
     out = pd.concat(frames, ignore_index=True).sort_values("doc_id")
     return out.astype(
-        {"doc_id": "int64", "len_body": "int64", "len_title": "int64"}
+        {
+            "doc_id": "int64",
+            "len_body": "int64",
+            "len_title": "int64",
+            "len_url": "int64",
+        }
     ).reset_index(drop=True)
 
 
@@ -578,7 +583,10 @@ def _oracle_sql_impl() -> dict[str, str]:
         "doc_lengths": f"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(lower(text), '[0-9a-z]+')) AS BIGINT) AS len_body,
-                   CAST(len(regexp_extract_all(lower(split_part(text, chr(10), 1)), '[0-9a-z]+')) AS BIGINT) AS len_title
+                   CAST(len(regexp_extract_all(lower(split_part(text, chr(10), 1)), '[0-9a-z]+')) AS BIGINT) AS len_title,
+                   CAST(len(regexp_extract_all(
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                     '[0-9a-z]+')) AS BIGINT) AS len_url
             FROM documents ORDER BY doc_id
         """,
         "bm25_topk_simple": f"""
