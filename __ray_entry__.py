@@ -565,6 +565,48 @@ _BM25_SQL_QUERIES = " , ".join(
 )
 
 
+# shingle-set CTE shared by the minhash oracles: 3-word shingles over the
+# simple tokenization, short docs padded with '' (MinHasher.shingle_hashes
+# padding semantics); jaccard via a shingle self-join (sparse — no all-pairs
+# list_intersect).
+_SHINGLE_PAIRS = r"""
+  w AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+    FROM documents
+  ),
+  wp AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) < 3 THEN ws || (['','',''])[1:3-len(ws)]
+                ELSE ws END AS ws
+    FROM w
+  ),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(ws)-2),
+             i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2])) AS sh
+    FROM wp
+  ),
+  sh_flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+  sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS DOUBLE) AS inter
+    FROM sh_flat a JOIN sh_flat b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT doc_a, doc_b,
+           inter / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  ),
+  dup_pairs AS (
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+  )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
@@ -689,6 +731,76 @@ def _oracle_sql_impl() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
             FROM s GROUP BY user_id, sess
             ORDER BY user_id, session_start
+        """,
+        "minhash_pairs": f"""
+            -- ground truth: EXACT 3-gram jaccard over all pairs.  LSH with
+            -- 16 bands x 4 rows has ~1.0 recall for the >=0.9-jaccard dup
+            -- pairs this corpus contains (verified: both sides emit the same
+            -- 25 pairs at sf0.01), so candidate generation + verification
+            -- must reproduce the exact all-pairs answer.
+            WITH {_SHINGLE_PAIRS}
+            SELECT doc_a, doc_b,
+                   FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r
+            FROM dup_pairs ORDER BY doc_a, doc_b
+        """,
+        "minhash_dedup": f"""
+            -- survivors after connected-component dedup over the exact
+            -- jaccard>=0.5 pair graph: min-label propagation via a recursive
+            -- transitive closure (the pair graph is candidate-sized).
+            WITH RECURSIVE {_SHINGLE_PAIRS},
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM dup_pairs
+            ),
+            reach(s, d) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a
+            ),
+            dropped AS (SELECT DISTINCT s AS doc_id FROM reach WHERE d < s)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id
+        """,
+        "embedding_neardup": """
+            -- ground truth: exact all-pairs cosine >= 0.9 (empty on this
+            -- corpus — max off-diagonal cosine is ~0.51; the LSH pipeline
+            -- must also emit nothing).
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   FLOOR(list_cosine_similarity(a.v, b.v) * 10000) / 10000
+                     AS cosine_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+            ORDER BY doc_a, doc_b
+        """,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                SUM(CASE WHEN term IN ('der','die','das','und','ist','nicht','ein','mit','sich') THEN 1 ELSE 0 END) AS de,
+                SUM(CASE WHEN term IN ('the','and','of','to','in','is','that','it','for','was') THEN 1 ELSE 0 END) AS en,
+                SUM(CASE WHEN term IN ('el','los','las','es','una','que','por','para','con') THEN 1 ELSE 0 END) AS es,
+                SUM(CASE WHEN term IN ('le','la','les','et','est','pas','une','que','pour') THEN 1 ELSE 0 END) AS fr
+              FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN GREATEST(COALESCE(h.de,0), COALESCE(h.en,0),
+                                      COALESCE(h.es,0), COALESCE(h.fr,0)) = 0
+                        THEN 'und'
+                        WHEN h.de = GREATEST(h.de, h.en, h.es, h.fr) THEN 'de'
+                        WHEN h.en = GREATEST(h.de, h.en, h.es, h.fr) THEN 'en'
+                        WHEN h.es = GREATEST(h.de, h.en, h.es, h.fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "ann_topk": """
             WITH q AS (
