@@ -301,14 +301,14 @@ def _q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.dedup import (
-        dedup_survivors_from_pairs,
         minhash_dedup_pairs,
+        minhash_dedup_survivors,
     )
 
     docs = _docs(sf_dir)
     pairs = minhash_dedup_pairs(docs, threshold=0.5)
-    ids = docs.to_pandas()["doc_id"]
-    return dedup_survivors_from_pairs(ids, pairs)
+    out = minhash_dedup_survivors(docs, pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -775,6 +775,89 @@ def _oracle_sql_impl() -> dict[str, str]:
                      AS cosine_r
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+            ORDER BY doc_a, doc_b
+        """,
+        "fingerprints": """
+            -- mod-(2^31-1) polynomial hashes reproduce the engine exactly:
+            -- word hash = char fold base 131; fingerprint = min over
+            -- min(4, n_words)-word windows of a base-1000003 fold; content
+            -- hash = the same fold over the whole token stream.
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+              FROM documents
+            ),
+            wh AS (
+              SELECT doc_id,
+                     list_transform(ws, t ->
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(t, ''),
+                                          c -> CAST(unicode(c) AS BIGINT))),
+                         (a, c) -> (a * 131 + c) % 2147483647)) AS whs
+              FROM w
+            )
+            SELECT doc_id,
+              CASE WHEN len(whs) = 0 THEN 0 ELSE
+                list_aggregate(
+                  list_transform(
+                    generate_series(1, len(whs) - LEAST(len(whs), 4) + 1),
+                    i -> list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                                        whs[i : i + LEAST(len(whs), 4) - 1]),
+                           (a, x) -> (a * 1000003 + x) % 2147483647)),
+                  'min')
+              END AS fingerprint,
+              CASE WHEN len(whs) = 0 THEN 0 ELSE
+                list_reduce(list_prepend(CAST(0 AS BIGINT), whs),
+                            (a, x) -> (a * 1000003 + x) % 2147483647)
+              END AS content_hash
+            FROM wh ORDER BY doc_id
+        """,
+        "simhash_pairs": """
+            -- ground truth: exact all-pairs Hamming <= 3 over the 62-bit
+            -- tf-weighted simhash (two mod-(2^31-1) char folds per word).
+            -- The engine's 4-band bucketing has recall 1.0 for distance <= 3
+            -- (pigeonhole), so it must reproduce this exactly.
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+              FROM documents
+            ),
+            hw AS (
+              SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(term, ''),
+                                   c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 131 + c) % 2147483647)
+                +
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(term, ''),
+                                   c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 137 + c) % 2147483647) * 2147483648
+                AS h
+              FROM toks
+            ),
+            bits AS (
+              SELECT doc_id, i.i,
+                     SUM(CASE WHEN ((h >> i.i) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+              FROM hw CROSS JOIN (SELECT unnest(generate_series(0, 61)) AS i) i
+              GROUP BY doc_id, i.i
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN acc > 0
+                              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            allsh AS (
+              SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+              FROM documents d LEFT JOIN sh s USING (doc_id)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc_a, doc_b
         """,
         "lang_id": """

@@ -277,6 +277,150 @@ def _bucket_pairs(group: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     )
 
 
+def _batch_shingle_sets(texts: list, k: int) -> list[np.ndarray]:
+    """Per-doc sorted-unique shingle-hash arrays, vectorized over the batch
+    (flat token stream + rolling hash + lexsort dedup — the MinHasher
+    pattern).  Byte-identical to :meth:`MinHasher.shingle_hashes` per doc
+    (short docs fall back to the scalar padding path)."""
+    from .text import _flat_word_stream
+
+    n = len(texts)
+    vocab, vids, parent, counts = _flat_word_stream(texts)
+    crc_map = np.asarray(
+        [zlib.crc32((w or "").encode()) for w in vocab], dtype=np.uint64
+    )
+    wh = crc_map[vids] if len(vids) else np.empty(0, dtype=np.uint64)
+    out: list = [None] * n
+    m = len(wh) - k + 1
+    if m > 0:
+        roll = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            roll = roll * np.uint64(1000003) + wh[j : m + j]
+        valid = parent[:m] == parent[k - 1 :]
+        rp, rr = parent[:m][valid], roll[valid]
+        if len(rp):
+            order = np.lexsort((rr, rp))
+            rp, rr = rp[order], rr[order]
+            first = np.ones(len(rp), dtype=bool)
+            first[1:] = (rp[1:] != rp[:-1]) | (rr[1:] != rr[:-1])
+            rp, rr = rp[first], rr[first]
+            starts = np.nonzero(
+                np.concatenate(([True], rp[1:] != rp[:-1]))
+            )[0]
+            bounds = np.append(starts, len(rp))
+            for si, doc in enumerate(rp[starts]):
+                out[doc] = rr[bounds[si] : bounds[si + 1]]
+    mh = MinHasher(num_perm=1, shingle=k)
+    for i in range(n):
+        if out[i] is None:  # <k words: scalar padding semantics
+            out[i] = mh.shingle_hashes(texts[i])
+    return out
+
+
+def minhash_verify_pairs(
+    ds,
+    cand_pairs: pd.DataFrame,
+    threshold: float,
+    shingle: int = 3,
+    text_key: str = "text",
+    coarse_buckets: int = 256,
+) -> pd.DataFrame:
+    """Distributed exact n-gram-Jaccard verification of candidate pairs.
+
+    Nothing corpus-sized ever reaches the driver: candidate doc shingle
+    SETS are computed in one streaming pass over the corpus (broadcast
+    id-set semi-join filter + vectorized shingling), joined to the pair
+    list with two bucketed groupby passes (shingle rows and pair rows meet
+    at their doc_id, then the two sides of each pair meet at the pair key),
+    and the set intersections run inside ``map_groups``.  The returned
+    verified pairs are candidate-sized by assumption.
+    """
+    import ray
+    import ray.data
+
+    cols = {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    if cand_pairs.empty:
+        return pd.DataFrame({c: pd.array([], dtype=t) for c, t in cols.items()})
+    need = set(cand_pairs["doc_a"].astype(int)) | set(
+        cand_pairs["doc_b"].astype(int)
+    )
+    empty_sh = np.empty(0, dtype=np.uint64)
+
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch.loc[batch["doc_id"].isin(need)]
+        sets = _batch_shingle_sets(list(sub[text_key]), shingle)
+        ids = sub["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "doc_a": np.full(len(sub), -1, dtype=np.int64),
+                "doc_b": np.full(len(sub), -1, dtype=np.int64),
+                "side": np.full(len(sub), -1, dtype=np.int64),
+                "sh": sets,
+                "cb": (ids.to_numpy() % coarse_buckets).astype(np.int64),
+            }
+        )
+
+    sh_ds = ds.map_batches(shingle_rows, batch_format="pandas")
+
+    prs = []
+    for a, b in zip(
+        cand_pairs["doc_a"].astype(int), cand_pairs["doc_b"].astype(int)
+    ):
+        prs.append((a, a, b, 0, empty_sh, a % coarse_buckets))
+        prs.append((b, a, b, 1, empty_sh, b % coarse_buckets))
+    pair_ds = ray.data.from_pandas(
+        pd.DataFrame(
+            prs, columns=["doc_id", "doc_a", "doc_b", "side", "sh", "cb"]
+        )
+    )
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        shs = group.loc[group["side"] == -1, ["doc_id", "sh"]]
+        p = group.loc[group["side"] >= 0].drop(columns=["sh"])
+        if shs.empty or p.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                    "side": pd.array([], dtype="int64"),
+                    "sh": pd.array([], dtype=object),
+                    "cb2": pd.array([], dtype="int64"),
+                }
+            )
+        m = p.merge(shs, on="doc_id")
+        m["cb2"] = (
+            (m["doc_a"].to_numpy() * 1000003 + m["doc_b"].to_numpy())
+            % coarse_buckets
+        ).astype(np.int64)
+        return m[["doc_a", "doc_b", "side", "sh", "cb2"]]
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (a, b), g in group.groupby(["doc_a", "doc_b"]):
+            if len(g) < 2:
+                continue  # a candidate id missing from the corpus
+            sa = np.asarray(g.loc[g["side"] == 0, "sh"].iloc[0], dtype=np.uint64)
+            sb = np.asarray(g.loc[g["side"] == 1, "sh"].iloc[0], dtype=np.uint64)
+            inter = np.intersect1d(sa, sb).size
+            union = sa.size + sb.size - inter
+            j = 1.0 if union == 0 else inter / union
+            if j >= threshold:
+                rows.append((int(a), int(b), float(j)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": "int64", "doc_b": "int64"}
+        )
+
+    joined = (
+        sh_ds.union(pair_ds)
+        .groupby("cb")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("cb2")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return _pairs_pandas(joined, cols)
+
+
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     mh = MinHasher(num_perm=1, shingle=shingle)
     sa = set(mh.shingle_hashes(text_a).tolist())
@@ -355,9 +499,11 @@ def minhash_dedup_pairs(
 ) -> pd.DataFrame:
     """Candidate pairs verified with EXACT n-gram Jaccard >= threshold.
 
-    The candidate set is assumed candidate-sized (near-dup pairs, not the
-    corpus).  ``max_pairs`` caps driver-side verification; a hit is reported
-    in the returned attrs, never silent.
+    Verification is DISTRIBUTED (:func:`minhash_verify_pairs`): candidate
+    shingle sets stream out of the corpus and meet the pair list in two
+    bucketed shuffles — no doc text ever reaches the driver.  ``max_pairs``
+    caps the candidate set; a hit is reported in the returned attrs, never
+    silent.
     """
     pairs = minhash_candidate_pairs(
         ds, num_perm=num_perm, bands=bands, shingle=shingle
@@ -365,44 +511,14 @@ def minhash_dedup_pairs(
     capped = len(pairs) > max_pairs
     if capped:
         pairs = pairs.sort_values(["doc_a", "doc_b"]).head(max_pairs)
-    need = sorted(
-        set(pairs["doc_a"].tolist()) | set(pairs["doc_b"].tolist())
-    )
-    texts = _fetch_texts(ds, need)
-    rows = []
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ta, tb = texts.get(int(a)), texts.get(int(b))
-        if ta is None or tb is None:
-            continue
-        j = ngram_jaccard(ta, tb, shingle)
-        if j >= threshold:
-            rows.append((int(a), int(b), j))
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-        {"doc_a": "int64", "doc_b": "int64"}
-    )
+    out = minhash_verify_pairs(ds, pairs, threshold, shingle)
     out.attrs["candidates_capped"] = capped
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def _fetch_texts(ds, doc_ids: list[int]) -> dict[int, str]:
-    """Broadcast-filter fetch of candidate doc texts (semi-join: the id set
-    ships to tasks once; only matching rows come back)."""
-    idset = set(doc_ids)
-
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch["doc_id"].isin(idset)
-        return batch.loc[m, ["doc_id", "text"]]
-
-    got = ds.map_batches(pick, batch_format="pandas").to_pandas()
-    return dict(zip(got["doc_id"].astype(int), got["text"]))
-
-
-def dedup_survivors_from_pairs(
-    all_doc_ids: pd.Series, pairs: pd.DataFrame
-) -> pd.DataFrame:
-    """Connected components over dup pairs (union-find on the candidate set —
-    pairs are few; the corpus never materializes), keep min doc_id per
-    component."""
+def _dropset_from_pairs(pairs: pd.DataFrame) -> set[int]:
+    """Union-find over the (small) verified pair list: every non-root
+    member of a component is dropped (keep min doc_id per component)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -419,9 +535,32 @@ def dedup_survivors_from_pairs(
 
     for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
         union(int(a), int(b))
-    drop = {
-        x for x in parent if find(x) != x
-    }
+    return {x for x in parent if find(x) != x}
+
+
+def minhash_dedup_survivors(ds, pairs: pd.DataFrame):
+    """Dataset of surviving doc_ids after near-dup removal: the drop set
+    (pair-graph non-roots — candidate-sized) is broadcast once via
+    ``ray.put`` and applied as a streaming ``map_batches`` filter; the
+    corpus never materializes on the driver."""
+    import ray
+
+    dref = ray.put(_dropset_from_pairs(pairs))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(dref)
+        out = batch.loc[~batch["doc_id"].isin(drop), ["doc_id"]]
+        return out.astype({"doc_id": "int64"})
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def dedup_survivors_from_pairs(
+    all_doc_ids: pd.Series, pairs: pd.DataFrame
+) -> pd.DataFrame:
+    """Driver-side survivors helper for small id lists (tests / CLI); the
+    scale path is :func:`minhash_dedup_survivors`."""
+    drop = _dropset_from_pairs(pairs)
     keep = [d for d in all_doc_ids.astype(int) if d not in drop]
     return pd.DataFrame({"doc_id": pd.array(sorted(keep), dtype="int64")})
 
@@ -429,47 +568,80 @@ def dedup_survivors_from_pairs(
 # --------------------------------------------------------------------- simhash
 
 
+_SH_BITS = 62  # two 31-bit poly hashes concatenated: SQL-replicable
+
+
 class SimHasher:
-    """64-bit tf-weighted SimHash per doc + 4x16-bit band keys."""
+    """62-bit tf-weighted SimHash per doc + 4 band keys (16/16/16/14 bits —
+    any pair within Hamming distance 3 shares at least one band, so band
+    bucketing has recall 1.0 for max_hamming <= 3).
+
+    The per-word 62-bit hash is two mod-(2^31-1) char folds (bases 131 and
+    137) so a DuckDB oracle reproduces it exactly; bit i of the doc's
+    simhash is set iff sum over token occurrences of (2*bit_i(word)-1) > 0.
+    Empty token stream => simhash 0.
+    """
 
     def __init__(self):
         self.word = _WORD
 
+    @staticmethod
+    def _word_hash62(w: str) -> int:
+        h1 = h2 = 0
+        for c in w.encode():
+            h1 = (h1 * 131 + c) % 2147483647
+            h2 = (h2 * 137 + c) % 2147483647
+        return h1 | (h2 << 31)
+
     def simhash(self, text: str) -> int:
-        words = self.word.findall((text or "").lower())
+        """Scalar reference path (pinned byte-identical to __call__)."""
+        words = self.word.findall((text or "").translate(_ASCII_LOWER))
         if not words:
             return 0
-        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
-        hs = np.asarray(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-                )
-                for w in uniq
-            ],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
-        out = np.uint64(0)
-        for i in range(64):
+        acc = [0] * _SH_BITS
+        for w in words:
+            h = self._word_hash62(w)
+            for i in range(_SH_BITS):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        out = 0
+        for i in range(_SH_BITS):
             if acc[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return int(out)
+                out |= 1 << i
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = [self.simhash(t) for t in batch["text"]]
+        """Vectorized: 62-bit hash once per UNIQUE word, sign matrix over
+        the flat token stream, per-doc bit sums via one add.reduceat."""
+        from .text import _flat_word_stream
+
+        texts = list(batch["text"])
+        n = len(texts)
+        vocab, vids, parent, counts = _flat_word_stream(texts)
+        h64 = np.asarray(
+            [self._word_hash62(w) for w in vocab], dtype=np.int64
+        )
+        bits = (
+            (h64[:, None] >> np.arange(_SH_BITS, dtype=np.int64)[None, :]) & 1
+        ).astype(np.int8)
+        signs = (2 * bits - 1).astype(np.int32)  # (vocab, 62)
+        sh = np.zeros(n, dtype=np.int64)
+        if len(parent):
+            tok_signs = signs[vids]
+            starts = np.nonzero(
+                np.concatenate(([True], parent[1:] != parent[:-1]))
+            )[0]
+            acc = np.add.reduceat(tok_signs, starts, axis=0)  # (docs, 62)
+            pos = (acc > 0).astype(np.int64)
+            sh[parent[starts]] = pos @ (
+                np.int64(1) << np.arange(_SH_BITS, dtype=np.int64)
+            )
         cols = {
             "doc_id": batch["doc_id"],
-            "simhash": pd.array(
-                [s & 0x7FFFFFFFFFFFFFFF for s in sh], dtype="int64"
-            ),
+            "simhash": pd.array(sh, dtype="int64"),
         }
         for b in range(4):
             cols[f"band{b}"] = pd.array(
-                [(s >> (16 * b)) & 0xFFFF for s in sh], dtype="int32"
+                (sh >> (16 * b)) & 0xFFFF, dtype="int32"
             )
         return pd.DataFrame(cols)
 
@@ -619,28 +791,37 @@ def embedding_neardup_pairs(
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) > max_bucket:
-            # salted contiguous chunk: verify the first chunk here; the other
-            # (tables-1) hash tables re-bucket the rest (see _bucket_pairs)
-            g = g.head(max_bucket)
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.array([], dtype="int64"),
-                 "doc_b": pd.array([], dtype="int64"),
-                 "cosine": pd.array([], dtype="float64")}
-            )
-        ids = g["vec_id"].astype(int).to_numpy()
-        mat = np.stack([np.asarray(v) for v in g["vec"]])
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
-        return pd.DataFrame(
-            {
-                "doc_a": pd.array(ids[ii[keep]], dtype="int64"),
-                "doc_b": pd.array(ids[jj[keep]], dtype="int64"),
-                "cosine": sims[ii, jj][keep],
-            }
+        empty = pd.DataFrame(
+            {"doc_a": pd.array([], dtype="int64"),
+             "doc_b": pd.array([], dtype="int64"),
+             "cosine": pd.array([], dtype="float64")}
         )
+        if len(g) < 2:
+            return empty
+        # salted contiguous chunks bound per-bucket work at
+        # O(ceil(n/max_bucket) * max_bucket^2); NOTHING is dropped — every
+        # row pairs within its chunk, and cross-chunk near-dups can still
+        # surface via the other (tables-1) hash tables (see _bucket_pairs)
+        frames = []
+        for start in range(0, len(g), max_bucket):
+            c = g.iloc[start : start + max_bucket]
+            if len(c) < 2:
+                continue
+            ids = c["vec_id"].astype(int).to_numpy()
+            mat = np.stack([np.asarray(v) for v in c["vec"]])
+            sims = mat @ mat.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": pd.array(ids[ii[keep]], dtype="int64"),
+                        "doc_b": pd.array(ids[jj[keep]], dtype="int64"),
+                        "cosine": sims[ii, jj][keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     pairs = rows.groupby(["table", "bucket"]).map_groups(
         bucket_pairs, batch_format="pandas"

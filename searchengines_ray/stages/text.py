@@ -20,12 +20,62 @@ import re
 import numpy as np
 import pandas as pd
 
-from ..analysis import LUCENE_STOPWORDS
+from ..analysis import _ASCII_LOWER, LUCENE_STOPWORDS
 
 _WORD = re.compile(r"[0-9a-z]+")
 _WS = re.compile(r"\S+")
 _PUNCT = re.compile(r"[!-/:-@\[-`{-~]")
 _DIGIT = re.compile(r"[0-9]")
+
+# SQL-replicable polynomial-hash space: Mersenne prime 2^31-1 keeps every
+# intermediate (< 2^31 * 1000003 < 2^51) exactly representable in BIGINT,
+# so DuckDB `list_reduce` folds reproduce the engine bit-for-bit.
+_M31 = 2147483647
+
+
+def _flat_word_stream(texts):
+    """Tokenize a whole batch at once with Arrow C++ kernels (ASCII lower +
+    ``[0-9a-z]+`` split — the tokenizer contract's simple analyzer).
+
+    Returns ``(vocab, vids, parent, counts)``: the unique words, per-token
+    vocab ids and doc ids over the flat non-empty token stream (doc order),
+    and per-doc token counts.  This is the ``tokenize_arrow_batch`` pattern
+    (analysis.py) reused by the vectorized LangId / Fingerprinter / SimHasher
+    stages: per-token Python work collapses to per-UNIQUE-word work.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    low = pc.ascii_lower(
+        pa.array(["" if t is None else t for t in texts], pa.string())
+    )
+    toks = pc.split_pattern_regex(low, pattern="[^0-9a-z]+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.fill_null(pc.not_equal(flat, ""), False).to_numpy(
+        zero_copy_only=False
+    )
+    uniq = pc.unique(flat)
+    vids = pc.fill_null(pc.index_in(flat, value_set=uniq), 0).to_numpy(
+        zero_copy_only=False
+    )
+    parent = parent[nonempty]
+    vids = vids[nonempty]
+    counts = np.bincount(parent, minlength=n)
+    return uniq.to_pylist(), vids, parent, counts
+
+
+def _poly_word_hashes(vocab: list[str], base: int) -> np.ndarray:
+    """h(w) = fold(h*base + byte) mod 2^31-1 per unique word (tokens are
+    pure [0-9a-z], so utf-8 bytes == code points == DuckDB unicode())."""
+    out = np.empty(len(vocab), dtype=np.int64)
+    for i, w in enumerate(vocab):
+        h = 0
+        for c in w.encode():
+            h = (h * base + c) % _M31
+        out[i] = h
+    return out
 
 # tiny per-language stopword marker sets for the heuristic language id
 _LANG_MARKERS = {
@@ -112,74 +162,135 @@ class LangId:
         self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
         self.order = sorted(_LANG_MARKERS)
 
+    def predict(self, text: str) -> str:
+        """Scalar reference path (pinned byte-identical to __call__)."""
+        ws = self.word.findall((text or "").translate(_ASCII_LOWER))
+        best, best_hits = "und", 0
+        for lang in self.order:
+            hits = sum(1 for w in ws if w in self.markers[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("").str.lower()
-        out = []
-        for t in texts:
-            ws = self.word.findall(t)
-            best, best_hits = "und", 0
-            for lang in self.order:
-                hits = sum(1 for w in ws if w in self.markers[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            out.append(best)
+        """Vectorized: marker membership is evaluated once per UNIQUE word;
+        per-doc hit counts come from one ``np.add.reduceat`` over the flat
+        token stream.  Tie rule == scalar path: first language in sorted
+        order with the (strictly positive) max hit count, else 'und'."""
+        texts = list(batch["text"])
+        n = len(texts)
+        vocab, vids, parent, counts = _flat_word_stream(texts)
+        is_marker = np.zeros((len(vocab), len(self.order)), dtype=np.int64)
+        for j, lang in enumerate(self.order):
+            mk = self.markers[lang]
+            for i, w in enumerate(vocab):
+                if w in mk:
+                    is_marker[i, j] = 1
+        hits = np.zeros((n, len(self.order)), dtype=np.int64)
+        if len(parent):
+            tok_hits = is_marker[vids]  # (n_tokens, n_langs)
+            starts = np.nonzero(
+                np.concatenate(([True], parent[1:] != parent[:-1]))
+            )[0]
+            hits[parent[starts]] = np.add.reduceat(tok_hits, starts, axis=0)
+        best = np.argmax(hits, axis=1)  # first max => sorted-order tie rule
+        out = [
+            self.order[b] if hits[i, b] > 0 else "und"
+            for i, b in enumerate(best)
+        ]
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "lang_pred": out}
         )
 
 
-_FP_BASE = np.uint64(1000003)
+_FP_BASE = 1000003
+_FP_CHAR_BASE = 131
 _FP_SHINGLE = 4
 
 
 class Fingerprinter:
     """Winnowing-style document fingerprint: polynomial rolling hash over
-    word-token shingles, keep the minimum hash (plus a full-text content
-    hash).  Identical normalized token streams => identical fingerprints."""
+    word-token shingles, keep the minimum (plus a token-stream content
+    hash).  Identical normalized token streams => identical fingerprints.
+
+    Hashes live in the mod-(2^31-1) space so a DuckDB oracle can reproduce
+    them exactly: word hash = char fold base 131; shingle hash = word-hash
+    fold base 1000003 over windows of min(4, n_words) words; content hash =
+    the same fold over the WHOLE token stream.  Empty token stream => 0.
+    """
 
     def __init__(self):
         self.word = _WORD
 
-    @staticmethod
-    def _token_hashes(words: list[str]) -> np.ndarray:
-        import zlib
-
-        return np.asarray(
-            [zlib.crc32(w.encode()) for w in words], dtype=np.uint64
-        )
+    def _word_hash(self, w: str) -> int:
+        h = 0
+        for c in w.encode():
+            h = (h * _FP_CHAR_BASE + c) % _M31
+        return h
 
     def fingerprint(self, text: str) -> int:
-        words = self.word.findall(text.lower())
+        """Scalar reference path (pinned byte-identical to __call__)."""
+        words = self.word.findall((text or "").translate(_ASCII_LOWER))
         if not words:
             return 0
-        h = self._token_hashes(words)
-        k = min(_FP_SHINGLE, len(h))
-        roll = np.zeros(len(h) - k + 1, dtype=np.uint64)
-        for j in range(k):
-            roll = roll * _FP_BASE + h[j : len(h) - k + 1 + j]
-        return int(roll.min())
+        whs = [self._word_hash(w) for w in words]
+        k = min(_FP_SHINGLE, len(whs))
+        best = None
+        for i in range(len(whs) - k + 1):
+            r = 0
+            for j in range(k):
+                r = (r * _FP_BASE + whs[i + j]) % _M31
+            best = r if best is None else min(best, r)
+        return best
+
+    def content_hash(self, text: str) -> int:
+        words = self.word.findall((text or "").translate(_ASCII_LOWER))
+        h = 0
+        for w in words:
+            h = (h * _FP_BASE + self._word_hash(w)) % _M31
+        return h
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
+        """Vectorized: word hashes once per UNIQUE word; rolling shingle
+        hashes + per-doc minima over the flat token stream (reduceat);
+        content hash as a positional Horner sweep (max-doc-len vectorized
+        iterations, not a per-row loop)."""
+        texts = list(batch["text"])
+        n = len(texts)
+        vocab, vids, parent, counts = _flat_word_stream(texts)
+        whmap = _poly_word_hashes(vocab, _FP_CHAR_BASE)
+        wh = whmap[vids] if len(vids) else np.empty(0, dtype=np.int64)
 
-        fps = [self.fingerprint(t or "") for t in batch["text"]]
-        content = [
-            int.from_bytes(
-                hashlib.blake2b(
-                    (t or "").encode(), digest_size=8
-                ).digest(),
-                "big",
-            )
-            >> 1
-            for t in batch["text"]
-        ]
+        fps = np.zeros(n, dtype=np.int64)
+        k = _FP_SHINGLE
+        short = (counts > 0) & (counts < k)
+        m = len(wh) - k + 1
+        if m > 0:
+            roll = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                roll = (roll * _FP_BASE + wh[j : m + j]) % _M31
+            valid = parent[:m] == parent[k - 1 :]
+            rp, rr = parent[:m][valid], roll[valid]
+            if len(rp):
+                starts = np.nonzero(
+                    np.concatenate(([True], rp[1:] != rp[:-1]))
+                )[0]
+                fps[rp[starts]] = np.minimum.reduceat(rr, starts)
+        for i in np.nonzero(short)[0]:  # 1..3-word docs: single short window
+            fps[i] = self.fingerprint(texts[i])
+
+        ch = np.zeros(n, dtype=np.int64)
+        if len(wh):
+            offsets = np.zeros(n, dtype=np.int64)
+            offsets[1:] = np.cumsum(counts)[:-1]
+            for p in range(int(counts.max())):
+                act = counts > p
+                ch[act] = (ch[act] * _FP_BASE + wh[offsets[act] + p]) % _M31
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "fingerprint": pd.array(
-                    [f & 0x7FFFFFFFFFFFFFFF for f in fps], dtype="int64"
-                ),
-                "content_hash": pd.array(content, dtype="int64"),
+                "fingerprint": pd.array(fps, dtype="int64"),
+                "content_hash": pd.array(ch, dtype="int64"),
             }
         )
 

@@ -203,3 +203,42 @@ def test_block_max_bounds_are_valid(data):
         ub_tf, ub_dl = float(bmt[bi]), float(bml[bi])
         bound = ub_tf / (ub_tf + k1 * ((1 - b) + b * (ub_dl / avg)))
         assert exact <= bound + 1e-12, (i, bi, exact, bound)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(max_codepoint=0x2FF), max_size=120
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_text_stages_batch_match_scalar(texts):
+    """Vectorized Fingerprinter / SimHasher / LangId / shingle sets are
+    byte-identical to their scalar reference paths on arbitrary text."""
+    import pandas as pd
+
+    from searchengines_ray.stages.dedup import (
+        MinHasher,
+        SimHasher,
+        _batch_shingle_sets,
+    )
+    from searchengines_ray.stages.text import Fingerprinter, LangId
+
+    batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    fp = Fingerprinter()
+    out = fp(batch)
+    sh = SimHasher()(batch)
+    li = LangId()(batch)
+    sets = _batch_shingle_sets(texts, 3)
+    mh = MinHasher(num_perm=1, shingle=3)
+    for i, t in enumerate(texts):
+        assert out["fingerprint"].iloc[i] == fp.fingerprint(t), (i, t)
+        assert out["content_hash"].iloc[i] == fp.content_hash(t), (i, t)
+        assert int(sh["simhash"].iloc[i]) == SimHasher().simhash(t), (i, t)
+        assert li["lang_pred"].iloc[i] == LangId().predict(t), (i, t)
+        assert np.array_equal(
+            np.sort(sets[i]), np.sort(mh.shingle_hashes(t))
+        ), (i, t)
