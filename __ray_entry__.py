@@ -51,7 +51,7 @@ STRUCTURED_QUERIES = [
 
 def _index_for(sf_dir: str, simple: bool) -> str:
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|{simple}|v2".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|{simple}|v3".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "stats.json")):
@@ -171,6 +171,74 @@ def _q_bm25_wand_simple(sf_dir: str) -> pd.DataFrame:
     return res[["qid", "url", "rank", "score_r"]].reset_index(drop=True).astype(
         {"rank": "int64"}
     )
+
+
+def _simple_ranked(res: pd.DataFrame, k: int = 20) -> pd.DataFrame:
+    """Shared post-processing for SQL-checked simple-analyzer entries:
+    floor scores to 1e-6 IN BOTH ENGINES (ULP-safe), re-rank by
+    (score_r desc, url asc), truncate to k."""
+    res = res.copy()
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    res = res[res["rank"] <= k]
+    return res[["qid", "url", "rank", "score_r"]].reset_index(drop=True).astype(
+        {"rank": "int64"}
+    )
+
+
+def _q_indri_topk_simple(sf_dir: str) -> pd.DataFrame:
+    """Indri (two-stage smoothing + #AND geometric mean) on the simple
+    analyzer — fully SQL-expressible: score = prod_t p_td^(1/n) with
+    p = (1-lam)((tf + mu*pqc)/(dl + mu)) + lam*pqc over the union of
+    matching docs (oracle.py:350-373 semantics)."""
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(BM25_QUERIES, Indri(mu=1000.0, lam=0.4), k=None)
+    return _simple_ranked(res)
+
+
+BOOLEAN_SIMPLE_QUERIES = [
+    ("rb1", "dup key"),                       # default #AND: min tf
+    ("rb2", "#OR(dup window batch)"),         # max tf of matching
+    ("rb3", "#AND(spark #OR(join merge))"),   # nested min/max
+]
+
+
+def _q_boolean_topk_simple(sf_dir: str) -> pd.DataFrame:
+    """RankedBoolean on the simple analyzer: integer tf min/max scores —
+    SQL-exact with no float concerns."""
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(BOOLEAN_SIMPLE_QUERIES, RankedBoolean(), k=None)
+    res = res.copy()
+    res["score_i"] = res["score"].astype("int64")
+    res = res.sort_values(
+        ["qid", "score_i", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    res = res[res["rank"] <= 20]
+    return res[["qid", "url", "rank", "score_i"]].reset_index(drop=True).astype(
+        {"rank": "int64"}
+    )
+
+
+SYN_SIMPLE_QUERIES = [
+    ("sy1", "#SYN(dup key)"),
+    ("sy2", "#SYN(join merge window)"),
+    ("sy3", "#OR(dup window)"),               # BM25 #OR: max of leaf scores
+]
+
+
+def _q_syn_topk_simple(sf_dir: str) -> pd.DataFrame:
+    """#SYN / #OR structured operators under BM25 on the simple analyzer:
+    #SYN merges postings (tf summed, df of the DERIVED list — InvList.java
+    163-178 semantics); BM25 #OR takes the max of matching leaf scores."""
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(SYN_SIMPLE_QUERIES, BM25(), k=None)
+    return _simple_ranked(res)
 
 
 def _q_bm25_topk(sf_dir: str) -> pd.DataFrame:
@@ -348,6 +416,10 @@ def _q_lang_id(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF with nprobe == nlist (probe every bucket): the partitioned
+    assign/probe/merge machinery must be LOSSLESS and reproduce the exact
+    brute-force answer — checked against the same SQL oracle as ann_topk.
+    The recall/nprobe trade-off (nprobe < nlist) is pinned by pytest."""
     from searchengines_ray.stages.similarity import IVFIndex
 
     emb = _emb(sf_dir)
@@ -356,8 +428,23 @@ def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
         np.float64
     )
     ivf = IVFIndex(nlist=8).fit(emb).assign(emb)
-    out = ivf.search(queries, k=10, nprobe=4)
+    out = ivf.search(queries, k=10, nprobe=8)
     return out[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+def _q_similarity_join(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed all-pairs similarity join (cosine >= 0.4) over the
+    embeddings table — O(n*P) replicated block join, never O(n^2) shuffle."""
+    from searchengines_ray.stages.similarity import cosine_similarity_join
+
+    out = cosine_similarity_join(_emb(sf_dir), threshold=0.4, partitions=4)
+    df = out.to_pandas()
+    df["cosine_r"] = np.floor(df.pop("cosine").to_numpy() * 1e4) / 1e4
+    return (
+        df.sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+    )
 
 
 def _q_sessionize(sf_dir: str) -> pd.DataFrame:
@@ -524,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": _q_doc_lengths,
         "bm25_topk_simple": _q_bm25_topk_simple,
         "bm25_wand_simple": _q_bm25_wand_simple,
+        "indri_topk_simple": _q_indri_topk_simple,
+        "boolean_topk_simple": _q_boolean_topk_simple,
+        "syn_topk_simple": _q_syn_topk_simple,
         "bm25_topk": _q_bm25_topk,
         "indri_topk": _q_indri_topk,
         "structured_queries": _q_structured,
@@ -546,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "lang_id": _q_lang_id,
         "ivf_topk": _q_ivf_topk,
+        "similarity_join": _q_similarity_join,
         "sessionize": _q_sessionize,
         "multimodal_decode": _q_multimodal,
     }
@@ -610,6 +701,8 @@ _SHINGLE_PAIRS = r"""
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
+    # IVF probing ALL buckets must equal exact brute force
+    sqls["ivf_topk"] = sqls["ann_topk"]
     return sqls
 
 
@@ -663,6 +756,164 @@ def _oracle_sql_impl() -> dict[str, str]:
                                 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
                      ) AS rank
               FROM scores
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "indri_topk_simple": f"""
+            -- Indri #AND (geometric mean) with two-stage smoothing over the
+            -- union of matching docs; p for a non-matching term is the same
+            -- formula with tf=0 (oracle.py:350-373).  Same libm pow/product
+            -- expression tree as the engine; scores floored to 1e-6 in both
+            -- engines before ranking.
+            WITH toks AS ({_TOKS}),
+            doclen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                       FROM toks GROUP BY doc_id),
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS sum_len FROM toks),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS ctf
+                    FROM toks GROUP BY term),
+            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
+            qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n
+                   FROM q GROUP BY qid),
+            pqc AS (
+              SELECT qd.qid, qd.term,
+                     COALESCE(c.ctf, 0.5) / fstats.sum_len AS pqc
+              FROM (SELECT DISTINCT qid, term FROM q) qd
+              LEFT JOIN ctf c ON c.term = qd.term
+              CROSS JOIN fstats
+            ),
+            ud AS (SELECT DISTINCT q.qid, tf.doc_id
+                   FROM q JOIN tf ON q.term = tf.term),
+            scores AS (
+              SELECT ud.qid, ud.doc_id,
+                     product(pow(
+                       (1.0 - 0.4) * ((COALESCE(tf.tf, 0.0) + 1000.0 * p.pqc)
+                                      / (dl.dl + 1000.0))
+                       + 0.4 * p.pqc,
+                       1.0 / qn.n)) AS score
+              FROM ud
+              JOIN q ON q.qid = ud.qid
+              JOIN pqc p ON p.qid = ud.qid AND p.term = q.term
+              LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = ud.doc_id
+              JOIN doclen dl ON dl.doc_id = ud.doc_id
+              JOIN qn ON qn.qid = ud.qid
+              GROUP BY ud.qid, ud.doc_id
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     FLOOR(score * 1000000) / 1000000 AS score_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM scores
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "boolean_topk_simple": f"""
+            -- RankedBoolean: #AND = min tf over the intersection, #OR = max
+            -- tf over matching docs (QrySopAnd/QrySopOr non-Indri paths);
+            -- integer scores, no float concerns.
+            WITH toks AS ({_TOKS}),
+            tfm AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM toks GROUP BY doc_id, term),
+            p AS (
+              SELECT doc_id,
+                MAX(CASE WHEN term = 'dup' THEN tf END) AS t_dup,
+                MAX(CASE WHEN term = 'key' THEN tf END) AS t_key,
+                MAX(CASE WHEN term = 'window' THEN tf END) AS t_window,
+                MAX(CASE WHEN term = 'batch' THEN tf END) AS t_batch,
+                MAX(CASE WHEN term = 'spark' THEN tf END) AS t_spark,
+                MAX(CASE WHEN term = 'join' THEN tf END) AS t_join,
+                MAX(CASE WHEN term = 'merge' THEN tf END) AS t_merge
+              FROM tfm GROUP BY doc_id
+            ),
+            s AS (
+              SELECT 'rb1' AS qid, doc_id, LEAST(t_dup, t_key) AS score
+              FROM p WHERE t_dup IS NOT NULL AND t_key IS NOT NULL
+              UNION ALL
+              SELECT 'rb2', doc_id,
+                     GREATEST(COALESCE(t_dup, 0), COALESCE(t_window, 0),
+                              COALESCE(t_batch, 0))
+              FROM p WHERE t_dup IS NOT NULL OR t_window IS NOT NULL
+                        OR t_batch IS NOT NULL
+              UNION ALL
+              SELECT 'rb3', doc_id,
+                     LEAST(t_spark,
+                           GREATEST(COALESCE(t_join, 0), COALESCE(t_merge, 0)))
+              FROM p WHERE t_spark IS NOT NULL
+                    AND (t_join IS NOT NULL OR t_merge IS NOT NULL)
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     CAST(score AS BIGINT) AS score_i,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY score DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM s
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_i
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "syn_topk_simple": f"""
+            -- #SYN merges postings: tf summed per doc, df/ctf of the DERIVED
+            -- list feed BM25 (InvList.java:163-178, QrySopScore.java:64-90);
+            -- #OR under BM25 = max of matching leaf scores.
+            WITH toks AS ({_TOKS}),
+            doclen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                       FROM toks GROUP BY doc_id),
+            corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            fstats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS doc_count,
+                              CAST(COUNT(*) AS DOUBLE) AS sum_len FROM toks),
+            syn1 AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+                     WHERE term IN ('dup', 'key') GROUP BY doc_id),
+            syn2 AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+                     WHERE term IN ('join', 'merge', 'window') GROUP BY doc_id),
+            tfq AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+                    WHERE term IN ('dup', 'window') GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY term),
+            s AS (
+              SELECT 'sy1' AS qid, syn1.doc_id,
+                     GREATEST(0.0, LN((corpus.n_docs - d.df + 0.5) / (d.df + 0.5)))
+                     * (syn1.tf / (syn1.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fstats.sum_len / fstats.doc_count))))) AS score
+              FROM syn1 JOIN doclen dl USING (doc_id)
+              CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS df FROM syn1) d
+              CROSS JOIN corpus CROSS JOIN fstats
+              UNION ALL
+              SELECT 'sy2', syn2.doc_id,
+                     GREATEST(0.0, LN((corpus.n_docs - d.df + 0.5) / (d.df + 0.5)))
+                     * (syn2.tf / (syn2.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fstats.sum_len / fstats.doc_count))))) AS score
+              FROM syn2 JOIN doclen dl USING (doc_id)
+              CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS df FROM syn2) d
+              CROSS JOIN corpus CROSS JOIN fstats
+              UNION ALL
+              SELECT 'sy3', tfq.doc_id,
+                     MAX(GREATEST(0.0, LN((corpus.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+                         * (tfq.tf / (tfq.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fstats.sum_len / fstats.doc_count))))))
+              FROM tfq
+              JOIN dfq ON dfq.term = tfq.term
+              JOIN doclen dl ON dl.doc_id = tfq.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY tfq.doc_id, corpus.n_docs, fstats.sum_len, fstats.doc_count
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     FLOOR(score * 1000000) / 1000000 AS score_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM s
             )
             SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
             FROM ranked WHERE rank <= 20 ORDER BY qid, rank
@@ -731,6 +982,17 @@ def _oracle_sql_impl() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
             FROM s GROUP BY user_id, sess
             ORDER BY user_id, session_start
+        """,
+        "similarity_join": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   FLOOR(list_cosine_similarity(a.v, b.v) * 10000) / 10000
+                     AS cosine_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            ORDER BY doc_a, doc_b
         """,
         "minhash_pairs": f"""
             -- ground truth: EXACT 3-gram jaccard over all pairs.  LSH with

@@ -40,8 +40,21 @@ def cmd_build(args) -> None:
     from .analysis import DEFAULT_ANALYZER, SIMPLE_ANALYZER
     from .index.build import build_index
 
+    pages = args.pages
+    import pyarrow.dataset as pads
+
+    names = pads.dataset(pages).schema.names
+    if "url" not in names and "doc_id" in names:
+        # documents-shaped input (doc_id, text): derive the pages shape
+        # (synthetic deterministic urls — sources/pages.py contract)
+        import os
+
+        from .sources.pages import pages_from_documents
+
+        pages = pages_from_documents(os.path.dirname(os.path.abspath(pages)))
+
     stats = build_index(
-        args.pages,
+        pages,
         args.out,
         config=SIMPLE_ANALYZER if args.simple else DEFAULT_ANALYZER,
         docs_per_segment=args.docs_per_segment,
@@ -54,7 +67,7 @@ def cmd_build(args) -> None:
             {
                 "n_docs": stats["n_docs"],
                 "n_postings": stats["n_postings"],
-                "segments": len(stats["segments"]),
+                "segments": stats["n_segments"],
             }
         )
     )
@@ -132,7 +145,7 @@ def cmd_inspect(args) -> None:
             {
                 "n_docs": stats["n_docs"],
                 "n_postings": stats["n_postings"],
-                "segments": len(stats["segments"]),
+                "segments": stats["n_segments"],
                 "doc_count": stats["doc_count"],
                 "sum_field_len": stats["sum_field_len"],
                 "analyzer": stats["analyzer"],

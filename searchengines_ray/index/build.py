@@ -58,6 +58,7 @@ from . import encode
 STATS_FILE = "stats.json"
 SEGMENT_DIR = "segments"
 TERMSTATS_DIR = "termstats"
+MANIFEST_DIR = "manifests"
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -409,35 +410,55 @@ def build_index(
         config=config,
         keep_forward=keep_forward,
     )
+    # One manifest row per segment.  The driver never holds per-segment
+    # rows (at 10^12 docs / small segments that is 10^8+ rows): sums come
+    # from a DISTRIBUTED aggregate, the per-segment lineage goes to a
+    # manifest parquet DIRECTORY, and the segment list is the filesystem
+    # listing (an index dir belongs to one input corpus — the resume
+    # contract).  materialize() keeps the rows in the object store so the
+    # segment writes run exactly once.
     manifests = pages.map_batches(
         fn, batch_format="pyarrow", batch_size=docs_per_segment
+    ).materialize()
+
+    man_dir = os.path.join(out_dir, MANIFEST_DIR)
+    if os.path.exists(man_dir):
+        import shutil
+
+        shutil.rmtree(man_dir)
+    n_segments = manifests.count()
+    if n_segments:
+        manifests.write_parquet(man_dir)
+    sum_cols = (
+        ["n_docs", "n_postings", "wall_s"]
+        + [f"doc_count_{f}" for f in FIELDS]
+        + [f"sum_len_{f}" for f in FIELDS]
     )
-    mrows = manifests.take_all()  # one row per segment: control-plane sized
+    sums = manifests.sum(sum_cols) if n_segments else {}
+
+    def _s(col):
+        return sums.get(f"sum({col})", 0) or 0
 
     stats = {
-        "n_docs": int(sum(r["n_docs"] for r in mrows)),
-        "doc_count": {
-            f: int(sum(r[f"doc_count_{f}"] for r in mrows)) for f in FIELDS
-        },
-        "sum_field_len": {
-            f: int(sum(r[f"sum_len_{f}"] for r in mrows)) for f in FIELDS
-        },
-        "segments": sorted(r["segment"] for r in mrows),
+        "n_docs": int(_s("n_docs")),
+        "doc_count": {f: int(_s(f"doc_count_{f}")) for f in FIELDS},
+        "sum_field_len": {f: int(_s(f"sum_len_{f}")) for f in FIELDS},
+        "n_segments": int(n_segments),
         "analyzer": {
             "lowercase": config.lowercase,
             "stop": config.stop,
             "stem": config.stem,
         },
-        "n_postings": int(sum(r["n_postings"] for r in mrows)),
-        "build_wall_s_per_segment": {
-            r["segment"]: r["wall_s"] for r in mrows
-        },
+        "n_postings": int(_s("n_postings")),
+        "build_wall_s_sum": float(_s("wall_s")),
     }
     with open(os.path.join(out_dir, STATS_FILE), "w") as f:
         json.dump(stats, f, indent=1)
 
     if termstats:
-        _build_termstats(out_dir, stats["segments"])
+        from .shard import list_segments
+
+        _build_termstats(out_dir, list_segments(out_dir))
     return stats
 
 

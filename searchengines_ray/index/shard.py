@@ -132,10 +132,26 @@ def load_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
+def list_segments(index_dir: str) -> list[str]:
+    """Segment ids from the filesystem listing (stats.json carries only the
+    COUNT — a segment list would be driver-sized at web scale).  An index
+    dir belongs to one input corpus; a valid segment is one with a
+    committed MANIFEST.json (the atomic-rename commit marker)."""
+    seg_root = os.path.join(index_dir, SEGMENT_DIR)
+    if not os.path.isdir(seg_root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(seg_root)
+        if d.startswith("seg-")
+        and os.path.exists(os.path.join(seg_root, d, "MANIFEST.json"))
+    )
+
+
 def segment_dirs(index_dir: str) -> list[str]:
-    stats = load_stats(index_dir)
     return [
-        os.path.join(index_dir, SEGMENT_DIR, s) for s in stats["segments"]
+        os.path.join(index_dir, SEGMENT_DIR, s)
+        for s in list_segments(index_dir)
     ]
 
 

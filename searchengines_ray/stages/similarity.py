@@ -24,12 +24,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _merge_topk(partials, k: int) -> pd.DataFrame:
+    """Per-query merge of partial top-k rows: (cosine desc, vec_id asc)
+    tie-break — frozen rule so distributed and single-process runs agree."""
+
+    def per_query(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "cosine", "rank"]]
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(per_query, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Returns ``query_id, vec_id, cosine, rank`` (rank 1-based; ties broken by
-    vec_id ascending — frozen rule so distributed and single-process runs
-    agree).
+    vec_id ascending).  The query matrix broadcasts once via ``ray.put``;
+    each batch contributes a partial top-k (combiner), so the shuffle never
+    carries more than queries x k x batches rows.
     """
     import ray
 
@@ -50,22 +72,95 @@ def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
                 out.append((qi, int(ids[j]), float(s[j])))
         return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
 
-    partials = emb_ds.map_batches(batch_topk, batch_format="pandas")
+    return _merge_topk(
+        emb_ds.map_batches(batch_topk, batch_format="pandas"), k
+    )
 
-    def per_query(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+
+def cosine_similarity_join(
+    emb_ds, threshold: float, partitions: int = 8
+):
+    """Exact all-pairs similarity join: pairs with cosine >= threshold.
+
+    Every vector replicates to the ``partitions`` partition-pairs that
+    contain its partition (``p = vec_id % P``), so the shuffle is O(n*P)
+    rows — never O(n^2) — and each of the P(P+1)/2 pair-groups runs ONE
+    blockwise matmul.  Partitioning assumption: ~n/P vectors fit one
+    group; pick P ~ n / sqrt(per-task budget) at scale.  Returns a Dataset
+    ``(doc_a, doc_b, cosine)`` with doc_a < doc_b.
+    """
+    P = partitions
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        ids = batch["vec_id"].astype("int64").to_numpy()
+        part = ids % P
+        frames = []
+        for q in range(P):
+            a = np.minimum(part, q)
+            b = np.maximum(part, q)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "gk": a * P + b,
+                        "part": part,
+                        "vec_id": ids,
+                        "vec": list(vecs),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def pair_group(group: pd.DataFrame) -> pd.DataFrame:
+        gk = int(group["gk"].iloc[0])
+        a, b = gk // P, gk % P
+        g = group.drop_duplicates("vec_id")
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+                "cosine": pd.array([], dtype="float64"),
+            }
+        )
+        if a == b:
+            g = g.sort_values("vec_id")
+            if len(g) < 2:
+                return empty
+            ids = g["vec_id"].to_numpy()
+            mat = np.stack([np.asarray(v) for v in g["vec"]])
+            sims = mat @ mat.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array(ids[ii[keep]], dtype="int64"),
+                    "doc_b": pd.array(ids[jj[keep]], dtype="int64"),
+                    "cosine": sims[ii, jj][keep],
+                }
+            )
+        ga = g[g["part"] == a].sort_values("vec_id")
+        gb = g[g["part"] == b].sort_values("vec_id")
+        if not len(ga) or not len(gb):
+            return empty
+        ia = ga["vec_id"].to_numpy()
+        ib = gb["vec_id"].to_numpy()
+        ma = np.stack([np.asarray(v) for v in ga["vec"]])
+        mb = np.stack([np.asarray(v) for v in gb["vec"]])
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= threshold)
+        va, vb = ia[ii], ib[jj]
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array(np.minimum(va, vb), dtype="int64"),
+                "doc_b": pd.array(np.maximum(va, vb), dtype="int64"),
+                "cosine": sims[ii, jj],
+            }
+        )
 
     return (
-        partials.groupby("query_id")
-        .map_groups(per_query, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["query_id", "rank"])
-        .reset_index(drop=True)
+        emb_ds.map_batches(expand, batch_format="pandas")
+        .groupby("gk")
+        .map_groups(pair_group, batch_format="pandas")
     )
 
 
@@ -85,7 +180,15 @@ class IVFIndex:
         self._assigned = None  # materialized (vec_id, bucket, vec) dataset
 
     def fit(self, emb_ds, sample_size: int = 10_000) -> "IVFIndex":
-        sample = emb_ds.limit(sample_size).to_pandas()
+        # a RANDOM sample (seeded), not a first-N prefix — a prefix is
+        # ordered at web scale (crawl order) and would skew the centroids
+        n = emb_ds.count()  # parquet metadata, no scan
+        if n > sample_size:
+            sample = emb_ds.random_sample(
+                sample_size / n, seed=self.seed
+            ).to_pandas()
+        else:
+            sample = emb_ds.to_pandas()
         x = _normalize(_as_matrix(sample["embedding"]))
         rng = np.random.default_rng(self.seed)
         cent = x[rng.choice(len(x), size=min(self.nlist, len(x)), replace=False)]
@@ -125,28 +228,53 @@ class IVFIndex:
         self, queries: np.ndarray, k: int = 10, nprobe: int = 4
     ) -> pd.DataFrame:
         """Probe the nprobe nearest buckets per query; exact cosine within.
-        Returns query_id, vec_id, cosine, rank."""
+
+        Fully a Ray pipeline (the ``cosine_topk`` combiner pattern): the
+        query matrix + per-query probe mask broadcast once via ``ray.put``;
+        every batch of the assigned table contributes a masked partial
+        top-k; a per-query ``map_groups`` merges.  Nothing corpus-sized
+        reaches the driver.  Returns query_id, vec_id, cosine, rank.
+        """
+        import ray
+
         qm = _normalize(np.asarray(queries, dtype=np.float64))
         probes = np.argsort(-(qm @ self.centroids.T), axis=1)[:, :nprobe]
-        wanted = sorted(set(probes.flatten().tolist()))
-
-        def in_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["bucket"].isin(wanted)]
-
-        cand = self._assigned.map_batches(
-            in_buckets, batch_format="pandas"
-        ).to_pandas()
-        rows = []
+        mask = np.zeros((len(qm), len(self.centroids)), dtype=bool)
         for qi in range(len(qm)):
-            sub = cand[cand["bucket"].isin(probes[qi])]
-            if not len(sub):
-                continue
-            mat = np.stack([np.asarray(v) for v in sub["vec"]])
-            sims = mat @ qm[qi]
-            ids = sub["vec_id"].to_numpy()
-            order = np.lexsort((ids, -sims))[:k]
-            for r, j in enumerate(order, 1):
-                rows.append((qi, int(ids[j]), float(sims[j]), r))
-        return pd.DataFrame(
-            rows, columns=["query_id", "vec_id", "cosine", "rank"]
+            mask[qi, probes[qi]] = True
+        qref = ray.put((qm, mask))
+
+        def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+            q, m = ray.get(qref)
+            bks = batch["bucket"].to_numpy()
+            allowed = m[:, bks]  # (nq, nbatch)
+            if not allowed.any():
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.array([], dtype="int64"),
+                        "vec_id": pd.array([], dtype="int64"),
+                        "cosine": pd.array([], dtype="float64"),
+                    }
+                )
+            mat = np.stack([np.asarray(v) for v in batch["vec"]])
+            ids = batch["vec_id"].astype("int64").to_numpy()
+            sims = q @ mat.T
+            out = []
+            for qi in range(sims.shape[0]):
+                valid = np.nonzero(allowed[qi])[0]
+                if not valid.size:
+                    continue
+                s = sims[qi][valid]
+                if valid.size > k:
+                    pick = valid[np.argpartition(-s, k - 1)[:k]]
+                else:
+                    pick = valid
+                for j in pick:
+                    out.append((qi, int(ids[j]), float(sims[qi][j])))
+            return pd.DataFrame(
+                out, columns=["query_id", "vec_id", "cosine"]
+            )
+
+        return _merge_topk(
+            self._assigned.map_batches(batch_topk, batch_format="pandas"), k
         )

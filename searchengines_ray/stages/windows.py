@@ -59,15 +59,27 @@ def tumbling_window_agg(events_ds, minutes: int = 60):
     return agg.map_batches(finish, batch_format="pandas")
 
 
-def sessionize(events_ds, gap_minutes: int = 30):
-    """Session windows per user: sort each user's events by ts, split on
-    gaps > gap_minutes.  Partitioning assumption: one user's events fit in
-    one group (true for user-keyed logs; salt heavy users if not)."""
+def sessionize(events_ds, gap_minutes: int = 30, salt_hours: int | None = 24):
+    """Session windows per user: order events by ts, split on gaps >
+    gap_minutes.
+
+    SALTED two-pass design (default): pass 1 groups by ``(user_id, salt)``
+    where salt = ts floored to ``salt_hours`` — so a bot-grade hot user
+    never forces one group to hold its whole history, only one salt
+    bucket's worth.  Pass 2 groups the (session-summary-sized, events-free)
+    pass-1 output by user and stitches sessions across salt boundaries:
+    consecutive summaries merge when ``start - prev_end <= gap`` — exactly
+    the split condition pass 1 applied, so the result is IDENTICAL to the
+    unsalted single pass (pinned by the SQL window-function oracle).
+    ``salt_hours=None`` falls back to the single-pass one-group-per-user
+    plan.
+    """
+    gap_s = gap_minutes * 60
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts", kind="mergesort")
         gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        new_sess = (gaps > gap_minutes * 60).cumsum()
+        new_sess = (gaps > gap_s).cumsum()
         out = g.assign(session=new_sess).groupby("session").agg(
             user_id=("user_id", "first"),
             session_start=("ts", "first"),
@@ -77,6 +89,39 @@ def sessionize(events_ds, gap_minutes: int = 30):
         )
         return out.reset_index(drop=True)
 
-    return events_ds.groupby("user_id").map_groups(
-        sessions, batch_format="pandas"
+    if salt_hours is None:
+        return events_ds.groupby("user_id").map_groups(
+            sessions, batch_format="pandas"
+        )
+
+    def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_salt"] = batch["ts"].dt.floor(f"{salt_hours}h")
+        return batch
+
+    def sessions_salted(group: pd.DataFrame) -> pd.DataFrame:
+        return sessions(group.drop(columns="_salt"))
+
+    def stitch(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("session_start", kind="mergesort")
+        prev_end = g["session_end"].shift(1)
+        new = (
+            (g["session_start"] - prev_end).dt.total_seconds() > gap_s
+        ) | prev_end.isna()
+        out = g.assign(_s=new.cumsum()).groupby("_s").agg(
+            user_id=("user_id", "first"),
+            session_start=("session_start", "first"),
+            session_end=("session_end", "max"),
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+        )
+        return out.reset_index(drop=True)
+
+    pass1 = (
+        events_ds.map_batches(add_salt, batch_format="pandas")
+        .groupby(["user_id", "_salt"])
+        .map_groups(sessions_salted, batch_format="pandas")
+    )
+    return pass1.groupby("user_id").map_groups(
+        stitch, batch_format="pandas"
     )

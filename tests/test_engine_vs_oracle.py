@@ -139,7 +139,7 @@ def test_resume_skips_existing_segments(corpus, ray_session):
         ds, out, docs_per_segment=40, dedup=True, keep_forward=False
     )
     assert stats2["n_docs"] == stats["n_docs"]
-    assert sorted(stats2["segments"]) == sorted(stats["segments"])
+    assert stats2["n_segments"] == stats["n_segments"]
 
 
 def test_dfs_phase_without_termstats_table(corpus, tmp_path_factory, ray_session):
@@ -207,20 +207,23 @@ def test_partial_resume_rebuilds_only_missing_segment(
     tbl = synth_pages(n=120, seed=31, vocab=200)
     out = str(tmp_path_factory.mktemp("resume"))
     ds = ray.data.from_arrow(tbl.drop_columns(["html"]))
+    from searchengines_ray.index.shard import list_segments
+
     stats = build_index(ds, out, docs_per_segment=30, dedup=False)
-    victim = stats["segments"][0]
+    segments = list_segments(out)
+    victim = segments[0]
     shutil.rmtree(f"{out}/segments/{victim}")
     ds2 = ray.data.from_arrow(tbl.drop_columns(["html"]))
     stats2 = build_index(ds2, out, docs_per_segment=30, dedup=False)
-    assert sorted(stats2["segments"]) == sorted(stats["segments"])
+    assert list_segments(out) == segments
     assert stats2["n_docs"] == stats["n_docs"]
     import json
     import os
 
     resumed = 0
-    for seg in stats2["segments"]:
+    for seg in segments:
         with open(f"{out}/segments/{seg}/MANIFEST.json") as f:
             m = json.load(f)
         assert m["n_docs"] > 0
         resumed += 0 if seg == victim else 1
-    assert resumed == len(stats2["segments"]) - 1
+    assert resumed == len(segments) - 1
