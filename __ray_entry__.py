@@ -51,7 +51,7 @@ STRUCTURED_QUERIES = [
 
 def _index_for(sf_dir: str, simple: bool) -> str:
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|{simple}|v3".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|{simple}|v4".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "stats.json")):

@@ -164,17 +164,26 @@ def load_termstats(
     path: O(query terms), not O(vocabulary) — the scale path for serving).
     Without, loads the full table (test/driver convenience at small scale).
     """
+    import zlib
+
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
+    from .build import TERMSTATS_BUCKETS
+
     ts_dir = os.path.join(index_dir, TERMSTATS_DIR)
-    dataset = pads.dataset(ts_dir)
+    dataset = pads.dataset(ts_dir, partitioning="hive")
     if terms is not None:
-        # term-sorted layout: isin filter prunes files/row-groups by the
-        # parquet min/max term statistics — O(query terms), not O(vocab)
+        # hive-bucketed layout (bucket = crc32(term) % B): partition pruning
+        # reads ONLY the query terms' bucket dirs — O(query terms), no scan
+        tset = sorted({t for _, t in terms})
+        buckets = sorted(
+            {zlib.crc32(t.encode()) % TERMSTATS_BUCKETS for t in tset}
+        )
         tbl = dataset.to_table(
             columns=["field", "term", "df", "ctf"],
-            filter=pc.field("term").isin(sorted({t for _, t in terms})),
+            filter=pc.field("bucket").isin(buckets)
+            & pc.field("term").isin(tset),
         )
     else:
         tbl = dataset.to_table(columns=["field", "term", "df", "ctf"])

@@ -329,11 +329,10 @@ def minhash_verify_pairs(
 
     Nothing corpus-sized ever reaches the driver: candidate doc shingle
     SETS are computed in one streaming pass over the corpus (broadcast
-    id-set semi-join filter + vectorized shingling), joined to the pair
-    list with two bucketed groupby passes (shingle rows and pair rows meet
-    at their doc_id, then the two sides of each pair meet at the pair key),
-    and the set intersections run inside ``map_groups``.  The returned
-    verified pairs are candidate-sized by assumption.
+    pair-map semi-join filter + vectorized shingling) and emitted keyed by
+    pair, so ONE bucketed groupby brings the two sides of each pair
+    together; the set intersections run inside ``map_groups``.  The
+    returned verified pairs are candidate-sized by assumption.
     """
     import ray
     import ray.data
@@ -341,59 +340,43 @@ def minhash_verify_pairs(
     cols = {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
     if cand_pairs.empty:
         return pd.DataFrame({c: pd.array([], dtype=t) for c, t in cols.items()})
-    need = set(cand_pairs["doc_a"].astype(int)) | set(
-        cand_pairs["doc_b"].astype(int)
-    )
-    empty_sh = np.empty(0, dtype=np.uint64)
-
-    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        sub = batch.loc[batch["doc_id"].isin(need)]
-        sets = _batch_shingle_sets(list(sub[text_key]), shingle)
-        ids = sub["doc_id"].astype("int64")
-        return pd.DataFrame(
-            {
-                "doc_id": ids,
-                "doc_a": np.full(len(sub), -1, dtype=np.int64),
-                "doc_b": np.full(len(sub), -1, dtype=np.int64),
-                "side": np.full(len(sub), -1, dtype=np.int64),
-                "sh": sets,
-                "cb": (ids.to_numpy() % coarse_buckets).astype(np.int64),
-            }
-        )
-
-    sh_ds = ds.map_batches(shingle_rows, batch_format="pandas")
-
-    prs = []
+    # broadcast the (control-plane sized) pair list as doc_id -> pair slots;
+    # the corpus scan emits each candidate doc's shingle set ONCE PER PAIR,
+    # keyed by the pair, so a single bucketed groupby completes the join
+    # (one scan + one shuffle — the doc-keyed/pair-keyed two-shuffle join
+    # costs an extra all-to-all execution for nothing at any scale)
+    pairmap: dict[int, list] = {}
     for a, b in zip(
         cand_pairs["doc_a"].astype(int), cand_pairs["doc_b"].astype(int)
     ):
-        prs.append((a, a, b, 0, empty_sh, a % coarse_buckets))
-        prs.append((b, a, b, 1, empty_sh, b % coarse_buckets))
-    pair_ds = ray.data.from_pandas(
-        pd.DataFrame(
-            prs, columns=["doc_id", "doc_a", "doc_b", "side", "sh", "cb"]
-        )
-    )
+        pairmap.setdefault(a, []).append((a, b, 0))
+        pairmap.setdefault(b, []).append((a, b, 1))
+    pmref = ray.put(pairmap)
 
-    def attach(group: pd.DataFrame) -> pd.DataFrame:
-        shs = group.loc[group["side"] == -1, ["doc_id", "sh"]]
-        p = group.loc[group["side"] >= 0].drop(columns=["sh"])
-        if shs.empty or p.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.array([], dtype="int64"),
-                    "doc_b": pd.array([], dtype="int64"),
-                    "side": pd.array([], dtype="int64"),
-                    "sh": pd.array([], dtype=object),
-                    "cb2": pd.array([], dtype="int64"),
-                }
-            )
-        m = p.merge(shs, on="doc_id")
-        m["cb2"] = (
-            (m["doc_a"].to_numpy() * 1000003 + m["doc_b"].to_numpy())
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pmref)
+        sub = batch.loc[batch["doc_id"].isin(pm.keys())]
+        sets = _batch_shingle_sets(list(sub[text_key]), shingle)
+        oa, ob, oside, osh = [], [], [], []
+        for did, sh in zip(sub["doc_id"].astype(int), sets):
+            for a, b, side in pm[did]:
+                oa.append(a)
+                ob.append(b)
+                oside.append(side)
+                osh.append(sh)
+        df = pd.DataFrame(
+            {
+                "doc_a": pd.array(oa, dtype="int64"),
+                "doc_b": pd.array(ob, dtype="int64"),
+                "side": pd.array(oside, dtype="int64"),
+                "sh": osh,
+            }
+        )
+        df["cb2"] = (
+            (df["doc_a"].to_numpy() * 1000003 + df["doc_b"].to_numpy())
             % coarse_buckets
         ).astype(np.int64)
-        return m[["doc_a", "doc_b", "side", "sh", "cb2"]]
+        return df
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -412,9 +395,7 @@ def minhash_verify_pairs(
         )
 
     joined = (
-        sh_ds.union(pair_ds)
-        .groupby("cb")
-        .map_groups(attach, batch_format="pandas")
+        ds.map_batches(shingle_rows, batch_format="pandas")
         .groupby("cb2")
         .map_groups(verify, batch_format="pandas")
     )
@@ -441,11 +422,12 @@ def minhash_candidate_pairs(
     """LSH candidate pairs (doc_a < doc_b), deduplicated."""
     from functools import partial
 
+    # an INSTANCE (stateless elastic tasks), not an actor pool: the state is
+    # a few hundred ints (cheap pickle), and a fixed-size pool both caps the
+    # signature stage's parallelism and risks starving the read stage
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle": shingle},
+        MinHasher(num_perm=num_perm, shingle=shingle),
         batch_format="pandas",
-        concurrency=2,
     )
     band_rows = sigs.map_batches(
         partial(_band_rows, bands=bands), batch_format="pandas"
@@ -484,9 +466,12 @@ def minhash_candidate_pairs(
         .groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
-    # distinct pairs: groupby both keys (the count is discarded)
-    dedup = pairs.groupby(["doc_a", "doc_b"]).count()
-    return _pairs_pandas(dedup, {"doc_a": "int64", "doc_b": "int64"})
+    # distinct pairs: the candidate ID pairs are control-plane sized (the
+    # result of this function), so dedup on the driver — a second
+    # all-to-all groupby execution just to drop duplicates costs more than
+    # the rows it moves (measured ~0.7s fixed at any scale)
+    out = _pairs_pandas(pairs, {"doc_a": "int64", "doc_b": "int64"})
+    return out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def minhash_dedup_pairs(
@@ -655,7 +640,7 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
     band buckets (a pair within distance 3 shares at least one of 4 bands)."""
     from functools import partial
 
-    sh = ds.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    sh = ds.map_batches(SimHasher(), batch_format="pandas")
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -720,10 +705,8 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
         .groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
-    return _pairs_pandas(
-        pairs.groupby(["doc_a", "doc_b"]).count(),
-        {"doc_a": "int64", "doc_b": "int64"},
-    )
+    out = _pairs_pandas(pairs, {"doc_a": "int64", "doc_b": "int64"})
+    return out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ embeddings
@@ -783,10 +766,8 @@ def embedding_neardup_pairs(
     once in the signature stage.
     """
     rows = emb_ds.map_batches(
-        HyperplaneBucketer,
-        fn_constructor_kwargs={"seed": seed, "tables": tables, "planes": planes},
+        HyperplaneBucketer(seed=seed, tables=tables, planes=planes),
         batch_format="pandas",
-        concurrency=2,
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
