@@ -51,7 +51,7 @@ STRUCTURED_QUERIES = [
 
 def _index_for(sf_dir: str, simple: bool) -> str:
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|{simple}|v4".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|{simple}|v5".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "stats.json")):
@@ -63,7 +63,7 @@ def _index_for(sf_dir: str, simple: bool) -> str:
             config=SIMPLE_ANALYZER if simple else DEFAULT_ANALYZER,
             docs_per_segment=512,
             dedup=False,  # documents.parquet doc_ids/urls are unique
-            keep_forward=not simple,
+            keep_forward=True,  # forward index also feeds ltr_features_simple
         )
     return out
 
@@ -242,16 +242,18 @@ def _q_syn_topk_simple(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_bm25_topk(sf_dir: str) -> pd.DataFrame:
-    """Flagship BM25 (full analyzer: stopwords+kstem) — correctness is pinned
-    by the oracle-equality pytest suite, rows-only here."""
+    """Flagship BM25 on the FULL analyzer (stopwords occupy positions,
+    kstem_lite) — SQL-checked end to end: the oracle reproduces the
+    stemmer as chained CASE CTEs and counts field length over raw tokens."""
     eng = _engine(sf_dir, simple=False)
-    return _engine_out(eng.search_batch(BM25_QUERIES, BM25(), k=20))
+    return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
 
 
 def _q_indri_topk(sf_dir: str) -> pd.DataFrame:
+    """Indri on the full analyzer — SQL-checked (same stemmer CTEs)."""
     eng = _engine(sf_dir, simple=False)
-    return _engine_out(
-        eng.search_batch(BM25_QUERIES, Indri(mu=1000.0, lam=0.4), k=20)
+    return _simple_ranked(
+        eng.search_batch(BM25_QUERIES, Indri(mu=1000.0, lam=0.4), k=None)
     )
 
 
@@ -267,14 +269,24 @@ def _q_structured_indri(sf_dir: str) -> pd.DataFrame:
     )
 
 
+BOOLEAN_FULL_QUERIES = [("b1", "#AND(dup key)"), ("b2", "#OR(dup window)")]
+
+
 def _q_boolean(sf_dir: str) -> pd.DataFrame:
+    """RankedBoolean on the full analyzer — SQL-checked: integer tf
+    min/max over stemmed tokens."""
     eng = _engine(sf_dir, simple=False)
-    return _engine_out(
-        eng.search_batch(
-            [("b1", "#AND(dup key)"), ("b2", "#OR(dup window)")],
-            RankedBoolean(),
-            k=20,
-        )
+    res = eng.search_batch(BOOLEAN_FULL_QUERIES, RankedBoolean(), k=None)
+    res = res.copy()
+    res["score_i"] = res["score"].astype("int64")
+    res = res.sort_values(
+        ["qid", "score_i", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    res = res[res["rank"] <= 20]
+    return res[["qid", "url", "rank", "score_i"]].reset_index(drop=True).astype(
+        {"rank": "int64"}
     )
 
 
@@ -510,22 +522,42 @@ def _q_multimodal(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_prf_expansion(sf_dir: str) -> pd.DataFrame:
-    """Indri PRF expansion terms (qid, term, score) for the BM25 query set."""
-    from searchengines_ray.models import Indri
+    """Indri PRF expansion terms on the FULL analyzer — SQL-checked via the
+    closed-form expansion sum + the SQL stemmer CTEs.  Top-5 docs selected
+    by the FLOORED Indri ranking (deterministic in both engines); doclen
+    includes stopword positions (TermVector.positionsLength)."""
     from searchengines_ray.pipelines.prf import PrfParams, run_prf
 
     eng = _engine(sf_dir, simple=False)
+    model = Indri(mu=1000.0, lam=0.4)
+    qs = BM25_QUERIES[:4]
+    res = eng.search_batch(qs, model, k=None)
+    res = res.copy()
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    top = res[res["rank"] <= 5]
+    rankings = {
+        qid: list(
+            zip(
+                top[top.qid == qid].doc_id.astype(int),
+                top[top.qid == qid].score,
+            )
+        )
+        for qid, _ in qs
+    }
     _, exp_terms, _ = run_prf(
-        eng,
-        BM25_QUERIES[:4],
-        Indri(mu=1000.0, lam=0.4),
+        eng, qs, model,
         PrfParams(num_docs=5, num_terms=8, mu=40.0, orig_weight=0.5),
-        k=10,
+        k=1, initial_rankings=rankings,
     )
     rows = []
     for qid, terms in exp_terms.items():
         for rank, (term, score) in enumerate(terms, 1):
-            rows.append((qid, term, rank, np.floor(score * 1e9) / 1e9))
+            rows.append((qid, term, rank, np.floor(score * 1e12) / 1e12))
     return pd.DataFrame(rows, columns=["qid", "term", "rank", "score_r"])
 
 
@@ -570,17 +602,32 @@ def _q_diversity_pm2(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_ltr_features(sf_dir: str) -> pd.DataFrame:
-    """LTR features over top-5 BM25 candidates per query (un-normalized)."""
-    from searchengines_ray.models import Indri
+    """LTR features over top-5 BM25 candidates on the FULL analyzer —
+    SQL-checked like ltr_features_simple, plus the stemmer CTEs and
+    stopword-inclusive field lengths (TermVector.positionsLength)."""
+    from searchengines_ray.analysis import tokenize
     from searchengines_ray.pipelines.ltr import extract_features
 
     eng = _engine(sf_dir, simple=False)
-    from searchengines_ray.analysis import tokenize
+    res = eng.search_batch(BM25_QUERIES, BM25(), k=None)
+    res = res.copy()
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    cands = res[res["rank"] <= 5]
+
+    def fl(v):
+        return np.floor((0.0 if v is None else float(v)) * 1e6) / 1e6
 
     rows = []
-    for qid, qtext in BM25_QUERIES[:4]:
-        cand = eng.search_batch([(qid, qtext)], BM25(), k=5)
-        docs = [(0, int(r.doc_id), r.url) for r in cand.itertuples()]
+    for qid, qtext in BM25_QUERIES:
+        sub = cands[cands["qid"] == qid]
+        docs = [(0, int(r.doc_id), r.url) for r in sub.itertuples()]
+        if not docs:
+            continue
         qv: dict[str, int] = {}
         for t in tokenize(qtext):
             qv[t] = qv.get(t, 0) + 1
@@ -592,16 +639,114 @@ def _q_ltr_features(sf_dir: str) -> pd.DataFrame:
                 (
                     qid,
                     fv.external_id,
-                    np.floor((fv.features[5] or 0.0) * 1e9) / 1e9,
-                    np.floor((fv.features[6] or 0.0) * 1e9) / 1e9,
+                    fl(fv.features[5]),
+                    fl(fv.features[6]),
                     int(fv.features[7] or 0),
-                    np.floor((fv.features[17] or 0.0) * 1e9) / 1e9,
+                    fl(fv.features[18]),
+                    fl(fv.features[20]),
                 )
             )
     return pd.DataFrame(
         rows,
-        columns=["qid", "url", "f5_bm25_body", "f6_indri_body", "f7_count_body", "f17_idf_url"],
+        columns=["qid", "url", "f5_r", "f6_r", "f7", "f18_r", "f20_r"],
+    ).sort_values(["qid", "url"]).reset_index(drop=True)
+
+
+def _q_ltr_features_simple(sf_dir: str) -> pd.DataFrame:
+    """LTR feature extraction (QryEval.java:560-883 semantics) over top-5
+    BM25 candidates on the SIMPLE analyzer — the feature formulas (f5 BM25
+    body, f6 Indri body, f7 match count, f18 title cosine with the
+    unsquare-rooted doc magnitude quirk, f20 body rarest-Zipf) are all
+    SQL-expressible, so the whole real feature code path (term vectors,
+    termstats point lookups, per-field stats) gets a hard DuckDB check."""
+    from searchengines_ray.analysis import tokenize
+    from searchengines_ray.pipelines.ltr import extract_features
+
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(BM25_QUERIES, BM25(), k=None)
+    res = res.copy()
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
     )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    cands = res[res["rank"] <= 5]
+
+    def fl(v):
+        return np.floor((0.0 if v is None else float(v)) * 1e6) / 1e6
+
+    rows = []
+    for qid, qtext in BM25_QUERIES:
+        sub = cands[cands["qid"] == qid]
+        docs = [(0, int(r.doc_id), r.url) for r in sub.itertuples()]
+        if not docs:
+            continue
+        qv: dict[str, int] = {}
+        for t in tokenize(qtext, SIMPLE_ANALYZER):
+            qv[t] = qv.get(t, 0) + 1
+        fvs = extract_features(
+            eng, qid, qv, docs, BM25(), Indri(mu=1000.0, lam=0.4)
+        )
+        for fv in fvs:
+            rows.append(
+                (
+                    qid,
+                    fv.external_id,
+                    fl(fv.features[5]),
+                    fl(fv.features[6]),
+                    int(fv.features[7] or 0),
+                    fl(fv.features[18]),
+                    fl(fv.features[20]),
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["qid", "url", "f5_r", "f6_r", "f7", "f18_r", "f20_r"],
+    ).sort_values(["qid", "url"]).reset_index(drop=True)
+
+
+def _q_prf_expansion_simple(sf_dir: str) -> pd.DataFrame:
+    """Indri PRF expansion terms on the SIMPLE analyzer — the reference's
+    incremental back-fill accumulation (QryEval.java:1218-1306) equals the
+    closed form sum_d p(q|d)*ln(L/ctf)*(tf+mu*ptc)/(dl+mu), so DuckDB can
+    reproduce it.  Top-5 docs are selected by the FLOORED Indri ranking
+    (deterministic across engines); expansion scores floored to 1e-12."""
+    from searchengines_ray.pipelines.prf import PrfParams, run_prf
+
+    eng = _engine(sf_dir, simple=True)
+    model = Indri(mu=1000.0, lam=0.4)
+    qs = BM25_QUERIES[:4]
+    res = eng.search_batch(qs, model, k=None)
+    res = res.copy()
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    top = res[res["rank"] <= 5]
+    rankings = {
+        qid: list(
+            zip(
+                top[top.qid == qid].doc_id.astype(int),
+                top[top.qid == qid].score,  # RAW scores feed the formula
+            )
+        )
+        for qid, _ in qs
+    }
+    _, exp_terms, _ = run_prf(
+        eng, qs, model,
+        PrfParams(num_docs=5, num_terms=8, mu=40.0, orig_weight=0.5),
+        k=1, initial_rankings=rankings,
+    )
+    rows = []
+    for qid, terms in exp_terms.items():
+        for rank, (term, score) in enumerate(terms, 1):
+            rows.append(
+                (qid, term, rank, np.floor(score * 1e12) / 1e12)
+            )
+    return pd.DataFrame(rows, columns=["qid", "term", "rank", "score_r"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -620,9 +765,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "structured_indri": _q_structured_indri,
         "boolean_topk": _q_boolean,
         "prf_expansion": _q_prf_expansion,
+        "prf_expansion_simple": _q_prf_expansion_simple,
         "diversity_xquad": _q_diversity_xquad,
         "diversity_pm2": _q_diversity_pm2,
         "ltr_features": _q_ltr_features,
+        "ltr_features_simple": _q_ltr_features_simple,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
@@ -654,6 +801,130 @@ _BM25_SQL_QUERIES = " , ".join(
     for qid, q in BM25_QUERIES
     for t in q.split()
 )
+
+
+# ---------------------------------------------------- SQL kstem_lite
+# The full analyzer (ASCII lower + [0-9a-z]+ + 33 Lucene stopwords +
+# kstem_lite) is SQL-expressible: the stemmer's rule chain becomes chained
+# CASE CTEs (byte-identical to analysis.kstem_lite — fuzz-pinned on 5.6k
+# adversarial suffix words), stopwords a NOT IN filter, and field length
+# counts RAW tokens (stopwords occupy positions, Idx.java:93-98).
+
+_SQL_VOWELS = "('a','e','i','o','u')"
+
+
+def _sql_last(s: str, i: int) -> str:
+    return f"substr({s}, length({s}) - {i-1}, 1)"
+
+
+def _sql_undouble_cond(s: str) -> str:
+    return (
+        f"(length({s}) >= 3 AND {_sql_last(s,1)} = {_sql_last(s,2)} "
+        f"AND {_sql_last(s,1)} NOT IN {_SQL_VOWELS} "
+        f"AND {_sql_last(s,1)} NOT IN ('l','s','z'))"
+    )
+
+
+def _sql_cvc_cond(s: str) -> str:
+    return (
+        f"(length({s}) >= 3 AND {_sql_last(s,1)} NOT IN {_SQL_VOWELS} "
+        f"AND {_sql_last(s,1)} NOT IN ('w','x','y') "
+        f"AND {_sql_last(s,2)} IN {_SQL_VOWELS} "
+        f"AND {_sql_last(s,3)} NOT IN {_SQL_VOWELS})"
+    )
+
+
+def _sql_strip_expr(n: int) -> str:
+    """stem = w[:-n], then undouble-or-CVC-e-restore (the ed/ing tails)."""
+    s = f"substr(w, 1, length(w) - {n})"
+    return (
+        f"CASE WHEN {_sql_undouble_cond(s)} THEN substr({s}, 1, length({s}) - 1) "
+        f"WHEN {_sql_cvc_cond(s)} AND length({s}) <= 4 THEN {s} || 'e' "
+        f"ELSE {s} END"
+    )
+
+
+def _sql_stem_ctes(src: str = "nonstop", prefix: str = "") -> str:
+    """CTE fragment mapping {src}(doc_id, w) -> {prefix}stemmed(doc_id,
+    term); prefix allows two stemmer instantiations (body + title) in one
+    WITH."""
+    p = prefix
+    return f"""
+  {p}st0 AS (
+    SELECT doc_id, w,
+           (length(w) <= 3 OR NOT regexp_matches(w, '^[a-z]+$')) AS done
+    FROM {src}
+  ),
+  {p}st1 AS (
+    SELECT doc_id, done,
+      CASE WHEN done THEN w
+           WHEN w LIKE '%ies' AND length(w) > 4
+             THEN substr(w, 1, length(w) - 3) || 'y'
+           WHEN w LIKE '%es' AND length(w) > 4
+                AND {_sql_last('w',3)} IN ('s','x','z','h')
+             THEN substr(w, 1, length(w) - 2)
+           WHEN w LIKE '%s' AND NOT (w LIKE '%ss' OR w LIKE '%us' OR w LIKE '%is')
+             THEN substr(w, 1, length(w) - 1)
+           ELSE w END AS w
+    FROM {p}st0
+  ),
+  {p}st2 AS (SELECT doc_id, w, (done OR length(w) <= 3) AS done FROM {p}st1),
+  {p}st3 AS (
+    SELECT doc_id,
+      CASE WHEN done THEN w
+           WHEN w LIKE '%ied' AND length(w) > 4
+             THEN substr(w, 1, length(w) - 3) || 'y'
+           WHEN w LIKE '%eed' THEN w
+           WHEN w LIKE '%ed' AND length(w) > 4 THEN {_sql_strip_expr(2)}
+           ELSE w END AS w,
+      (done OR (w LIKE '%ied' AND length(w) > 4) OR (w LIKE '%eed')
+            OR (w LIKE '%ed' AND length(w) > 4)) AS done
+    FROM {p}st2
+  ),
+  {p}stemmed AS (
+    SELECT doc_id,
+      CASE WHEN done THEN w
+           WHEN w LIKE '%ing' AND length(w) > 5 THEN {_sql_strip_expr(3)}
+           ELSE w END AS term
+    FROM {p}st3
+  )"""
+
+
+_SQL_STOPLIST = ", ".join(
+    f"'{w}'"
+    for w in sorted(
+        """a an and are as at be but by for if in into is it no not of on or
+        such that the their then there these they this to was will
+        with""".split()
+    )
+)
+
+# full-analyzer token CTE chain: raw tokens (positions incl. stopwords feed
+# doclen), stopword filter, stemmer -> toks(doc_id, term)
+_FULL_TOKS_CTES = f"""
+  raw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS w
+    FROM documents
+  ),
+  doclen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+             FROM raw GROUP BY doc_id),
+  nonstop AS (SELECT doc_id, w FROM raw WHERE w NOT IN ({_SQL_STOPLIST})),
+  {_sql_stem_ctes('nonstop')},
+  toks AS (SELECT doc_id, term FROM stemmed)
+"""
+
+
+def _stemmed_query_values(queries) -> str:
+    """(qid, term) VALUES with the FULL analyzer applied to query text —
+    the oracle stems query terms in python (the same kstem_lite) so the SQL
+    only needs the document side."""
+    from searchengines_ray.analysis import DEFAULT_ANALYZER, tokenize
+
+    return " , ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in queries
+        for t in tokenize(q, DEFAULT_ANALYZER)
+    )
 
 
 # shingle-set CTE shared by the minhash oracles: 3-word shingles over the
@@ -707,7 +978,127 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_impl() -> dict[str, str]:
+    bm25_full_q = _stemmed_query_values(BM25_QUERIES)
     return {
+        "bm25_topk": f"""
+            -- FULL analyzer: stopwords occupy positions (doclen over raw
+            -- tokens), kstem_lite as chained CASE CTEs, stemmed query terms
+            -- pre-computed by the python analyzer.
+            WITH {_FULL_TOKS_CTES},
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
+                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            q(qid, term) AS (VALUES {bm25_full_q}),
+            scores AS (
+              SELECT q.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (doclen.dl / (fstats.sum_len / fstats.doc_count)))))
+                     ) AS score
+              FROM q
+              JOIN tf ON q.term = tf.term
+              JOIN df ON q.term = df.term
+              JOIN doclen ON tf.doc_id = doclen.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY q.qid, tf.doc_id
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     FLOOR(score * 1000000) / 1000000 AS score_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM scores
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "indri_topk": f"""
+            WITH {_FULL_TOKS_CTES},
+            fstats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS ctf
+                    FROM toks GROUP BY term),
+            q(qid, term) AS (VALUES {bm25_full_q}),
+            qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n
+                   FROM q GROUP BY qid),
+            pqc AS (
+              SELECT qd.qid, qd.term,
+                     COALESCE(c.ctf, 0.5) / fstats.sum_len AS pqc
+              FROM (SELECT DISTINCT qid, term FROM q) qd
+              LEFT JOIN ctf c ON c.term = qd.term
+              CROSS JOIN fstats
+            ),
+            ud AS (SELECT DISTINCT q.qid, tf.doc_id
+                   FROM q JOIN tf ON q.term = tf.term),
+            scores AS (
+              SELECT ud.qid, ud.doc_id,
+                     product(pow(
+                       (1.0 - 0.4) * ((COALESCE(tf.tf, 0.0) + 1000.0 * p.pqc)
+                                      / (dl.dl + 1000.0))
+                       + 0.4 * p.pqc,
+                       1.0 / qn.n)) AS score
+              FROM ud
+              JOIN q ON q.qid = ud.qid
+              JOIN pqc p ON p.qid = ud.qid AND p.term = q.term
+              LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = ud.doc_id
+              JOIN doclen dl ON dl.doc_id = ud.doc_id
+              JOIN qn ON qn.qid = ud.qid
+              GROUP BY ud.qid, ud.doc_id
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     FLOOR(score * 1000000) / 1000000 AS score_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM scores
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "boolean_topk": f"""
+            WITH {_FULL_TOKS_CTES},
+            tfm AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM toks GROUP BY doc_id, term),
+            p AS (
+              SELECT doc_id,
+                MAX(CASE WHEN term = 'dup' THEN tf END) AS t_dup,
+                MAX(CASE WHEN term = 'key' THEN tf END) AS t_key,
+                MAX(CASE WHEN term = 'window' THEN tf END) AS t_window
+              FROM tfm GROUP BY doc_id
+            ),
+            s AS (
+              SELECT 'b1' AS qid, doc_id, LEAST(t_dup, t_key) AS score
+              FROM p WHERE t_dup IS NOT NULL AND t_key IS NOT NULL
+              UNION ALL
+              SELECT 'b2', doc_id,
+                     GREATEST(COALESCE(t_dup, 0), COALESCE(t_window, 0))
+              FROM p WHERE t_dup IS NOT NULL OR t_window IS NOT NULL
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     CAST(score AS BIGINT) AS score_i,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY score DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM s
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_i
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
         "term_stats_simple": f"""
             WITH toks AS ({_TOKS})
             SELECT term,
@@ -982,6 +1373,370 @@ def _oracle_sql_impl() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
             FROM s GROUP BY user_id, sess
             ORDER BY user_id, session_start
+        """,
+        "prf_expansion": f"""
+            -- PRF closed form on the FULL analyzer: doclen includes
+            -- stopword positions; candidate/ctf terms are stemmed.
+            WITH {_FULL_TOKS_CTES},
+            fstats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS ctf
+                    FROM toks GROUP BY term),
+            q(qid, term) AS (VALUES {bm25_full_q}),
+            qf AS (SELECT qid, term FROM q WHERE qid IN ('q1','q2','q3','q4')),
+            qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n
+                   FROM qf GROUP BY qid),
+            pqc AS (
+              SELECT qd.qid, qd.term,
+                     COALESCE(c.ctf, 0.5) / fstats.sum_len AS pqc
+              FROM (SELECT DISTINCT qid, term FROM qf) qd
+              LEFT JOIN ctf c ON c.term = qd.term
+              CROSS JOIN fstats
+            ),
+            ud AS (SELECT DISTINCT qf.qid, tf.doc_id
+                   FROM qf JOIN tf ON qf.term = tf.term),
+            iscores AS (
+              SELECT ud.qid, ud.doc_id,
+                     product(pow(
+                       (1.0 - 0.4) * ((COALESCE(tf.tf, 0.0) + 1000.0 * p.pqc)
+                                      / (dl.dl + 1000.0))
+                       + 0.4 * p.pqc,
+                       1.0 / qn.n)) AS score
+              FROM ud
+              JOIN qf ON qf.qid = ud.qid
+              JOIN pqc p ON p.qid = ud.qid AND p.term = qf.term
+              LEFT JOIN tf ON tf.term = qf.term AND tf.doc_id = ud.doc_id
+              JOIN doclen dl ON dl.doc_id = ud.doc_id
+              JOIN qn ON qn.qid = ud.qid
+              GROUP BY ud.qid, ud.doc_id
+            ),
+            iranked AS (
+              SELECT qid, doc_id, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM iscores
+            ),
+            top5 AS (SELECT qid, doc_id, score FROM iranked WHERE rank <= 5),
+            cand AS (SELECT DISTINCT t5.qid, tf.term
+                     FROM top5 t5 JOIN tf ON tf.doc_id = t5.doc_id),
+            exp AS (
+              SELECT c.qid, c.term,
+                     SUM(t5.score * LN(fstats.sum_len / ct.ctf)
+                         * ((COALESCE(tf.tf, 0.0) + 40.0 * (ct.ctf / fstats.sum_len))
+                            / (dl.dl + 40.0))) AS score
+              FROM cand c
+              JOIN top5 t5 ON t5.qid = c.qid
+              JOIN ctf ct ON ct.term = c.term
+              JOIN doclen dl ON dl.doc_id = t5.doc_id
+              LEFT JOIN tf ON tf.doc_id = t5.doc_id AND tf.term = c.term
+              CROSS JOIN fstats
+              GROUP BY c.qid, c.term, fstats.sum_len
+            ),
+            eranked AS (
+              SELECT qid, term, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY score DESC, term ASC
+                     ) AS rank
+              FROM exp
+            )
+            SELECT qid, term, CAST(rank AS BIGINT) AS rank,
+                   FLOOR(score * 1000000000000) / 1000000000000 AS score_r
+            FROM eranked WHERE rank <= 8 ORDER BY qid, rank
+        """,
+        "prf_expansion_simple": f"""
+            -- PRF expansion closed form: score(t) = sum over top-5 docs of
+            -- p(q|d) * ln(L/ctf) * (tf + mu*ptc)/(dl + mu), mu=40
+            -- (QryEval.java:1218-1306 back-fill accumulation, algebraically
+            -- identical).  Top-5 selected by the floored Indri ranking.
+            WITH toks AS ({_TOKS}),
+            doclen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                       FROM toks GROUP BY doc_id),
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS sum_len FROM toks),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS ctf
+                    FROM toks GROUP BY term),
+            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
+            qf AS (SELECT qid, term FROM q WHERE qid IN ('q1','q2','q3','q4')),
+            qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n
+                   FROM qf GROUP BY qid),
+            pqc AS (
+              SELECT qd.qid, qd.term,
+                     COALESCE(c.ctf, 0.5) / fstats.sum_len AS pqc
+              FROM (SELECT DISTINCT qid, term FROM qf) qd
+              LEFT JOIN ctf c ON c.term = qd.term
+              CROSS JOIN fstats
+            ),
+            ud AS (SELECT DISTINCT qf.qid, tf.doc_id
+                   FROM qf JOIN tf ON qf.term = tf.term),
+            iscores AS (
+              SELECT ud.qid, ud.doc_id,
+                     product(pow(
+                       (1.0 - 0.4) * ((COALESCE(tf.tf, 0.0) + 1000.0 * p.pqc)
+                                      / (dl.dl + 1000.0))
+                       + 0.4 * p.pqc,
+                       1.0 / qn.n)) AS score
+              FROM ud
+              JOIN qf ON qf.qid = ud.qid
+              JOIN pqc p ON p.qid = ud.qid AND p.term = qf.term
+              LEFT JOIN tf ON tf.term = qf.term AND tf.doc_id = ud.doc_id
+              JOIN doclen dl ON dl.doc_id = ud.doc_id
+              JOIN qn ON qn.qid = ud.qid
+              GROUP BY ud.qid, ud.doc_id
+            ),
+            iranked AS (
+              SELECT qid, doc_id, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM iscores
+            ),
+            top5 AS (SELECT qid, doc_id, score FROM iranked WHERE rank <= 5),
+            cand AS (SELECT DISTINCT t5.qid, tf.term
+                     FROM top5 t5 JOIN tf ON tf.doc_id = t5.doc_id),
+            exp AS (
+              SELECT c.qid, c.term,
+                     SUM(t5.score * LN(fstats.sum_len / ct.ctf)
+                         * ((COALESCE(tf.tf, 0.0) + 40.0 * (ct.ctf / fstats.sum_len))
+                            / (dl.dl + 40.0))) AS score
+              FROM cand c
+              JOIN top5 t5 ON t5.qid = c.qid
+              JOIN ctf ct ON ct.term = c.term
+              JOIN doclen dl ON dl.doc_id = t5.doc_id
+              LEFT JOIN tf ON tf.doc_id = t5.doc_id AND tf.term = c.term
+              CROSS JOIN fstats
+              GROUP BY c.qid, c.term, fstats.sum_len
+            ),
+            eranked AS (
+              SELECT qid, term, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY score DESC, term ASC
+                     ) AS rank
+              FROM exp
+            )
+            SELECT qid, term, CAST(rank AS BIGINT) AS rank,
+                   FLOOR(score * 1000000000000) / 1000000000000 AS score_r
+            FROM eranked WHERE rank <= 8 ORDER BY qid, rank
+        """,
+        "ltr_features": f"""
+            -- full-analyzer LTR features: body/title token pipelines each
+            -- run the stemmer CTEs; field lengths count RAW tokens
+            -- (stopwords occupy positions); query terms pre-stemmed.
+            WITH {_FULL_TOKS_CTES},
+            traw AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(split_part(text, chr(10), 1)), '[0-9a-z]+')) AS w
+              FROM documents
+            ),
+            tnonstop AS (SELECT doc_id, w FROM traw
+                         WHERE w NOT IN ({_SQL_STOPLIST})),
+            {_sql_stem_ctes('tnonstop', 't_')},
+            utoks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                       '[0-9a-z]+')) AS term
+              FROM documents
+            ),
+            corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
+                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            nw AS (SELECT CAST((SELECT COUNT(*) FROM raw)
+                             + (SELECT COUNT(*) FROM traw)
+                             + (SELECT COUNT(*) FROM utoks) AS DOUBLE) AS num_words),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            stats_t AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df,
+                               CAST(COUNT(*) AS DOUBLE) AS ctf
+                        FROM toks GROUP BY term),
+            ttf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                    FROM t_stemmed GROUP BY doc_id, term),
+            tmag AS (SELECT doc_id, CAST(SUM(tf * tf) AS DOUBLE) AS mag
+                     FROM ttf GROUP BY doc_id),
+            q(qid, term) AS (VALUES {bm25_full_q}),
+            qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n FROM q GROUP BY qid),
+            scores AS (
+              SELECT q.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - s.df + 0.5) / (s.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fstats.sum_len / fstats.doc_count)))))
+                     ) AS score
+              FROM q
+              JOIN tf ON q.term = tf.term
+              JOIN stats_t s ON q.term = s.term
+              JOIN doclen dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY q.qid, tf.doc_id
+            ),
+            ranked AS (
+              SELECT qid, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                doc_id ASC
+                     ) AS rank
+              FROM scores
+            ),
+            cands AS (SELECT qid, doc_id FROM ranked WHERE rank <= 5),
+            feat_body AS (
+              SELECT c.qid, c.doc_id,
+                COALESCE(SUM(CASE WHEN t.tf IS NOT NULL THEN
+                  GREATEST(0.0, LN((corpus.n_docs - s.df + 0.5) / (s.df + 0.5)))
+                  * (t.tf / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fstats.sum_len / fstats.doc_count)))))
+                END), 0.0) AS f5,
+                COUNT(t.tf) AS f7,
+                product(CASE WHEN t.tf IS NOT NULL THEN
+                  pow((1.0 - 0.4) * ((t.tf + 1000.0 * (s.ctf / fstats.sum_len)) / (dl.dl + 1000.0))
+                      + 0.4 * (s.ctf / fstats.sum_len),
+                      1.0 / qn.n)
+                ELSE 1.0 END) AS f6raw,
+                MAX(CASE WHEN t.tf IS NOT NULL THEN
+                  LN(t.tf * 0.1 * nw.num_words / s.ctf)
+                END) AS zmax,
+                dl.dl AS dl
+              FROM cands c
+              JOIN q ON q.qid = c.qid
+              LEFT JOIN tf t ON t.term = q.term AND t.doc_id = c.doc_id
+              LEFT JOIN stats_t s ON s.term = q.term
+              JOIN doclen dl ON dl.doc_id = c.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats CROSS JOIN nw
+              JOIN qn ON qn.qid = c.qid
+              GROUP BY c.qid, c.doc_id, dl.dl, corpus.n_docs,
+                       fstats.sum_len, fstats.doc_count, nw.num_words, qn.n
+            ),
+            feat_title AS (
+              SELECT c.qid, c.doc_id, COALESCE(SUM(tt.tf), 0.0) AS inner_p
+              FROM cands c
+              JOIN q ON q.qid = c.qid
+              LEFT JOIN ttf tt ON tt.term = q.term AND tt.doc_id = c.doc_id
+              GROUP BY c.qid, c.doc_id
+            )
+            SELECT fb.qid,
+                   'https://example.org/doc/' || lpad(CAST(fb.doc_id AS VARCHAR), 12, '0') AS url,
+                   FLOOR(fb.f5 * 1000000) / 1000000 AS f5_r,
+                   FLOOR((CASE WHEN fb.f7 = 0 THEN 0.0 ELSE fb.f6raw END) * 1000000) / 1000000 AS f6_r,
+                   CAST(fb.f7 AS BIGINT) AS f7,
+                   FLOOR((CASE WHEN tm.mag IS NULL THEN 0.0
+                          ELSE ft.inner_p / (tm.mag * sqrt(qn.n)) END) * 1000000) / 1000000 AS f18_r,
+                   FLOOR((CASE WHEN fb.f7 = 0 THEN 0.0 ELSE fb.zmax / fb.dl END) * 1000000) / 1000000 AS f20_r
+            FROM feat_body fb
+            JOIN feat_title ft ON ft.qid = fb.qid AND ft.doc_id = fb.doc_id
+            LEFT JOIN tmag tm ON tm.doc_id = fb.doc_id
+            JOIN qn ON qn.qid = fb.qid
+            ORDER BY fb.qid, url
+        """,
+        "ltr_features_simple": f"""
+            -- LTR features over top-5 BM25-simple candidates: f5 BM25 body,
+            -- f6 Indri body (geometric over MATCHED stems, exponent
+            -- 1/|query terms|, 0 when no match), f7 match count, f18 title
+            -- cosine with the reference's unsquare-rooted doc magnitude
+            -- (QryEval.java:640,866), f20 body rarest-Zipf
+            -- (QryEval.java:560-883).
+            WITH toks AS ({_TOKS}),
+            ttoks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(split_part(text, chr(10), 1)), '[0-9a-z]+')) AS term
+              FROM documents
+            ),
+            utoks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                       '[0-9a-z]+')) AS term
+              FROM documents
+            ),
+            doclen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                       FROM toks GROUP BY doc_id),
+            corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            fstats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS doc_count,
+                              CAST(COUNT(*) AS DOUBLE) AS sum_len FROM toks),
+            nw AS (SELECT CAST((SELECT COUNT(*) FROM toks)
+                             + (SELECT COUNT(*) FROM ttoks)
+                             + (SELECT COUNT(*) FROM utoks) AS DOUBLE) AS num_words),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            stats_t AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df,
+                               CAST(COUNT(*) AS DOUBLE) AS ctf
+                        FROM toks GROUP BY term),
+            ttf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                    FROM ttoks GROUP BY doc_id, term),
+            tmag AS (SELECT doc_id, CAST(SUM(tf * tf) AS DOUBLE) AS mag
+                     FROM ttf GROUP BY doc_id),
+            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
+            qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n FROM q GROUP BY qid),
+            scores AS (
+              SELECT q.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - s.df + 0.5) / (s.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fstats.sum_len / fstats.doc_count)))))
+                     ) AS score
+              FROM q
+              JOIN tf ON q.term = tf.term
+              JOIN stats_t s ON q.term = s.term
+              JOIN doclen dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY q.qid, tf.doc_id
+            ),
+            ranked AS (
+              SELECT qid, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                doc_id ASC
+                     ) AS rank
+              FROM scores
+            ),
+            cands AS (SELECT qid, doc_id FROM ranked WHERE rank <= 5),
+            feat_body AS (
+              SELECT c.qid, c.doc_id,
+                COALESCE(SUM(CASE WHEN t.tf IS NOT NULL THEN
+                  GREATEST(0.0, LN((corpus.n_docs - s.df + 0.5) / (s.df + 0.5)))
+                  * (t.tf / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fstats.sum_len / fstats.doc_count)))))
+                END), 0.0) AS f5,
+                COUNT(t.tf) AS f7,
+                product(CASE WHEN t.tf IS NOT NULL THEN
+                  pow((1.0 - 0.4) * ((t.tf + 1000.0 * (s.ctf / fstats.sum_len)) / (dl.dl + 1000.0))
+                      + 0.4 * (s.ctf / fstats.sum_len),
+                      1.0 / qn.n)
+                ELSE 1.0 END) AS f6raw,
+                MAX(CASE WHEN t.tf IS NOT NULL THEN
+                  LN(t.tf * 0.1 * nw.num_words / s.ctf)
+                END) AS zmax,
+                dl.dl AS dl
+              FROM cands c
+              JOIN q ON q.qid = c.qid
+              LEFT JOIN tf t ON t.term = q.term AND t.doc_id = c.doc_id
+              LEFT JOIN stats_t s ON s.term = q.term
+              JOIN doclen dl ON dl.doc_id = c.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats CROSS JOIN nw
+              JOIN qn ON qn.qid = c.qid
+              GROUP BY c.qid, c.doc_id, dl.dl, corpus.n_docs,
+                       fstats.sum_len, fstats.doc_count, nw.num_words, qn.n
+            ),
+            feat_title AS (
+              SELECT c.qid, c.doc_id, COALESCE(SUM(tt.tf), 0.0) AS inner_p
+              FROM cands c
+              JOIN q ON q.qid = c.qid
+              LEFT JOIN ttf tt ON tt.term = q.term AND tt.doc_id = c.doc_id
+              GROUP BY c.qid, c.doc_id
+            )
+            SELECT fb.qid,
+                   'https://example.org/doc/' || lpad(CAST(fb.doc_id AS VARCHAR), 12, '0') AS url,
+                   FLOOR(fb.f5 * 1000000) / 1000000 AS f5_r,
+                   FLOOR((CASE WHEN fb.f7 = 0 THEN 0.0 ELSE fb.f6raw END) * 1000000) / 1000000 AS f6_r,
+                   CAST(fb.f7 AS BIGINT) AS f7,
+                   FLOOR((CASE WHEN tm.mag IS NULL THEN 0.0
+                          ELSE ft.inner_p / (tm.mag * sqrt(qn.n)) END) * 1000000) / 1000000 AS f18_r,
+                   FLOOR((CASE WHEN fb.f7 = 0 THEN 0.0 ELSE fb.zmax / fb.dl END) * 1000000) / 1000000 AS f20_r
+            FROM feat_body fb
+            JOIN feat_title ft ON ft.qid = fb.qid AND ft.doc_id = fb.doc_id
+            LEFT JOIN tmag tm ON tm.doc_id = fb.doc_id
+            JOIN qn ON qn.qid = fb.qid
+            ORDER BY fb.qid, url
         """,
         "similarity_join": """
             WITH e AS (

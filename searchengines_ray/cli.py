@@ -103,9 +103,75 @@ def cmd_search(args) -> None:
 
 
 def cmd_inspect(args) -> None:
+    """Index inspector (``InspectIndex.java:20-668`` analog): stats
+    (-list-stats), per-term postings (-list-postings), doc metadata
+    (-list-doc/-list-metadata), docid listing (-list-docids, external<->
+    internal id maps), field listing (-list-fields), per-field vocabulary
+    (-list-terms), and per-doc term-vector dumps (-list-termvector[-field],
+    forward index required — build with --forward)."""
     from .index.shard import load_stats, segment_dirs, Segment
 
     stats = load_stats(args.index)
+    if args.list == "fields":
+        from .analysis import FIELDS
+
+        for f in FIELDS:
+            print(f)
+        return
+    if args.list == "docids":
+        for d in segment_dirs(args.index):
+            seg = Segment(d)
+            for i, u in enumerate(seg.urls):
+                print(f"{int(seg.doc_ids[i])}\t{u}")
+        return
+    if args.list == "terms":
+        import pyarrow.parquet as pq
+
+        field = args.field or "body"
+        terms = set()
+        for d in segment_dirs(args.index):
+            import os
+
+            t = pq.read_table(
+                os.path.join(d, "postings.parquet"), columns=["field", "term"]
+            )
+            for f, term in zip(
+                t.column("field").to_pylist(), t.column("term").to_pylist()
+            ):
+                if f == field:
+                    terms.add(term)
+        for term in sorted(terms):
+            print(term)
+        return
+    if args.termvector:
+        want = args.termvector
+        fields = [args.field] if args.field else None
+        found = False
+        for d in segment_dirs(args.index):
+            seg = Segment(d)
+            hits = [
+                i
+                for i, u in enumerate(seg.urls)
+                if u == want or str(int(seg.doc_ids[i])) == want
+            ]
+            for i in hits:
+                found = True
+                doc_id = int(seg.doc_ids[i])
+                fwd = seg.forward()
+                for (fd, ff), ts in sorted(fwd.items()):
+                    if fd != doc_id or (fields and ff not in fields):
+                        continue
+                    print(f"# {seg.urls[i]} field={ff} len={len(ts)}")
+                    for pos, t in enumerate(ts):
+                        print(f"{pos}\t{t if t else '<stopword>'}")
+        if not found:
+            print(
+                "no term vector found (document missing, or index built "
+                "without --forward)",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        return
     if args.term:
         field = args.field or "body"
         total_df = total_ctf = 0
@@ -189,6 +255,10 @@ def main(argv=None) -> None:
     i.add_argument("--term")
     i.add_argument("--field")
     i.add_argument("--doc")
+    i.add_argument("--termvector", help="url or internal doc_id")
+    i.add_argument(
+        "--list", choices=["docids", "fields", "terms"], default=None
+    )
     i.add_argument("--postings", action="store_true")
     i.set_defaults(fn=cmd_inspect)
 

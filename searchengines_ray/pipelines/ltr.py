@@ -254,6 +254,58 @@ def feature_lines(
     ]
 
 
+# ------------------------------------------- external trainer (svm_rank)
+
+
+def run_external_trainer(params: dict) -> bool:
+    """Shell out to ``svm_rank_learn`` when the configured binary exists
+    (``/root/reference/QryEval/Utils.java:17-49``,
+    ``QryEval.java:977-1002``): learn ``-c C train_file model_file``.
+    Returns True iff the external model was trained; callers fall back to
+    the numpy stand-in otherwise (binary absent in this sandbox)."""
+    import os
+    import subprocess
+
+    learn = params.get("ltr:svmRankLearnPath")
+    if not learn or not os.path.exists(learn):
+        return False
+    cmd = [
+        learn,
+        "-c",
+        str(params.get("ltr:svmRankParamC", "0.001")),
+        params["ltr:trainingFeatureVectorsFile"],
+        params["ltr:modelFile"],
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"svm_rank_learn crashed: {proc.stderr}")
+    return True
+
+
+def run_external_classifier(params: dict) -> "np.ndarray | None":
+    """``svm_rank_classify test_file model_file score_file`` then read the
+    one-score-per-line output (``QryEval.java:1015-1023``; the reference
+    also appends ``-c C``, which svm_rank_classify ignores — we pass the
+    canonical 3 args).  None when the binary is absent."""
+    import os
+    import subprocess
+
+    cls = params.get("ltr:svmRankClassifyPath")
+    if not cls or not os.path.exists(cls):
+        return None
+    cmd = [
+        cls,
+        params["ltr:testingFeatureVectorsFile"],
+        params["ltr:modelFile"],
+        params["ltr:testingDocumentScores"],
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"svm_rank_classify crashed: {proc.stderr}")
+    with open(params["ltr:testingDocumentScores"]) as f:
+        return np.asarray([float(x) for x in f.read().split()], dtype=float)
+
+
 # ------------------------------------------------------- stand-in model
 
 

@@ -33,6 +33,8 @@ from .ltr import (
     feature_lines,
     normalize_features,
     rerank,
+    run_external_classifier,
+    run_external_trainer,
     train_pairwise_logistic,
 )
 from .prf import PrfParams, run_prf
@@ -164,7 +166,15 @@ def _run_ltr(params, engine, queries, out_path):
         with open(params["ltr:trainingFeatureVectorsFile"], "w") as f:
             f.write("\n".join(feature_lines(train_fvs, for_svm, disabled)) + "\n")
 
-    w = train_pairwise_logistic(train_fvs)
+    # external svm_rank path when the binary is configured AND present
+    # (QryEval.java:977-1002); numpy pairwise-logistic stand-in otherwise
+    external = (
+        for_svm
+        and "ltr:trainingFeatureVectorsFile" in params
+        and "ltr:modelFile" in params
+        and run_external_trainer(params)
+    )
+    w = None if external else train_pairwise_logistic(train_fvs)
 
     # test features over top-N BM25 candidates
     test_fvs = []
@@ -183,10 +193,19 @@ def _run_ltr(params, engine, queries, out_path):
         with open(params["ltr:testingFeatureVectorsFile"], "w") as f:
             f.write("\n".join(feature_lines(test_fvs, for_svm, disabled)) + "\n")
 
-    scores = classify(test_fvs, w)
-    if "ltr:testingDocumentScores" in params:
-        with open(params["ltr:testingDocumentScores"], "w") as f:
-            f.write("\n".join(repr(float(s)) for s in scores) + "\n")
+    scores = None
+    if (
+        external
+        and "ltr:testingFeatureVectorsFile" in params
+        and "ltr:testingDocumentScores" in params
+    ):
+        scores = run_external_classifier(params)
+    if scores is None:
+        scores = classify(test_fvs, w if w is not None else
+                          train_pairwise_logistic(train_fvs))
+        if "ltr:testingDocumentScores" in params:
+            with open(params["ltr:testingDocumentScores"], "w") as f:
+                f.write("\n".join(repr(float(s)) for s in scores) + "\n")
     write_trec(rerank(test_fvs, scores, top_n), out_path)
 
 

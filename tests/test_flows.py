@@ -220,3 +220,90 @@ def test_prf_expansion_engine_matches_oracle_inputs(setup):
             top_docs, tvs, ctf_of, float(oidx.sum_field_len["body"]), params
         )
         assert exp_terms[qid] == want, (qid, exp_terms[qid][:3], want[:3])
+
+
+def test_flow_b_ltr_external_trainer(setup):
+    """svm_rank subprocess path (Utils.java:17-49 contract) exercised with
+    fake binaries: learn writes a model file, classify writes one score per
+    test line; the flow must route through them when paths are configured."""
+    import os
+    import stat
+
+    root, idx_dir, eng, oidx = setup
+    lines = []
+    for qid, qtext in [("1", "w0001 w0005"), ("2", "w0002")]:
+        res = run_query(oidx, qtext, BM25(), k=6)
+        for i, (_, url, _) in enumerate(res):
+            lines.append(f"{qid} 0 {url} {2 if i < 2 else 0}")
+    (root / "ext.qrels").write_text("\n".join(lines) + "\n")
+    (root / "ext.qry").write_text("1:w0001 w0005\n2:w0002\n")
+
+    learn = root / "fake_svm_rank_learn"
+    learn.write_text(
+        "#!/bin/sh\n"
+        '# args: -c C train model\n'
+        'echo "fake model" > "$4"\n'
+    )
+    cls = root / "fake_svm_rank_classify"
+    cls.write_text(
+        "#!/bin/sh\n"
+        '# args: test model scores -> line i scores i.5\n'
+        'n=$(wc -l < "$1")\n'
+        'seq 1 "$n" | awk \'{print $1 ".5"}\' > "$3"\n'
+    )
+    for p in (learn, cls):
+        os.chmod(p, os.stat(p).st_mode | stat.S_IEXEC)
+
+    param = root / "ltr_ext.param"
+    out = root / "ltr_ext.teIn"
+    param.write_text(
+        f"indexPath={idx_dir}\nqueryFilePath={root}/ext.qry\n"
+        f"trecEvalOutputPath={out}\nretrievalAlgorithm=ltr\n"
+        "BM25:k_1=1.2\nBM25:b=0.75\nBM25:k_3=0\n"
+        "Indri:mu=1000\nIndri:lambda=0.4\ntrecEvalOutputLength=8\n"
+        f"ltr:trainingQrelsFile={root}/ext.qrels\n"
+        f"ltr:trainingQueryFile={root}/ext.qry\n"
+        f"ltr:trainingFeatureVectorsFile={root}/ext.train\n"
+        f"ltr:testingFeatureVectorsFile={root}/ext.test\n"
+        f"ltr:testingDocumentScores={root}/ext.scores\n"
+        f"ltr:modelFile={root}/ext.model\n"
+        f"ltr:svmRankLearnPath={learn}\n"
+        f"ltr:svmRankClassifyPath={cls}\n"
+        "ltr:svmRankParamC=0.001\n"
+        "ltr:toolkit=SVMRank\n"
+    )
+    run_param_file(str(param), eng)
+    assert (root / "ext.model").read_text().strip() == "fake model"
+    n_test = len((root / "ext.test").read_text().splitlines())
+    got_scores = (root / "ext.scores").read_text().split()
+    assert len(got_scores) == n_test and got_scores[0] == "1.5"
+    got = read_trec_ranking(str(out))
+    # classify scores are descending by line => rerank keeps per-query order
+    assert set(got) == {"1", "2"} and all(len(v) > 0 for v in got.values())
+
+
+def test_inspect_termvector_cli(setup, capsys):
+    """-list-termvector[-field] analog: per-position dump from the forward
+    index (InspectIndex.java:345-366)."""
+    from searchengines_ray.cli import main
+
+    root, idx_dir, eng, oidx = setup
+    from searchengines_ray.index.shard import Segment, segment_dirs
+
+    seg = Segment(segment_dirs(idx_dir)[0])
+    url = seg.urls[0]
+    main(["inspect", "--index", idx_dir, "--termvector", url,
+          "--field", "body"])
+    out = capsys.readouterr().out
+    assert f"# {url} field=body" in out
+    lines = [l for l in out.splitlines() if "\t" in l]
+    assert lines and lines[0].split("\t")[0] == "0"
+    # docid listing
+    main(["inspect", "--index", idx_dir, "--list", "docids"])
+    out = capsys.readouterr().out
+    assert url in out
+    # field vocabulary listing
+    main(["inspect", "--index", idx_dir, "--list", "terms",
+          "--field", "body"])
+    out = capsys.readouterr().out
+    assert "w0001" in out.splitlines()
