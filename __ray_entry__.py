@@ -258,14 +258,19 @@ def _q_indri_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_structured(sf_dir: str) -> pd.DataFrame:
+    """Structured operators (#NEAR/#WINDOW/#SYN/#AND/#OR/#WAND/#WSUM/#SUM)
+    under BM25 on the full analyzer — SQL-checked: the oracle simulates the
+    positional two-pointer alignments with recursive CTEs."""
     eng = _engine(sf_dir, simple=False)
-    return _engine_out(eng.search_batch(STRUCTURED_QUERIES, BM25(), k=20))
+    return _simple_ranked(eng.search_batch(STRUCTURED_QUERIES, BM25(), k=None))
 
 
 def _q_structured_indri(sf_dir: str) -> pd.DataFrame:
+    """Structured battery under Indri(mu=800, lam=0.5) — SQL-checked
+    (default-score fallbacks included)."""
     eng = _engine(sf_dir, simple=False)
-    return _engine_out(
-        eng.search_batch(STRUCTURED_QUERIES, Indri(mu=800.0, lam=0.5), k=20)
+    return _simple_ranked(
+        eng.search_batch(STRUCTURED_QUERIES, Indri(mu=800.0, lam=0.5), k=None)
     )
 
 
@@ -561,28 +566,45 @@ def _q_prf_expansion(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "term", "rank", "score_r"])
 
 
+DIVERSITY_INTENTS = {
+    "q3": ["spark", "join window"],
+    "q4": ["customer", "query fast"],
+}
+
+
 def _q_diversity(sf_dir: str, algorithm: str) -> pd.DataFrame:
+    """xQuAD / PM2 diversification — SQL-checked via a recursive-CTE greedy
+    that replicates the engine's float expression trees exactly (left-fold
+    products/sums in selection order, TreeMap tie-break = (score desc,
+    index desc)).  Input rankings are FLOORED to 1e-6 so both engines feed
+    the greedy identical reals."""
     from searchengines_ray.pipelines.diversity import diversify
 
     eng = _engine(sf_dir, simple=False)
-    intents = {"q3": ["", "spark", "join window"], "q4": ["", "customer", "query fast"]}
-    flat = [(q, t) for q, t in BM25_QUERIES if q in intents]
-    for qid, its in intents.items():
-        for j, it in enumerate(its):
-            if j >= 1:
-                flat.append((f"{qid}.{j}", it))
-    res = eng.search_batch(flat, BM25(), k=20)
+    flat = [(q, t) for q, t in BM25_QUERIES if q in DIVERSITY_INTENTS]
+    for qid, its in DIVERSITY_INTENTS.items():
+        for j, it in enumerate(its, 1):
+            flat.append((f"{qid}.{j}", it))
+    res = eng.search_batch(flat, BM25(), k=None)
+    res = res.copy()
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    res = res[res["rank"] <= 20]
     rankings = {
         qid: list(
-            zip(res[res.qid == qid].url, res[res.qid == qid].score)
+            zip(res[res.qid == qid].url, res[res.qid == qid].score_r)
         )
         for qid, _ in flat
     }
     rows = []
-    for qid in intents:
+    for qid in DIVERSITY_INTENTS:
         ilists = [[]] + [
             rankings.get(f"{qid}.{j}", [])
-            for j in range(1, len(intents[qid]))
+            for j in range(1, len(DIVERSITY_INTENTS[qid]) + 1)
         ]
         ranked = diversify(
             qid, rankings.get(qid, []), ilists, algorithm=algorithm,
@@ -844,19 +866,19 @@ def _sql_strip_expr(n: int) -> str:
     )
 
 
-def _sql_stem_ctes(src: str = "nonstop", prefix: str = "") -> str:
-    """CTE fragment mapping {src}(doc_id, w) -> {prefix}stemmed(doc_id,
-    term); prefix allows two stemmer instantiations (body + title) in one
-    WITH."""
+def _sql_stem_ctes(src: str = "nonstop", prefix: str = "", extra: str = "") -> str:
+    """CTE fragment mapping {src}(doc_id{extra}, w) -> {prefix}stemmed
+    (doc_id{extra}, term); prefix allows multiple stemmer instantiations in
+    one WITH; extra carries pass-through columns (e.g. ", pos")."""
     p = prefix
     return f"""
   {p}st0 AS (
-    SELECT doc_id, w,
+    SELECT doc_id{extra}, w,
            (length(w) <= 3 OR NOT regexp_matches(w, '^[a-z]+$')) AS done
     FROM {src}
   ),
   {p}st1 AS (
-    SELECT doc_id, done,
+    SELECT doc_id{extra}, done,
       CASE WHEN done THEN w
            WHEN w LIKE '%ies' AND length(w) > 4
              THEN substr(w, 1, length(w) - 3) || 'y'
@@ -868,9 +890,9 @@ def _sql_stem_ctes(src: str = "nonstop", prefix: str = "") -> str:
            ELSE w END AS w
     FROM {p}st0
   ),
-  {p}st2 AS (SELECT doc_id, w, (done OR length(w) <= 3) AS done FROM {p}st1),
+  {p}st2 AS (SELECT doc_id{extra}, w, (done OR length(w) <= 3) AS done FROM {p}st1),
   {p}st3 AS (
-    SELECT doc_id,
+    SELECT doc_id{extra},
       CASE WHEN done THEN w
            WHEN w LIKE '%ied' AND length(w) > 4
              THEN substr(w, 1, length(w) - 3) || 'y'
@@ -882,7 +904,7 @@ def _sql_stem_ctes(src: str = "nonstop", prefix: str = "") -> str:
     FROM {p}st2
   ),
   {p}stemmed AS (
-    SELECT doc_id,
+    SELECT doc_id{extra},
       CASE WHEN done THEN w
            WHEN w LIKE '%ing' AND length(w) > 5 THEN {_sql_strip_expr(3)}
            ELSE w END AS term
@@ -969,11 +991,502 @@ _SHINGLE_PAIRS = r"""
 """
 
 
+_URL_EXPR = (
+    "'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+)
+
+
+def _structured_sql(model: str) -> str:
+    """Oracle for the structured query battery (#NEAR/#WINDOW/#SYN/#AND/
+    #OR/#WAND/#WSUM/#SUM) under BM25 or Indri(mu=800, lam=0.5) on the FULL
+    analyzer.
+
+    #NEAR and #WINDOW are evaluated with RECURSIVE CTEs that simulate the
+    reference's two-pointer alignment exactly (QryIopNear.java:60-179 /
+    QryIopWindow.java:55-178): one recursion level per outer-loop
+    iteration, position lists carried as list columns, depth bounded by
+    per-doc tf.  Float trees mirror the engine: weights summed as DOUBLEs
+    (0.7+0.3 != 1.0 — faithfully), literal constants where python computes
+    the same double, sums in arg order (2-term adds are commutative-safe).
+    """
+    # positional ops: (name, term_a, term_b, dist, kind)
+    ops = [
+        ("n1", "hash", "join", 2, "near"),
+        ("w1", "window", "agg", 4, "window"),
+        ("n2", "stream", "batch", 3, "near"),
+    ]
+    terms = [
+        "spark", "join", "merge", "dup", "batch", "scan", "filter", "key",
+    ]
+
+    def b_leaf(tf, df, dl):
+        return (
+            f"GREATEST(0.0, LN((corpus.n_docs - {df} + 0.5) / ({df} + 0.5)))"
+            f" * ({tf} / ({tf} + 1.2 * ((1.0 - 0.75) + 0.75 * ({dl} / (fstats.sum_len / fstats.doc_count)))))"
+        )
+
+    def i_pqc(ctf):
+        return (
+            f"((CASE WHEN {ctf} = 0.0 THEN 0.5 ELSE {ctf} END)"
+            f" / fstats.sum_len)"
+        )
+
+    def i_leaf(tf, ctf, dl):
+        pqc = i_pqc(ctf)
+        return (
+            f"((1.0 - 0.5) * (({tf} + 800.0 * {pqc}) / ({dl} + 800.0))"
+            f" + 0.5 * {pqc})"
+        )
+
+    pos_ctes = []
+    for name, ta, tb, dist, kind in ops:
+        pos_ctes.append(f"""
+            {name}_pl AS (
+              SELECT doc_id,
+                list(pos ORDER BY pos) FILTER (WHERE term = '{ta}') AS pa,
+                list(pos ORDER BY pos) FILTER (WHERE term = '{tb}') AS pb
+              FROM ptoks WHERE term IN ('{ta}', '{tb}')
+              GROUP BY doc_id
+              HAVING COUNT(DISTINCT term) = 2
+            )""")
+        if kind == "near":
+            pos_ctes.append(f"""
+            {name}_step(doc_id, ia, ib, m, pa, pb, done) AS (
+              SELECT doc_id, 1, 1, 0, pa, pb, FALSE FROM {name}_pl
+              UNION ALL
+              SELECT s.doc_id,
+                     CASE WHEN t.fin THEN s.ia ELSE s.ia + 1 END,
+                     CASE WHEN t.fin THEN s.ib
+                          WHEN t.mtch THEN t.nib + 1 ELSE t.nib END,
+                     s.m + CASE WHEN t.mtch THEN 1 ELSE 0 END,
+                     s.pa, s.pb, t.fin
+              FROM {name}_step s, LATERAL (
+                SELECT (u.fin1 OR u.nib > len(s.pb)) AS fin,
+                       u.nib,
+                       (NOT (u.fin1 OR u.nib > len(s.pb)))
+                         AND (s.pb[u.nib] - s.pa[s.ia] <= {dist}) AS mtch
+                FROM (SELECT s.ia > len(s.pa) AS fin1,
+                             CASE WHEN s.ia > len(s.pa) THEN s.ib
+                                  ELSE GREATEST(s.ib,
+                                    1 + len(list_filter(s.pb,
+                                          p -> p <= s.pa[s.ia])))
+                             END AS nib) u
+              ) t
+              WHERE NOT s.done
+            )""")
+        else:
+            pos_ctes.append(f"""
+            {name}_step(doc_id, ia, ib, m, pa, pb, done) AS (
+              SELECT doc_id, 1, 1, 0, pa, pb, FALSE FROM {name}_pl
+              UNION ALL
+              SELECT s.doc_id,
+                     CASE WHEN t.fin THEN s.ia
+                          WHEN t.mtch THEN s.ia + 1
+                          WHEN s.pa[s.ia] < s.pb[s.ib] THEN s.ia + 1
+                          ELSE s.ia END,
+                     CASE WHEN t.fin THEN s.ib
+                          WHEN t.mtch THEN s.ib + 1
+                          WHEN s.pb[s.ib] < s.pa[s.ia] THEN s.ib + 1
+                          ELSE s.ib END,
+                     s.m + CASE WHEN t.mtch THEN 1 ELSE 0 END,
+                     s.pa, s.pb, t.fin
+              FROM {name}_step s, LATERAL (
+                SELECT (s.ia > len(s.pa) OR s.ib > len(s.pb)) AS fin,
+                       (NOT (s.ia > len(s.pa) OR s.ib > len(s.pb)))
+                         AND (GREATEST(s.pa[s.ia], s.pb[s.ib])
+                              - LEAST(s.pa[s.ia], s.pb[s.ib]) < {dist}) AS mtch
+              ) t
+              WHERE NOT s.done
+            )""")
+        pos_ctes.append(f"""
+            {name}_tf AS (SELECT doc_id, CAST(m AS DOUBLE) AS tf
+                          FROM {name}_step WHERE done AND m > 0),
+            {name}_st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS df,
+                                 COALESCE(SUM(tf), 0.0) AS ctf
+                          FROM {name}_tf)""")
+
+    tp_cols = ",\n                ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN tf END) AS tf_{t}" for t in terms
+    )
+    tsp_cols = ",\n                ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN df END), 0.0) AS df_{t},\n"
+        f"                COALESCE(MAX(CASE WHEN term = '{t}' THEN ctf END), 0.0) AS ctf_{t}"
+        for t in terms
+    )
+    base = f"""
+            WITH RECURSIVE {_FULL_TOKS_CTES},
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
+                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            stats_t AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df,
+                               CAST(COUNT(*) AS DOUBLE) AS ctf
+                        FROM toks GROUP BY term),
+            rawl AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+                     FROM documents),
+            rawp AS (SELECT doc_id, unnest(ws) AS w,
+                            unnest(generate_series(0, len(ws) - 1)) AS pos
+                     FROM rawl),
+            pns AS (SELECT doc_id, pos, w FROM rawp
+                    WHERE w NOT IN ({_SQL_STOPLIST})),
+            {_sql_stem_ctes('pns', 'p_', ', pos')},
+            ptoks AS (SELECT doc_id, pos, term FROM p_stemmed
+                      WHERE term IN ('hash', 'join', 'window', 'agg',
+                                     'stream', 'batch')),
+            {','.join(pos_ctes)},
+            syn_tf AS (SELECT doc_id, SUM(tf) AS tf FROM tf
+                       WHERE term IN ('dup', 'key') GROUP BY doc_id),
+            syn_st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS df,
+                              COALESCE(SUM(tf), 0.0) AS ctf FROM syn_tf),
+            tpv AS (
+              SELECT doc_id,
+                {tp_cols}
+              FROM tf WHERE term IN ({', '.join(f"'{t}'" for t in terms)})
+              GROUP BY doc_id
+            ),
+            tsp AS (
+              SELECT
+                {tsp_cols}
+              FROM stats_t WHERE term IN ({', '.join(f"'{t}'" for t in terms)})
+            )"""
+
+    tw = "(CAST(0.7 AS DOUBLE) + CAST(0.3 AS DOUBLE))"
+    if model == "bm25":
+        def tleaf(t):
+            return b_leaf(f"tpv.tf_{t}", f"tsp.df_{t}", "dl.dl")
+
+        score_sql = f"""
+            s_all AS (
+              SELECT 's1' AS qid, t.doc_id,
+                     {b_leaf('t.tf', 'n1_st.df', 'dl.dl')} AS score
+              FROM n1_tf t JOIN doclen dl ON dl.doc_id = t.doc_id
+              CROSS JOIN n1_st CROSS JOIN corpus CROSS JOIN fstats
+              UNION ALL
+              SELECT 's2', t.doc_id,
+                     {b_leaf('t.tf', 'w1_st.df', 'dl.dl')}
+              FROM w1_tf t JOIN doclen dl ON dl.doc_id = t.doc_id
+              CROSS JOIN w1_st CROSS JOIN corpus CROSS JOIN fstats
+              UNION ALL
+              SELECT 's3', t.doc_id,
+                     {b_leaf('t.tf', 'syn_st.df', 'dl.dl')}
+              FROM syn_tf t JOIN doclen dl ON dl.doc_id = t.doc_id
+              CROSS JOIN syn_st CROSS JOIN corpus CROSS JOIN fstats
+              UNION ALL
+              SELECT 's4', tpv.doc_id,
+                     LEAST({tleaf('spark')},
+                           CASE WHEN tpv.tf_join IS NULL THEN {tleaf('merge')}
+                                WHEN tpv.tf_merge IS NULL THEN {tleaf('join')}
+                                ELSE GREATEST({tleaf('join')}, {tleaf('merge')})
+                           END)
+              FROM tpv JOIN doclen dl ON dl.doc_id = tpv.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats CROSS JOIN tsp
+              WHERE tpv.tf_spark IS NOT NULL
+                AND (tpv.tf_join IS NOT NULL OR tpv.tf_merge IS NOT NULL)
+              UNION ALL
+              SELECT 's5', tpv.doc_id,
+                     pow(COALESCE({tleaf('dup')}, 0.0),
+                         CAST(0.7 AS DOUBLE) / {tw})
+                     * pow(COALESCE({tleaf('batch')}, 0.0),
+                           CAST(0.3 AS DOUBLE) / {tw})
+              FROM tpv JOIN doclen dl ON dl.doc_id = tpv.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats CROSS JOIN tsp
+              WHERE tpv.tf_dup IS NOT NULL OR tpv.tf_batch IS NOT NULL
+              UNION ALL
+              SELECT 's6', tpv.doc_id,
+                     COALESCE({tleaf('scan')} * (((0.0 + 1.0) * 0.5) / (0.0 + 0.5)), 0.0)
+                     + COALESCE({tleaf('filter')} * (((0.0 + 1.0) * 0.5) / (0.0 + 0.5)), 0.0)
+              FROM tpv JOIN doclen dl ON dl.doc_id = tpv.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats CROSS JOIN tsp
+              WHERE tpv.tf_scan IS NOT NULL OR tpv.tf_filter IS NOT NULL
+              UNION ALL
+              SELECT 's7', dl.doc_id,
+                     COALESCE({b_leaf('n.tf', 'n2_st.df', 'dl.dl')}, 0.0)
+                     + COALESCE({b_leaf('tpv.tf_dup', 'tsp.df_dup', 'dl.dl')}, 0.0)
+              FROM doclen dl
+              LEFT JOIN n2_tf n ON n.doc_id = dl.doc_id
+              LEFT JOIN tpv ON tpv.doc_id = dl.doc_id
+              CROSS JOIN n2_st CROSS JOIN corpus CROSS JOIN fstats
+              CROSS JOIN tsp
+              WHERE n.tf IS NOT NULL OR tpv.tf_dup IS NOT NULL
+            )"""
+    else:
+        def sleaf(t):
+            return i_leaf(f"COALESCE(tpv.tf_{t}, 0.0)", f"tsp.ctf_{t}", "dl.dl")
+
+        or_jm = (
+            f"(1.0 - (1.0 * (1.0 - {sleaf('join')})) * (1.0 - {sleaf('merge')}))"
+        )
+        score_sql = f"""
+            s_all AS (
+              SELECT 's1' AS qid, t.doc_id,
+                     {i_leaf('t.tf', 'n1_st.ctf', 'dl.dl')} AS score
+              FROM n1_tf t JOIN doclen dl ON dl.doc_id = t.doc_id
+              CROSS JOIN n1_st CROSS JOIN fstats
+              UNION ALL
+              SELECT 's2', t.doc_id,
+                     {i_leaf('t.tf', 'w1_st.ctf', 'dl.dl')}
+              FROM w1_tf t JOIN doclen dl ON dl.doc_id = t.doc_id
+              CROSS JOIN w1_st CROSS JOIN fstats
+              UNION ALL
+              SELECT 's3', t.doc_id,
+                     {i_leaf('t.tf', 'syn_st.ctf', 'dl.dl')}
+              FROM syn_tf t JOIN doclen dl ON dl.doc_id = t.doc_id
+              CROSS JOIN syn_st CROSS JOIN fstats
+              UNION ALL
+              SELECT 's4', tpv.doc_id,
+                     pow({sleaf('spark')}, 0.5) * pow({or_jm}, 0.5)
+              FROM tpv JOIN doclen dl ON dl.doc_id = tpv.doc_id
+              CROSS JOIN fstats CROSS JOIN tsp
+              WHERE tpv.tf_spark IS NOT NULL OR tpv.tf_join IS NOT NULL
+                 OR tpv.tf_merge IS NOT NULL
+              UNION ALL
+              SELECT 's5', tpv.doc_id,
+                     pow({sleaf('dup')}, CAST(0.7 AS DOUBLE) / {tw})
+                     * pow({sleaf('batch')}, CAST(0.3 AS DOUBLE) / {tw})
+              FROM tpv JOIN doclen dl ON dl.doc_id = tpv.doc_id
+              CROSS JOIN fstats CROSS JOIN tsp
+              WHERE tpv.tf_dup IS NOT NULL OR tpv.tf_batch IS NOT NULL
+              UNION ALL
+              SELECT 's6', tpv.doc_id,
+                     ({sleaf('scan')} * (CAST(0.5 AS DOUBLE) / (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE))))
+                     + ({sleaf('filter')} * (CAST(0.5 AS DOUBLE) / (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE))))
+              FROM tpv JOIN doclen dl ON dl.doc_id = tpv.doc_id
+              CROSS JOIN fstats CROSS JOIN tsp
+              WHERE tpv.tf_scan IS NOT NULL OR tpv.tf_filter IS NOT NULL
+              UNION ALL
+              SELECT 's7', dl.doc_id,
+                     {i_leaf('COALESCE(n.tf, 0.0)', 'n2_st.ctf', 'dl.dl')}
+                     + {i_leaf('COALESCE(tpv.tf_dup, 0.0)', 'tsp.ctf_dup', 'dl.dl')}
+              FROM doclen dl
+              LEFT JOIN n2_tf n ON n.doc_id = dl.doc_id
+              LEFT JOIN tpv ON tpv.doc_id = dl.doc_id
+              CROSS JOIN n2_st CROSS JOIN fstats CROSS JOIN tsp
+              WHERE n.tf IS NOT NULL OR tpv.tf_dup IS NOT NULL
+            )"""
+
+    sql = base + "," + score_sql + f""",
+            ranked AS (
+              SELECT qid, {_URL_EXPR} AS url,
+                     FLOOR(score * 1000000) / 1000000 AS score_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                {_URL_EXPR} ASC
+                     ) AS rank
+              FROM s_all
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """
+    # MATERIALIZE the shared CTEs: 7 score branches referencing inlined
+    # copies of the stemmer/recursion chains made the planner blow memory
+    for name in (
+        "toks AS (", "tf AS (", "stats_t AS (", "doclen AS (",
+        "ptoks AS (", "tpv AS (", "syn_tf AS (",
+        "n1_pl AS (", "w1_pl AS (", "n2_pl AS (",
+        "n1_tf AS (", "w1_tf AS (", "n2_tf AS (",
+    ):
+        sql = sql.replace(name, name.replace("AS (", "AS MATERIALIZED ("))
+    return sql
+
+
+def _diversity_sql(algorithm: str) -> str:
+    """Recursive-CTE greedy diversification oracle (xQuAD / PM2).
+
+    Float-exactness strategy: inputs are the FLOORED BM25 rankings (both
+    engines agree bit-for-bit), and every internal expression replicates
+    the engine's evaluation tree — ordered left-fold sums/products via
+    ``list_reduce`` over selection-ordered lists, literals CAST to DOUBLE,
+    2-intent sums (single addition — commutative, hence order-safe), and
+    the TreeMap candidate pick = ORDER BY (score DESC, idx DESC) LIMIT 1
+    (QryEval.java:398-417 overwrite semantics)."""
+    rank_queries = []
+    qtext_of = dict(BM25_QUERIES)
+    pmap_vals = []
+    for qid, its in DIVERSITY_INTENTS.items():
+        rank_queries.append((qid, qtext_of[qid]))
+        for j, it in enumerate(its, 1):
+            rank_queries.append((f"{qid}_i{j}", it))
+            pmap_vals.append(f"('{qid}', '{qid}_i{j}', {j})")
+    vals = _stemmed_query_values(rank_queries)
+    parents = ", ".join(f"'{q}'" for q in DIVERSITY_INTENTS)
+    url_expr = (
+        "'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+    )
+    base = f"""
+            WITH RECURSIVE {_FULL_TOKS_CTES},
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
+                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            dq(qid, term) AS (VALUES {vals}),
+            dscores AS (
+              SELECT dq.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (doclen.dl / (fstats.sum_len / fstats.doc_count)))))
+                     ) AS score
+              FROM dq
+              JOIN tf ON dq.term = tf.term
+              JOIN df ON dq.term = df.term
+              JOIN doclen ON tf.doc_id = doclen.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY dq.qid, tf.doc_id
+            ),
+            dtop AS (
+              SELECT * FROM (
+                SELECT qid, {url_expr} AS url,
+                       FLOOR(score * 1000000) / 1000000 AS score_r,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY qid
+                         ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                  {url_expr} ASC
+                       ) AS rank
+                FROM dscores
+              ) WHERE rank <= 20
+            ),
+            pmap(parent, iqid, j) AS (VALUES {', '.join(pmap_vals)}),
+            pr AS (SELECT qid AS parent, url, score_r, rank FROM dtop
+                   WHERE qid IN ({parents})),
+            irq AS (
+              SELECT m.parent, m.j, d.url, d.score_r
+              FROM dtop d
+              JOIN pmap m ON m.iqid = d.qid
+              JOIN pr ON pr.parent = m.parent AND pr.url = d.url
+            ),
+            ssums AS (
+              SELECT m.parent, m.j,
+                COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(i.score_r ORDER BY i.score_r DESC, i.url ASC)
+                    FILTER (i.url IS NOT NULL)),
+                  (a, b) -> a + b), CAST(0.0 AS DOUBLE)) AS ssum,
+                COALESCE(bool_or(i.score_r > 1.0), FALSE) AS overone
+              FROM (SELECT DISTINCT parent, j FROM pmap) m
+              LEFT JOIN irq i ON i.parent = m.parent AND i.j = m.j
+              GROUP BY m.parent, m.j
+            ),
+            qsums AS (
+              SELECT parent,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(score_r ORDER BY score_r DESC, url ASC)),
+                  (a, b) -> a + b) AS qsum,
+                bool_or(score_r > 1.0) AS overone,
+                CAST(COUNT(*) AS DOUBLE) AS lim
+              FROM pr GROUP BY parent
+            ),
+            norm AS (
+              SELECT q.parent,
+                CASE WHEN q.overone OR bool_or(s.overone)
+                     THEN GREATEST(MAX(s.ssum), q.qsum)
+                     ELSE CAST(1.0 AS DOUBLE) END AS largest,
+                q.lim
+              FROM qsums q JOIN ssums s ON s.parent = q.parent
+              GROUP BY q.parent, q.qsum, q.overone, q.lim
+            ),
+            cand AS (
+              SELECT pr.parent AS qid, pr.rank - 1 AS idx, pr.url,
+                     pr.score_r / n.largest AS qscore,
+                     COALESCE(i1.score_r, CAST(0.0 AS DOUBLE)) / n.largest AS s1,
+                     COALESCE(i2.score_r, CAST(0.0 AS DOUBLE)) / n.largest AS s2,
+                     n.lim
+              FROM pr
+              JOIN norm n ON n.parent = pr.parent
+              LEFT JOIN irq i1 ON i1.parent = pr.parent AND i1.j = 1
+                              AND i1.url = pr.url
+              LEFT JOIN irq i2 ON i2.parent = pr.parent AND i2.j = 2
+                              AND i2.url = pr.url
+            )"""
+    if algorithm == "xquad":
+        return base + f""",
+            step(qid, iter, sel, neg1, neg2, url, score) AS (
+              SELECT parent, 0, CAST([] AS BIGINT[]),
+                     CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[]),
+                     CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+              FROM (SELECT DISTINCT parent FROM pr)
+              UNION ALL
+              SELECT s.qid, s.iter + 1, list_append(s.sel, b.idx),
+                     list_append(s.neg1, CAST(1.0 AS DOUBLE) - b.s1),
+                     list_append(s.neg2, CAST(1.0 AS DOUBLE) - b.s2),
+                     b.url, b.score
+              FROM step s, LATERAL (
+                SELECT c.idx, c.url, c.s1, c.s2,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE)) * c.qscore
+                  + CAST(0.6 AS DOUBLE) * (
+                      list_reduce(list_prepend(CAST(0.5 AS DOUBLE) * c.s1, s.neg1),
+                                  (a, b) -> a * b)
+                      + list_reduce(list_prepend(CAST(0.5 AS DOUBLE) * c.s2, s.neg2),
+                                    (a, b) -> a * b)
+                    ) AS score
+                FROM cand c
+                WHERE c.qid = s.qid AND NOT list_contains(s.sel, c.idx)
+                ORDER BY score DESC, c.idx DESC
+                LIMIT 1
+              ) b
+              WHERE s.iter < 10
+            )
+            SELECT qid, url, CAST(iter AS BIGINT) AS rank,
+                   FLOOR(score * 1000000000) / 1000000000 AS score_r
+            FROM step WHERE iter >= 1 ORDER BY qid, rank
+        """
+    # PM2
+    return base + f""",
+            step(qid, iter, sel, s1, s2, v, url, score) AS (
+              SELECT parent, 0, CAST([] AS BIGINT[]),
+                     CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                     CAST(0.5 AS DOUBLE) * lim,
+                     CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+              FROM norm
+              UNION ALL
+              SELECT s.qid, s.iter + 1, list_append(s.sel, b.idx),
+                     CASE WHEN b.cs1 + b.cs2 <> 0.0
+                          THEN s.s1 + b.cs1 / (b.cs1 + b.cs2) ELSE s.s1 END,
+                     CASE WHEN b.cs1 + b.cs2 <> 0.0
+                          THEN s.s2 + b.cs2 / (b.cs1 + b.cs2) ELSE s.s2 END,
+                     s.v, b.url, b.score
+              FROM step s, LATERAL (
+                SELECT c.idx, c.url, c.s1 AS cs1, c.s2 AS cs2,
+                  CASE WHEN (s.v / (CAST(2.0 AS DOUBLE) * s.s2 + CAST(1.0 AS DOUBLE)))
+                          > (s.v / (CAST(2.0 AS DOUBLE) * s.s1 + CAST(1.0 AS DOUBLE)))
+                       THEN CAST(0.6 AS DOUBLE)
+                            * (s.v / (CAST(2.0 AS DOUBLE) * s.s2 + CAST(1.0 AS DOUBLE)))
+                            * c.s2
+                            + (CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE))
+                            * ((s.v / (CAST(2.0 AS DOUBLE) * s.s1 + CAST(1.0 AS DOUBLE))) * c.s1)
+                       ELSE CAST(0.6 AS DOUBLE)
+                            * (s.v / (CAST(2.0 AS DOUBLE) * s.s1 + CAST(1.0 AS DOUBLE)))
+                            * c.s1
+                            + (CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE))
+                            * ((s.v / (CAST(2.0 AS DOUBLE) * s.s2 + CAST(1.0 AS DOUBLE))) * c.s2)
+                  END AS score
+                FROM cand c
+                WHERE c.qid = s.qid AND NOT list_contains(s.sel, c.idx)
+                ORDER BY score DESC, c.idx DESC
+                LIMIT 1
+              ) b
+              WHERE s.iter < 10
+            ),
+            firsts AS (SELECT qid, score AS first FROM step WHERE iter = 1)
+            SELECT st.qid, st.url, CAST(st.iter AS BIGINT) AS rank,
+                   FLOOR((CASE WHEN st.iter > 1 AND st.score >= f.first
+                          THEN st.score * CAST(0.999 AS DOUBLE)
+                          ELSE st.score END) * 1000000000) / 1000000000 AS score_r
+            FROM step st JOIN firsts f ON f.qid = st.qid
+            WHERE st.iter >= 1 ORDER BY st.qid, rank
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
     # IVF probing ALL buckets must equal exact brute force
     sqls["ivf_topk"] = sqls["ann_topk"]
+    sqls["diversity_xquad"] = _diversity_sql("xquad")
+    sqls["diversity_pm2"] = _diversity_sql("pm2")
+    sqls["structured_queries"] = _structured_sql("bm25")
+    sqls["structured_indri"] = _structured_sql("indri")
     return sqls
 
 
@@ -1901,6 +2414,24 @@ def _oracle_sql_impl() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred
             FROM documents d LEFT JOIN hits h USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "multimodal_decode": """
+            -- the deterministic fake decoder: sha256(payload) with
+            -- width = 64 + byte0*4, height = 64 + byte1*4; payload is the
+            -- first 256 bytes of the (ASCII) text
+            WITH h AS (
+              SELECT doc_id, sha256(substr(text, 1, 256)) AS hx
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(64 + ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                            + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 4
+                        AS BIGINT) AS width,
+                   CAST(64 + ((instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                            + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1)) * 4
+                        AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels
+            FROM h ORDER BY doc_id
         """,
         "ann_topk": """
             WITH q AS (

@@ -40,11 +40,13 @@ class ImageDecoder:
         self.fake = fake
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
-        h = hashlib.blake2b(payload or b"", digest_size=16).digest()
+        # sha256 (not blake2b): DuckDB ships sha256, so the driver oracle
+        # can reproduce the fake decode byte-for-byte
+        h = hashlib.sha256(payload or b"").digest()
         width = 64 + h[0] * 4
         height = 64 + h[1] * 4
         feats = (
-            np.frombuffer(h[8:], dtype=np.uint8).astype(np.float64) / 255.0
+            np.frombuffer(h[8:16], dtype=np.uint8).astype(np.float64) / 255.0
         )
         return width, height, 3, feats
 
