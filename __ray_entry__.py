@@ -71,9 +71,14 @@ def _index_for(sf_dir: str, simple: bool) -> str:
 def _engine(sf_dir: str, simple: bool) -> SearchEngine:
     key = (os.path.abspath(sf_dir), simple)
     if key not in _ENGINES:
+        # the SIMPLE engine serves its entries through the ACTOR
+        # scatter/gather path (2 searcher actors) so the driver's hard
+        # correctness gate exercises it; the full engine stays in-process
+        # (both paths are oracle-equality-pinned in tests)
         _ENGINES[key] = SearchEngine(
             _index_for(sf_dir, simple),
             config=SIMPLE_ANALYZER if simple else DEFAULT_ANALYZER,
+            num_searchers=2 if simple else 0,
         )
     return _ENGINES[key]
 
@@ -295,14 +300,6 @@ def _q_boolean(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _engine_out(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.copy()
-    df["score_r"] = np.floor(df["score"].to_numpy() * 1e9) / 1e9
-    return df[["qid", "doc_id", "url", "rank", "score_r"]].astype(
-        {"doc_id": "int64", "rank": "int64"}
-    )
-
-
 def _docs(sf_dir: str):
     import ray.data
 
@@ -354,6 +351,31 @@ def _q_windowed_agg(sf_dir: str) -> pd.DataFrame:
 
     ev = ev.map_batches(prefloor, batch_format="pandas")
     out = tumbling_window_agg(ev, minutes=60).to_pandas()
+    out["sum_value_m"] = out["sum_value"].astype("int64")
+    return (
+        out[["event_type", "window_start", "n_events", "sum_value_m"]]
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window aggregate (60-min windows, 15-min hop): each event
+    contributes to 4 overlapping windows.  Milli-floored integer sums are
+    order-independent, so the distributed aggregate is SQL-exact."""
+    import ray.data
+
+    from searchengines_ray.stages.windows import hopping_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def prefloor(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value"] = np.floor(batch["value"].to_numpy() * 1000.0)
+        return batch
+
+    ev = ev.map_batches(prefloor, batch_format="pandas")
+    out = hopping_window_agg(ev, window_minutes=60, hop_minutes=15).to_pandas()
     out["sum_value_m"] = out["sum_value"].astype("int64")
     return (
         out[["event_type", "window_start", "n_events", "sum_value_m"]]
@@ -797,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "windowed_agg": _q_windowed_agg,
+        "hopping_window_agg": _q_hopping_window,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup": _q_minhash_dedup,
@@ -1861,6 +1884,18 @@ def _oracle_sql_impl() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
             FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "hopping_window_agg": """
+            -- each event joins the 4 hop-aligned windows covering it
+            SELECT event_type,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                     - k.k * INTERVAL '15 minutes' AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
         """,

@@ -33,7 +33,13 @@ def tumbling_window_agg(events_ds, minutes: int = 60):
         )
 
     with_w = events_ds.map_batches(add_window, batch_format="pandas")
-    # pre-aggregate inside each batch before the shuffle
+    return _agg_by_window(with_w)
+
+
+def _agg_by_window(with_w):
+    """Combiner-before-shuffle aggregation over (event_type, window_start)
+    rows: pre-aggregate inside each batch, then a small groupby sum."""
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = (
             batch.groupby(["event_type", "window_start"], as_index=False)
@@ -57,6 +63,39 @@ def tumbling_window_agg(events_ds, minutes: int = 60):
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def hopping_window_agg(
+    events_ds, window_minutes: int = 60, hop_minutes: int = 15
+):
+    """Hopping (overlapping) windows: every event lands in the
+    ``window/hop`` windows covering it — the expansion happens VECTORIZED
+    inside ``map_batches`` (k tiled frames per batch, k small), then the
+    same combiner + groupby as the tumbling aggregate.  Shuffle volume is
+    k x the pre-aggregated partials, never k x the event stream."""
+    if window_minutes % hop_minutes:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    k = window_minutes // hop_minutes
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch["ts"].dt.floor(f"{hop_minutes}min")
+        frames = []
+        for i in range(k):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": batch["event_type"],
+                        "window_start": base
+                        - pd.Timedelta(minutes=hop_minutes * i),
+                        "value": batch["value"],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return _agg_by_window(
+        events_ds.map_batches(expand, batch_format="pandas")
+    )
 
 
 def sessionize(events_ds, gap_minutes: int = 30, salt_hours: int | None = 24):

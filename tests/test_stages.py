@@ -230,3 +230,107 @@ def test_multimodal_stubs(ray_session):
     assert set(frames.columns) == {"doc_id", "frame_idx", "frame_hash"}
     with pytest.raises(NotImplementedError):
         ImageDecoder(fake=False)
+
+
+def test_hopping_window_agg(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import (
+        hopping_window_agg,
+        tumbling_window_agg,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 00:50",
+         "2024-01-01 01:10"]
+    )
+    ev = pd.DataFrame(
+        {"event_type": ["a"] * 4, "ts": ts, "value": [1.0, 2.0, 4.0, 8.0]}
+    )
+    ds = ray.data.from_pandas(ev)
+    out = (
+        hopping_window_agg(ds, window_minutes=60, hop_minutes=15)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # every event lands in exactly 4 windows
+    assert out["n_events"].sum() == 16
+    # the 00:00 window covers the first three events
+    w0 = out[out.window_start == pd.Timestamp("2024-01-01 00:00")]
+    assert int(w0["n_events"].iloc[0]) == 3 and float(w0["sum_value"].iloc[0]) == 7.0
+    # hop == window degenerates to tumbling
+    ds2 = ray.data.from_pandas(ev)
+    hop_eq = (
+        hopping_window_agg(ds2, window_minutes=60, hop_minutes=60)
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    ds3 = ray.data.from_pandas(ev)
+    tmb = (
+        tumbling_window_agg(ds3, minutes=60)
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hop_eq, tmb)
+
+
+def test_sessionize_salted_equals_unsalted(ray_session):
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 14 * 24 * 3600, n), unit="s"),
+            "value": rng.random(n),
+        }
+    )
+    from searchengines_ray.stages.windows import sessionize
+
+    a = (
+        sessionize(ray.data.from_pandas(ev), gap_minutes=30, salt_hours=6)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sessionize(ray.data.from_pandas(ev), gap_minutes=30, salt_hours=None)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+    assert np.allclose(a["sum_value"], b["sum_value"])
+
+
+def test_similarity_join_exact(ray_session):
+    import numpy as np
+    import ray.data
+
+    from searchengines_ray.stages.similarity import cosine_similarity_join
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((120, 16))
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)
+    ]
+    ds = ray.data.from_items(rows)
+    got = (
+        cosine_similarity_join(ds, threshold=0.5, partitions=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # brute-force reference
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    ii, jj = np.triu_indices(120, k=1)
+    keep = sims[ii, jj] >= 0.5
+    want = sorted(zip(ii[keep].tolist(), jj[keep].tolist()))
+    assert list(zip(got["doc_a"], got["doc_b"])) == want
+    assert np.allclose(
+        got["cosine"], [sims[a, b] for a, b in want], atol=1e-12
+    )
