@@ -388,7 +388,8 @@ def _q_ann_topk(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.similarity import cosine_topk
 
     emb = _emb(sf_dir)
-    qdf = emb.to_pandas().sort_values("vec_id").head(3)
+    # bounded driver read: first rows only, never the whole embedding table
+    qdf = emb.limit(256).to_pandas().sort_values("vec_id").head(3)
     queries = np.stack([np.asarray(v) for v in qdf["embedding"]]).astype(
         np.float64
     )
@@ -432,6 +433,19 @@ def _q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_curate(sf_dir: str) -> pd.DataFrame:
+    """Composed curation pipeline (lang filter -> quality filter -> minhash
+    near-dup removal): surviving doc_ids, SQL-checked end to end (marker
+    argmax + word count + exact-jaccard closure over the FILTERED set)."""
+    from searchengines_ray.pipelines.curate import curate_corpus
+
+    curated, _ = curate_corpus(
+        _docs(sf_dir), lang="en", min_words=25, minhash_threshold=0.5
+    )
+    out = curated.to_pandas()[["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 def _q_fingerprints(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.text import fingerprints
 
@@ -462,7 +476,7 @@ def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.similarity import IVFIndex
 
     emb = _emb(sf_dir)
-    qdf = emb.to_pandas().sort_values("vec_id").head(3)
+    qdf = emb.limit(256).to_pandas().sort_values("vec_id").head(3)
     queries = np.stack([np.asarray(v) for v in qdf["embedding"]]).astype(
         np.float64
     )
@@ -823,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup": _q_minhash_dedup,
+        "curate_corpus": _q_curate,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "fingerprints": _q_fingerprints,
@@ -976,6 +991,15 @@ def _stemmed_query_values(queries) -> str:
 # simple tokenization, short docs padded with '' (MinHasher.shingle_hashes
 # padding semantics); jaccard via a shingle self-join (sparse — no all-pairs
 # list_intersect).
+def _shingle_pairs_sql(src: str) -> str:
+    """Parameterized jaccard-pair CTE block over any (doc_id, text) source
+    CTE/table — used by the minhash oracles (src='documents') and the
+    curation oracle (src=the filtered doc set)."""
+    return _SHINGLE_PAIRS.replace(
+        "FROM documents\n  ),\n  wp AS (", f"FROM {src}\n  ),\n  wp AS ("
+    )
+
+
 _SHINGLE_PAIRS = r"""
   w AS (
     SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
@@ -2325,6 +2349,49 @@ def _oracle_sql_impl() -> dict[str, str]:
             ),
             dropped AS (SELECT DISTINCT s AS doc_id FROM reach WHERE d < s)
             SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id
+        """,
+        "curate_corpus": f"""
+            -- the composed curation flow: marker-argmax lang filter +
+            -- word-count filter, then exact-jaccard near-dup closure over
+            -- the FILTERED doc set only
+            WITH RECURSIVE toks0 AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                SUM(CASE WHEN term IN ('der','die','das','und','ist','nicht','ein','mit','sich') THEN 1 ELSE 0 END) AS de,
+                SUM(CASE WHEN term IN ('the','and','of','to','in','is','that','it','for','was') THEN 1 ELSE 0 END) AS en,
+                SUM(CASE WHEN term IN ('el','los','las','es','una','que','por','para','con') THEN 1 ELSE 0 END) AS es,
+                SUM(CASE WHEN term IN ('le','la','les','et','est','pas','une','que','pour') THEN 1 ELSE 0 END) AS fr,
+                COUNT(*) AS n_words
+              FROM toks0 GROUP BY doc_id
+            ),
+            fdocs AS (
+              -- lang_pred == 'en' (first-in-sorted-order tie rule: 'de'
+              -- precedes 'en', so en needs de < en; es/fr follow, so ties
+              -- with them still pick en) AND the word-count floor
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN hits h USING (doc_id)
+              WHERE h.en > 0 AND h.de < h.en
+                AND h.es <= h.en AND h.fr <= h.en
+                AND h.n_words >= 25
+            ),
+            {_shingle_pairs_sql('fdocs')},
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+              UNION ALL SELECT doc_b, doc_a FROM dup_pairs
+            ),
+            reach(s, d) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a
+            ),
+            dropped AS (SELECT DISTINCT s AS doc_id FROM reach WHERE d < s)
+            SELECT doc_id FROM fdocs
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id
         """,

@@ -240,3 +240,46 @@ def test_all_reference_param_files_parse():
             assert params.get("diversity:algorithm") in ("PM2", "xQuAD"), path
         if params.get("prf") == "Indri":
             assert "prf:numDocs" in params and "prf:numTerms" in params, path
+
+
+def test_curate_corpus_resumable(tmp_path, ray_session):
+    import json
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from searchengines_ray.pipelines.curate import curate_corpus
+
+    en = "the cat and the dog are friends and they play in the sun all day long"
+    rows = [{"doc_id": i, "text": f"{en} extra token{i} " + " ".join(f"w{i}_{j}" for j in range(12))} for i in range(12)]
+    rows.append({"doc_id": 100, "text": en + " " + " ".join(f"x{j}" for j in range(12))})
+    rows.append({"doc_id": 101, "text": en + " " + " ".join(f"x{j}" for j in range(12)) + " tail"})
+    rows.append({"doc_id": 200, "text": "der hund und die katze ist nicht ein tier " * 3})  # de
+    rows.append({"doc_id": 201, "text": "too short"})
+    ds = ray.data.from_items(rows)
+    out = str(tmp_path / "curated")
+    curated, stats = curate_corpus(
+        ds, lang="en", min_words=20, minhash_threshold=0.5,
+        out_dir=out, partitions=4,
+    )
+    got = sorted(curated.to_pandas()["doc_id"].tolist())
+    # de doc and short doc filtered; 101 dropped as near-dup of 100
+    assert 200 not in got and 201 not in got
+    assert 100 in got and 101 not in got
+    assert stats["n_dropped"] >= 1 and stats["n_buckets"] >= 1
+    # partition-level resume: delete one bucket, rerun, only it rewritten
+    import os
+
+    buckets = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    shutil.rmtree(os.path.join(out, buckets[0]))
+    ds2 = ray.data.from_items(rows)
+    _, stats2 = curate_corpus(
+        ds2, lang="en", min_words=20, minhash_threshold=0.5,
+        out_dir=out, partitions=4,
+    )
+    assert stats2["resumed_buckets"] == stats2["n_buckets"] - 1
+    # manifests present per bucket
+    for b in os.listdir(out):
+        with open(os.path.join(out, b, "MANIFEST.json")) as f:
+            assert json.load(f)["n_docs"] >= 0
