@@ -300,6 +300,17 @@ def _q_boolean(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _min_vec_rows(emb_ds, k: int) -> pd.DataFrame:
+    """The k globally-smallest vec_id rows via a per-batch combiner (no
+    row-order assumption, no full-table driver pull, no sort shuffle)."""
+
+    def batch_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values("vec_id").head(k)
+
+    part = emb_ds.map_batches(batch_min, batch_format="pandas").to_pandas()
+    return part.sort_values("vec_id").head(k)
+
+
 def _docs(sf_dir: str):
     import ray.data
 
@@ -388,8 +399,7 @@ def _q_ann_topk(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.similarity import cosine_topk
 
     emb = _emb(sf_dir)
-    # bounded driver read: first rows only, never the whole embedding table
-    qdf = emb.limit(256).to_pandas().sort_values("vec_id").head(3)
+    qdf = _min_vec_rows(emb, 3)
     queries = np.stack([np.asarray(v) for v in qdf["embedding"]]).astype(
         np.float64
     )
@@ -476,7 +486,7 @@ def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.similarity import IVFIndex
 
     emb = _emb(sf_dir)
-    qdf = emb.limit(256).to_pandas().sort_values("vec_id").head(3)
+    qdf = _min_vec_rows(emb, 3)
     queries = np.stack([np.asarray(v) for v in qdf["embedding"]]).astype(
         np.float64
     )
@@ -995,9 +1005,13 @@ def _shingle_pairs_sql(src: str) -> str:
     """Parameterized jaccard-pair CTE block over any (doc_id, text) source
     CTE/table — used by the minhash oracles (src='documents') and the
     curation oracle (src=the filtered doc set)."""
-    return _SHINGLE_PAIRS.replace(
+    out = _SHINGLE_PAIRS.replace(
         "FROM documents\n  ),\n  wp AS (", f"FROM {src}\n  ),\n  wp AS ("
     )
+    assert out != _SHINGLE_PAIRS or src == "documents", (
+        "_SHINGLE_PAIRS source anchor not found — template drifted"
+    )
+    return out
 
 
 _SHINGLE_PAIRS = r"""

@@ -29,24 +29,32 @@ import os
 import pandas as pd
 
 from ..stages.dedup import _dropset_from_pairs, minhash_dedup_pairs
-from ..stages.text import LangId, QualityScorer
+from ..stages.text import LangId
 
 
 class CurationFeatures:
     """Fused lang-id + quality filter: emits the (doc_id, text) rows that
-    pass ``lang_pred == lang`` and ``n_words >= min_words``."""
+    pass ``lang_pred == lang`` and ``n_words >= min_words``.
+
+    n_words comes from one vectorized regex count (the same ``[0-9a-z]+``
+    token class LangId uses) — the full QualityScorer would re-tokenize
+    and run per-token Python work for features this filter discards."""
 
     def __init__(self, lang: str = "en", min_words: int = 25):
+        from ..stages.text import _WORD
+
         self.lang_id = LangId()
-        self.quality = QualityScorer()
+        self.word = _WORD
         self.lang = lang
         self.min_words = min_words
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         li = self.lang_id(batch)
-        qs = self.quality(batch)
+        n_words = (
+            batch["text"].fillna("").str.lower().str.count(self.word)
+        )
         keep = (li["lang_pred"].to_numpy() == self.lang) & (
-            qs["n_words"].to_numpy() >= self.min_words
+            n_words.to_numpy() >= self.min_words
         )
         return batch.loc[keep, ["doc_id", "text"]]
 
@@ -77,7 +85,12 @@ def curate_corpus(
         return batch.loc[~batch["doc_id"].isin(d)]
 
     curated = filtered.map_batches(keep_rows, batch_format="pandas")
-    stats = {"n_dup_pairs": int(len(pairs)), "n_dropped": int(len(drop))}
+    stats = {
+        "n_dup_pairs": int(len(pairs)),
+        "n_dropped": int(len(drop)),
+        # never silent: a capped candidate set means under-deduplication
+        "candidates_capped": bool(pairs.attrs.get("candidates_capped", False)),
+    }
     if out_dir is None:
         return curated, stats
 
@@ -98,7 +111,9 @@ def curate_corpus(
             return pd.DataFrame(
                 {"bucket": [b], "n_docs": [len(group)], "resumed": [True]}
             )
-        tmp = f"{dest}.tmp-{os.getpid()}"
+        # tmp lives OUTSIDE the bucket= namespace so partition-globbing
+        # readers never see partial output; orphans are swept on entry
+        tmp = os.path.join(out_dir, f".tmp-bucket-{b}-{os.getpid()}")
         os.makedirs(tmp, exist_ok=True)
         g = group.drop(columns=["bucket"]).sort_values("doc_id")
         pq.write_table(
@@ -118,12 +133,21 @@ def curate_corpus(
         )
 
     os.makedirs(out_dir, exist_ok=True)
+    # sweep crash-orphaned tmp dirs from a previous failed run
+    import shutil as _shutil
+
+    for d in os.listdir(out_dir):
+        if d.startswith(".tmp-bucket-"):
+            _shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     manifests = (
         curated.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(write_bucket, batch_format="pandas")
         .to_pandas()
     )
+    if manifests.empty:  # empty curated set: zero buckets, stable stats
+        stats.update(n_docs=0, n_buckets=0, resumed_buckets=0)
+        return curated, stats
     stats["n_docs"] = int(manifests["n_docs"].sum())
     stats["n_buckets"] = int(len(manifests))
     stats["resumed_buckets"] = int(manifests["resumed"].sum())

@@ -635,11 +635,33 @@ def _hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
-    """Pairs with SimHash Hamming distance <= max_hamming, found via 16-bit
-    band buckets (a pair within distance 3 shares at least one of 4 bands)."""
-    from functools import partial
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return (x * h01) >> np.uint64(56)
 
+
+def simhash_dup_pairs(ds, max_hamming: int = 3, block: int = 2048):
+    """Pairs with SimHash Hamming distance <= max_hamming, found via band
+    buckets (a pair within distance 3 shares at least one of 4 bands —
+    pigeonhole, so recall is EXACTLY 1.0).
+
+    In-bucket verification is a blockwise VECTORIZED Hamming sweep (XOR
+    outer product + SWAR popcount): an oversized boilerplate bucket costs
+    O(n^2/64) word ops but NEVER drops a pair — the earlier doc_id-sorted
+    chunk salting split every band's bucket at the SAME boundaries, so a
+    straddling pair was missed in all 4 bands (caught by the sf0.1
+    all-pairs SQL oracle: 1351 of 1438 true pairs).  The quadratic cost is
+    inherent when the answer itself is quadratic (a cluster of identical
+    docs); ``block`` only bounds per-step memory.
+    """
     sh = ds.map_batches(SimHasher(), batch_format="pandas")
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -663,18 +685,28 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
         recs = sorted(
             set(zip(group["doc_id"].astype(int), group["simhash"].astype(int)))
         )
-        out = []
-        # salted contiguous chunks bound oversized buckets (see _bucket_pairs)
-        for start in range(0, len(recs), max_bucket):
-            chunk = recs[start : start + max_bucket]
-            for i in range(len(chunk)):
-                for j in range(i + 1, len(chunk)):
-                    if _hamming64(chunk[i][1], chunk[j][1]) <= max_hamming:
-                        out.append((chunk[i][0], chunk[j][0]))
+        ids = np.asarray([r[0] for r in recs], dtype=np.int64)
+        hs = np.asarray([r[1] for r in recs], dtype=np.uint64)
+        n = len(ids)
+        oa, ob = [], []
+        for i0 in range(0, n, block):
+            a = hs[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                b = hs[j0 : j0 + block]
+                d = _popcount_u64(a[:, None] ^ b[None, :])
+                ii, jj = np.nonzero(d <= max_hamming)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj
+                oa.append(ids[gi[keep]])
+                ob.append(ids[gj[keep]])
         return pd.DataFrame(
             {
-                "doc_a": pd.array([p[0] for p in out], dtype="int64"),
-                "doc_b": pd.array([p[1] for p in out], dtype="int64"),
+                "doc_a": pd.array(
+                    np.concatenate(oa) if oa else [], dtype="int64"
+                ),
+                "doc_b": pd.array(
+                    np.concatenate(ob) if ob else [], dtype="int64"
+                ),
             }
         )
 
