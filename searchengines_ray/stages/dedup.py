@@ -250,24 +250,38 @@ def _band_rows_scalar(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
 
 
 def _bucket_pairs(group: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
-    """All-pairs within one LSH bucket, with SALTED SPLITS for skew.
+    """Candidate pairs within one LSH bucket, with SALTED SPLITS for skew.
 
     A boilerplate-heavy bucket (every page sharing a banner) would cost
-    O(n^2); instead an oversized bucket is split into deterministic
-    contiguous salt chunks of ``max_bucket`` ids and pairs form within each
-    chunk — per-bucket work is bounded at O(ceil(n/max_bucket) *
-    max_bucket^2) and NOTHING is silently dropped.  Cross-chunk near-dup
-    pairs of this band can still surface via the other (bands-1) bands;
-    the recall trade-off is explicit here rather than an invisible cap.
+    O(n^2); instead an oversized bucket is split into deterministic salt
+    chunks of ``max_bucket`` ids and pairs form within each chunk —
+    per-bucket work is bounded at O(ceil(n/max_bucket) * max_bucket^2) and
+    NOTHING is silently dropped.  The chunk ORDER is keyed on
+    (band, band_hash, doc_id) — NOT plain doc_id — so every band splits an
+    oversized bucket at DIFFERENT boundaries and a pair straddling one
+    band's boundary still co-locates in another band's chunk (plain-id
+    ordering split every band identically, defeating the rescue — the
+    failure mode the sf0.1 oracle exposed in the simhash pipeline).
     """
     ids = sorted(set(group["doc_id"].tolist()))
     if len(ids) < 2:
         return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+    if len(ids) > max_bucket:
+        salt = (
+            f"{int(group['band'].iloc[0])}:{int(group['band_hash'].iloc[0])}"
+            if "band" in group.columns and "band_hash" in group.columns
+            else ""
+        )
+        ids = sorted(
+            ids, key=lambda d: zlib.crc32(f"{salt}:{d}".encode())
+        )
     pairs = []
     for start in range(0, len(ids), max_bucket):
         chunk = ids[start : start + max_bucket]
-        pairs.extend(
-            (a, b) for i, a in enumerate(chunk) for b in chunk[i + 1 :]
+        pairs.extend(  # salted order is arbitrary: emit (min, max)
+            (a, b) if a < b else (b, a)
+            for i, a in enumerate(chunk)
+            for b in chunk[i + 1 :]
         )
     return pd.DataFrame(
         {
@@ -811,10 +825,19 @@ def embedding_neardup_pairs(
         )
         if len(g) < 2:
             return empty
-        # salted contiguous chunks bound per-bucket work at
-        # O(ceil(n/max_bucket) * max_bucket^2); NOTHING is dropped — every
-        # row pairs within its chunk, and cross-chunk near-dups can still
-        # surface via the other (tables-1) hash tables (see _bucket_pairs)
+        # salted chunks bound per-bucket work at O(ceil(n/max_bucket) *
+        # max_bucket^2); chunk ORDER is keyed on (table, bucket, vec_id) so
+        # each hash table splits an oversized bucket at DIFFERENT
+        # boundaries — cross-chunk near-dups get another chance in the
+        # other (tables-1) tables (see _bucket_pairs on why plain-id
+        # ordering defeats that rescue)
+        if len(g) > max_bucket:
+            t, bk = int(g["table"].iloc[0]), int(g["bucket"].iloc[0])
+            order = [
+                zlib.crc32(f"{t}:{bk}:{v}".encode())
+                for v in g["vec_id"].astype(int)
+            ]
+            g = g.iloc[np.argsort(order, kind="stable")]
         frames = []
         for start in range(0, len(g), max_bucket):
             c = g.iloc[start : start + max_bucket]
@@ -825,11 +848,12 @@ def embedding_neardup_pairs(
             sims = mat @ mat.T
             ii, jj = np.triu_indices(len(ids), k=1)
             keep = sims[ii, jj] >= threshold
-            frames.append(
+            va, vb = ids[ii[keep]], ids[jj[keep]]
+            frames.append(  # salted order is arbitrary: emit (min, max)
                 pd.DataFrame(
                     {
-                        "doc_a": pd.array(ids[ii[keep]], dtype="int64"),
-                        "doc_b": pd.array(ids[jj[keep]], dtype="int64"),
+                        "doc_a": pd.array(np.minimum(va, vb), dtype="int64"),
+                        "doc_b": pd.array(np.maximum(va, vb), dtype="int64"),
                         "cosine": sims[ii, jj][keep],
                     }
                 )
