@@ -51,6 +51,107 @@ def near_positions(plists: Sequence[Sequence[int]], dist: int) -> list[int]:
     return out
 
 
+def near2_batch(
+    pa_flat, pa_off, pb_flat, pb_off, dist: int
+):
+    """Vectorized 2-arg #NEAR over MANY docs at once.
+
+    The reference's cascaded alignment (QryIopNear.java:60-179) unrolled
+    into masked steps — each iteration advances ONE pointer per active doc
+    (the inner advance-past-left while becomes successive steps), so the
+    match sequence per doc is byte-identical to :func:`near_positions`
+    (fuzz-pinned).  Iteration count = max per-doc pointer advances
+    (~tf_a+tf_b), each a handful of vector ops over the active docs — the
+    per-doc Python loop this replaces cost ~5s/query at 7.5M docs.
+
+    Inputs are flat position arrays + per-doc offset arrays (len n+1).
+    Returns ``(tfs int64[n], docs_emit, pos_emit)`` where the emit arrays
+    hold one entry per match in (doc-major, position-ascending) order.
+    """
+    import numpy as np
+
+    n = len(pa_off) - 1
+    ia = pa_off[:-1].astype(np.int64).copy()
+    ib = pb_off[:-1].astype(np.int64).copy()
+    ea = pa_off[1:].astype(np.int64)
+    eb = pb_off[1:].astype(np.int64)
+    m = np.zeros(n, dtype=np.int64)
+    e_docs, e_pos = [], []
+    active = (ia < ea) & (ib < eb)
+    while active.any():
+        idx = np.nonzero(active)[0]
+        va = pa_flat[ia[idx]]
+        vb = pb_flat[ib[idx]]
+        le = vb <= va
+        ib[idx[le]] += 1  # advance right past/onto left
+        rest = idx[~le]
+        if len(rest):
+            gap_ok = (
+                pb_flat[ib[rest]].astype(np.int64)
+                - pa_flat[ia[rest]].astype(np.int64)
+            ) <= dist
+            mdoc = rest[gap_ok]
+            if len(mdoc):
+                e_docs.append(mdoc)
+                e_pos.append(pb_flat[ib[mdoc]])
+                m[mdoc] += 1
+                ia[mdoc] += 1
+                ib[mdoc] += 1
+            ia[rest[~gap_ok]] += 1  # gap too large: advance left
+        active = (ia < ea) & (ib < eb)
+    if e_docs:
+        docs_emit = np.concatenate(e_docs)
+        pos_emit = np.concatenate(e_pos)
+        order = np.argsort(docs_emit, kind="stable")  # step order kept
+        return m, docs_emit[order], pos_emit[order]
+    return m, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+
+
+def window2_batch(
+    pa_flat, pa_off, pb_flat, pb_off, dist: int
+):
+    """Vectorized 2-arg #WINDOW (QryIopWindow.java:55-178 semantics: match
+    when max-min < dist strictly, emit max, advance all on match else
+    advance every iterator at the min).  Same contract as
+    :func:`near2_batch`."""
+    import numpy as np
+
+    n = len(pa_off) - 1
+    ia = pa_off[:-1].astype(np.int64).copy()
+    ib = pb_off[:-1].astype(np.int64).copy()
+    ea = pa_off[1:].astype(np.int64)
+    eb = pb_off[1:].astype(np.int64)
+    m = np.zeros(n, dtype=np.int64)
+    e_docs, e_pos = [], []
+    active = (ia < ea) & (ib < eb)
+    while active.any():
+        idx = np.nonzero(active)[0]
+        va = pa_flat[ia[idx]].astype(np.int64)
+        vb = pb_flat[ib[idx]].astype(np.int64)
+        hi = np.maximum(va, vb)
+        lo = np.minimum(va, vb)
+        mt = (hi - lo) < dist
+        mdoc = idx[mt]
+        if len(mdoc):
+            e_docs.append(mdoc)
+            e_pos.append(hi[mt].astype(np.int32))
+            m[mdoc] += 1
+            ia[mdoc] += 1
+            ib[mdoc] += 1
+        rest = idx[~mt]
+        if len(rest):
+            va_r, vb_r = va[~mt], vb[~mt]
+            ia[rest[va_r <= vb_r]] += 1  # advance every iterator at the min
+            ib[rest[vb_r <= va_r]] += 1
+        active = (ia < ea) & (ib < eb)
+    if e_docs:
+        docs_emit = np.concatenate(e_docs)
+        pos_emit = np.concatenate(e_pos)
+        order = np.argsort(docs_emit, kind="stable")
+        return m, docs_emit[order], pos_emit[order]
+    return m, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+
+
 def window_positions(plists: Sequence[Sequence[int]], dist: int) -> list[int]:
     its = [0] * len(plists)
     out: list[int] = []

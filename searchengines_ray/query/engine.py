@@ -127,7 +127,10 @@ class LocalSearcher:
 
         ``use_wand=True`` routes BM25 bag-of-words queries through
         document-at-a-time block-max WAND (exact same top-k, provably
-        sub-threshold blocks skipped)."""
+        sub-threshold blocks skipped); ``use_wand="auto"`` applies WAND
+        only to selective bags (combined df <= 15% of the corpus) and
+        takes the vectorized exhaustive path otherwise — identical
+        results either way."""
         from ..models import BM25 as _BM25
         from .wand import bm25_wand_topk
 
@@ -141,6 +144,16 @@ class LocalSearcher:
                 if use_wand and isinstance(model, _BM25) and k is not None
                 else None
             )
+            if bow is not None and use_wand == "auto":
+                # cost rule: block-max pruning only pays on SELECTIVE bags;
+                # for dense terms the per-doc cursor walk costs far more
+                # than the vectorized exhaustive path (measured 53s vs 2s
+                # per 6-query batch at 7.5M docs)
+                total_df = sum(
+                    g.term_stats.get(t, (0, 0))[0] for t in bow
+                )
+                if total_df > 0.15 * g.n_docs:
+                    bow = None
             partials: list[tuple[int, str, float]] = []
             for seg in self.segments:
                 if bow is not None:

@@ -36,7 +36,12 @@ import numpy as np
 from ..index.shard import Segment
 from ..models import BM25, Indri, RankedBoolean, RetrievalModel, UnrankedBoolean
 from ..parser import Node
-from ..positional import near_positions, window_positions
+from ..positional import (
+    near2_batch,
+    near_positions,
+    window2_batch,
+    window_positions,
+)
 
 
 @dataclass
@@ -123,6 +128,27 @@ def eval_iop(node: Node, seg: Segment) -> EvalIop:
         idxs = [
             np.searchsorted(k.docs, common) for k in kids
         ]  # position of each common doc in each kid
+        if len(kids) == 2:
+            # vectorized masked-step automaton over ALL common docs at once
+            # (byte-identical match sequence, fuzz-pinned); the per-doc
+            # Python loop below cost ~5s/query at 7.5M docs
+            pa_flat, pa_off = _gather_positions(kids[0], idxs[0])
+            pb_flat, pb_off = _gather_positions(kids[1], idxs[1])
+            fn = near2_batch if node.op == "near" else window2_batch
+            tfs_all, docs_emit, pos_emit = fn(
+                pa_flat, pa_off, pb_flat, pb_off, node.dist
+            )
+            hit = tfs_all > 0
+            if not hit.any():
+                return _empty_iop(field)
+            tfs = tfs_all[hit]
+            return EvalIop(
+                field,
+                common[hit],
+                tfs,
+                pos_emit.astype(np.int32),
+                np.concatenate(([0], np.cumsum(tfs))),
+            )
         match = near_positions if node.op == "near" else window_positions
         out_docs, out_tfs, out_pos = [], [], []
         for j, doc in enumerate(common):
@@ -143,6 +169,22 @@ def eval_iop(node: Node, seg: Segment) -> EvalIop:
             np.concatenate(([0], np.cumsum(tfs))),
         )
     raise ValueError(f"not an Iop: {node.op}")
+
+
+def _gather_positions(k: EvalIop, rows: np.ndarray):
+    """Flat positions + offsets for the given row indices of an EvalIop
+    (vectorized gather via the repeat/cumsum range trick)."""
+    starts = k.offsets[rows]
+    lens = k.offsets[rows + 1] - starts
+    total = int(lens.sum())
+    off = np.concatenate(([0], np.cumsum(lens)))
+    if total == 0:
+        return np.empty(0, dtype=k.positions.dtype), off
+    gather = (
+        np.arange(total, dtype=np.int64)
+        + np.repeat(starts - off[:-1], lens)
+    )
+    return k.positions[gather], off
 
 
 def collect_iop_stats(node: Node, seg: Segment, out: dict) -> None:

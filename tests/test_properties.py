@@ -242,3 +242,50 @@ def test_text_stages_batch_match_scalar(texts):
         assert np.array_equal(
             np.sort(sets[i]), np.sort(mh.shingle_hashes(t))
         ), (i, t)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 60), min_size=1, max_size=12, unique=True),
+            st.lists(st.integers(0, 60), min_size=1, max_size=12, unique=True),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_positional_batch_matches_scalar(doc_lists, dist):
+    """near2_batch / window2_batch over a batch of docs are byte-identical
+    to the scalar kernels (tfs, emitted positions, order)."""
+    from searchengines_ray.positional import (
+        near2_batch,
+        near_positions,
+        window2_batch,
+        window_positions,
+    )
+
+    pa_parts, pb_parts = [], []
+    for a, b in doc_lists:
+        pa_parts.append(sorted(a))
+        pb_parts.append(sorted(b))
+    pa_flat = np.asarray([p for ps in pa_parts for p in ps], dtype=np.int32)
+    pb_flat = np.asarray([p for ps in pb_parts for p in ps], dtype=np.int32)
+    pa_off = np.concatenate(([0], np.cumsum([len(p) for p in pa_parts])))
+    pb_off = np.concatenate(([0], np.cumsum([len(p) for p in pb_parts])))
+    for batch_fn, scalar_fn in (
+        (near2_batch, near_positions),
+        (window2_batch, window_positions),
+    ):
+        tfs, docs_emit, pos_emit = batch_fn(
+            pa_flat, pa_off, pb_flat, pb_off, dist
+        )
+        cursor = 0
+        for j, (pa, pb) in enumerate(zip(pa_parts, pb_parts)):
+            want = scalar_fn([pa, pb], dist)
+            assert int(tfs[j]) == len(want), (j, pa, pb, dist)
+            got = pos_emit[cursor : cursor + len(want)].tolist()
+            assert got == want, (j, pa, pb, dist, got, want)
+            assert all(int(d) == j for d in docs_emit[cursor : cursor + len(want)])
+            cursor += len(want)
