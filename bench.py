@@ -193,6 +193,65 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     return result
 
 
+def run_query_probe(num_cpus: int, sf_dir: str) -> dict:
+    """Query serving at probe scale: 7.5M docs, 50k-doc segments (the
+    serving-optimized size), 24 searcher actors; reports cold and warm
+    latency for a mixed 10-query batch (6 bag-of-words + 4 positional)
+    plus auto-WAND routing."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    from searchengines_ray.index.build import build_index
+    from searchengines_ray.models import BM25
+    from searchengines_ray.query.engine import SearchEngine
+
+    out_dir = "/tmp/seray_query_probe_idx"
+    t: dict[str, float] = {}
+    if not os.path.exists(os.path.join(out_dir, "stats.json")):
+        pages = _replicated_pages(sf_dir, 1500)
+        t0 = time.perf_counter()
+        build_index(pages, out_dir, docs_per_segment=50000, termstats=False)
+        t["build"] = round(time.perf_counter() - t0, 2)
+    queries = [
+        (f"q{i}", q)
+        for i, q in enumerate(
+            [
+                "dup", "dup key value", "spark join window",
+                "customer query fast", "hash join merge sort",
+                "stream batch filter", "#NEAR/2(hash join)",
+                "#SYN(dup key)", "#WAND(0.7 dup 0.3 batch)",
+                "#WINDOW/4(window agg)",
+            ]
+        )
+    ]
+    t0 = time.perf_counter()
+    eng = SearchEngine(out_dir, num_searchers=min(24, max(2, num_cpus - 4)))
+    eng.search_batch(queries, BM25(), k=10)
+    t["cold_10q"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    eng.search_batch(queries, BM25(), k=10)
+    t["warm_10q"] = round(time.perf_counter() - t0, 2)
+    bow = [q for q in queries if not q[1].startswith("#")]
+    t0 = time.perf_counter()
+    eng.search_batch(bow, BM25(), k=10, use_wand="auto")
+    t["auto_wand_6q"] = round(time.perf_counter() - t0, 2)
+    result = {
+        "metric": "query serving at 7.5M docs (mixed batch)",
+        "value": t["warm_10q"],
+        "unit": "sec",
+        "queries": t,
+        "ms_per_query_warm": round(t["warm_10q"] * 100, 1),
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": 7_500_000,
+    }
+    ray.shutdown()
+    return result
+
+
 def run_scaling(sf_dir: str, repl: int) -> dict:
     """Same job, fresh processes, num_cpus=8 then 32 (sandbox stand-in for
     N vs 4N nodes); efficiency on index-build throughput."""
@@ -259,6 +318,9 @@ if __name__ == "__main__":
     repl = int(os.environ.get("GRAFT_REPLICATE", "20"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir, repl)))
+    elif "--query-probe" in sys.argv:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_query_probe(num_cpus, sf_dir)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         build_only = os.environ.get("GRAFT_BUILD_ONLY") == "1"
