@@ -104,6 +104,24 @@ class Segment:
         self._cache[key] = out
         return out
 
+    def warm(self, field: str = "body", top: int = 256) -> int:
+        """Pre-decode the postings of the ``top`` highest-df terms of a
+        field.  This MOVES the dense-term decode cost into actor startup
+        (measured at 7.5M docs: startup 44s -> 123s, first query then
+        runs at warm latency) — a win only for long-running serving where
+        startup happens offline; leave 0 for batch jobs."""
+        rows = [
+            (int(self._df[i]), key)
+            for key, i in self._dict.items()
+            if key[0] == field
+        ]
+        rows.sort(reverse=True)
+        n = 0
+        for _, key in rows[:top]:
+            if self.postings(*key) is not None:
+                n += 1
+        return n
+
     def local_stats(self, field: str, term: str) -> tuple[int, int]:
         row = self._dict.get((field, term))
         if row is None:

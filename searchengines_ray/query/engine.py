@@ -65,11 +65,19 @@ class LocalSearcher:
     each :class:`SegmentSearcher` actor.
     """
 
-    def __init__(self, index_dir: str, seg_dirs: Optional[Sequence[str]] = None):
+    def __init__(
+        self,
+        index_dir: str,
+        seg_dirs: Optional[Sequence[str]] = None,
+        warm_terms: int = 0,
+    ):
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         dirs = list(seg_dirs) if seg_dirs is not None else segment_dirs(index_dir)
         self.segments = [Segment(d) for d in dirs]
+        if warm_terms:
+            for seg in self.segments:
+                seg.warm(top=warm_terms)
 
     def base_stats(self) -> GlobalStats:
         return GlobalStats(
@@ -182,6 +190,7 @@ class SearchEngine:
         index_dir: str,
         num_searchers: int = 0,
         config: AnalyzerConfig = DEFAULT_ANALYZER,
+        warm_terms: int = 0,
     ):
         self.index_dir = index_dir
         self.config = config
@@ -198,11 +207,15 @@ class SearchEngine:
             for i, d in enumerate(dirs):
                 shards[i % num_searchers].append(d)
             actor_cls = ray.remote(num_cpus=1)(LocalSearcher)
+            # warm_terms: actors pre-decode their hottest postings during
+            # startup (in parallel) — first-query latency ~= warm latency
             self._actors = [
-                actor_cls.remote(index_dir, s) for s in shards if s
+                actor_cls.remote(index_dir, s, warm_terms)
+                for s in shards
+                if s
             ]
         else:
-            self._local = LocalSearcher(index_dir)
+            self._local = LocalSearcher(index_dir, warm_terms=warm_terms)
 
     # ------------------------------------------------------------------ stats
 

@@ -227,3 +227,24 @@ def test_partial_resume_rebuilds_only_missing_segment(
         assert m["n_docs"] > 0
         resumed += 0 if seg == victim else 1
     assert resumed == len(segments) - 1
+
+
+def test_wand_auto_routing_matches_exhaustive(corpus):
+    """use_wand='auto' must return results identical to exhaustive whether
+    it routes a query through WAND (selective) or falls back (dense)."""
+    out, oidx, _ = corpus
+    eng = SearchEngine(out, num_searchers=0)
+    queries = [
+        ("dense", "w0000 w0001 w0002"),   # top-Zipf terms: df huge
+        ("selective", "w0123 w0200"),      # tail terms
+        ("single", "w0250"),
+    ]
+    exact = eng.search_batch(queries, BM25(), k=10)
+    auto = eng.search_batch(queries, BM25(), k=10, use_wand="auto")
+    forced = eng.search_batch(queries, BM25(), k=10, use_wand=True)
+    for qid, _ in queries:
+        a = exact[exact.qid == qid]
+        b = auto[auto.qid == qid]
+        c = forced[forced.qid == qid]
+        assert a.url.tolist() == b.url.tolist() == c.url.tolist(), qid
+        assert a.score.tolist() == b.score.tolist() == c.score.tolist(), qid
