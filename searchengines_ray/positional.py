@@ -152,6 +152,131 @@ def window2_batch(
     return m, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
 
 
+def windowN_batch(flats, offs, dist: int):
+    """Vectorized n-arg #WINDOW over many docs: no cascade needed — each
+    step computes the k current values per active doc, matches when
+    max-min < dist (emit max, advance all), else advances every pointer
+    sitting at the min (QryIopWindow.java:55-178).  Same output contract
+    as :func:`near2_batch`."""
+    import numpy as np
+
+    k = len(flats)
+    n = len(offs[0]) - 1
+    ptr = np.stack([o[:-1].astype(np.int64) for o in offs])  # (k, n)
+    end = np.stack([o[1:].astype(np.int64) for o in offs])
+    m = np.zeros(n, dtype=np.int64)
+    e_docs, e_pos = [], []
+    active = (ptr < end).all(axis=0)
+    while active.any():
+        idx = np.nonzero(active)[0]
+        vals = np.stack(
+            [flats[i][ptr[i, idx]].astype(np.int64) for i in range(k)]
+        )  # (k, nactive)
+        hi = vals.max(axis=0)
+        lo = vals.min(axis=0)
+        mt = (hi - lo) < dist
+        mdoc = idx[mt]
+        if len(mdoc):
+            e_docs.append(mdoc)
+            e_pos.append(hi[mt].astype(np.int32))
+            m[mdoc] += 1
+            ptr[:, mdoc] += 1
+        rest = idx[~mt]
+        if len(rest):
+            at_min = vals[:, ~mt] == lo[~mt][None, :]  # (k, nrest)
+            for i in range(k):
+                ptr[i, rest[at_min[i]]] += 1
+        active = (ptr < end).all(axis=0)
+    if e_docs:
+        docs_emit = np.concatenate(e_docs)
+        pos_emit = np.concatenate(e_pos)
+        order = np.argsort(docs_emit, kind="stable")
+        return m, docs_emit[order], pos_emit[order]
+    return m, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+
+
+def nearN_batch(flats, offs, dist: int):
+    """Vectorized n-arg #NEAR: the reference's per-outer-iteration cascade
+    (align each list past the previous list's position, then check
+    adjacent gaps, advance-all on match else advance list 0 —
+    QryIopNear.java:117-179) as a per-doc STAGE automaton: stage j aligns
+    list j, stages then run the adjacent-gap checks; each step advances
+    one pointer or one stage per active doc.  Byte-identical to
+    :func:`near_positions` (fuzz-pinned)."""
+    import numpy as np
+
+    k = len(flats)
+    n = len(offs[0]) - 1
+    ptr = np.stack([o[:-1].astype(np.int64) for o in offs])
+    end = np.stack([o[1:].astype(np.int64) for o in offs])
+    m = np.zeros(n, dtype=np.int64)
+    # stage 1..k-1: aligning that list; stage k: gap checks done -> match
+    stage = np.ones(n, dtype=np.int64)
+    left = np.full(n, -1, dtype=np.int64)  # aligned pos of list stage-1
+    e_docs, e_pos = [], []
+    alive = np.ones(n, dtype=bool)
+    for i in range(k):
+        alive &= offs[i][1:] > offs[i][:-1]
+    # initialize left from list 0
+    sel = np.nonzero(alive)[0]
+    if len(sel):
+        left[sel] = flats[0][ptr[0, sel]]
+    while alive.any():
+        for j in range(1, k):
+            js = np.nonzero(alive & (stage == j))[0]
+            if not len(js):
+                continue
+            # list-j cursor exhausted -> doc done (cannot align)
+            done = js[ptr[j, js] >= end[j, js]]
+            if len(done):
+                alive[done] = False
+                js = np.setdiff1d(js, done, assume_unique=True)
+            if not len(js):
+                continue
+            vj = flats[j][ptr[j, js]].astype(np.int64)
+            behind = vj <= left[js]
+            ptr[j, js[behind]] += 1  # advance past the previous list
+            fwd = js[~behind]
+            if len(fwd):
+                left[fwd] = flats[j][ptr[j, fwd]]
+                stage[fwd] += 1
+        # stage k: all aligned — run the adjacent gap checks
+        ks = np.nonzero(alive & (stage == k))[0]
+        if len(ks):
+            ok = np.ones(len(ks), dtype=bool)
+            prev = flats[0][ptr[0, ks]].astype(np.int64)
+            for j in range(1, k):
+                cur = flats[j][ptr[j, ks]].astype(np.int64)
+                ok &= (cur - prev) <= dist
+                prev = cur
+            mdoc = ks[ok]
+            if len(mdoc):
+                e_docs.append(mdoc)
+                e_pos.append(
+                    flats[k - 1][ptr[k - 1, mdoc]].astype(np.int32)
+                )
+                m[mdoc] += 1
+                ptr[:, mdoc] += 1  # match: advance ALL
+            fdoc = ks[~ok]
+            if len(fdoc):
+                ptr[0, fdoc] += 1  # mismatch: advance list 0 only
+            # restart cascade for both outcomes
+            restart = ks
+            stage[restart] = 1
+            ex = restart[ptr[0, restart] >= end[0, restart]]
+            if len(ex):
+                alive[ex] = False
+            live = np.setdiff1d(restart, ex, assume_unique=True)
+            if len(live):
+                left[live] = flats[0][ptr[0, live]]
+    if e_docs:
+        docs_emit = np.concatenate(e_docs)
+        pos_emit = np.concatenate(e_pos)
+        order = np.argsort(docs_emit, kind="stable")
+        return m, docs_emit[order], pos_emit[order]
+    return m, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+
+
 def window_positions(plists: Sequence[Sequence[int]], dist: int) -> list[int]:
     its = [0] * len(plists)
     out: list[int] = []

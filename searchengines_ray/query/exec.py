@@ -38,9 +38,9 @@ from ..models import BM25, Indri, RankedBoolean, RetrievalModel, UnrankedBoolean
 from ..parser import Node
 from ..positional import (
     near2_batch,
-    near_positions,
+    nearN_batch,
     window2_batch,
-    window_positions,
+    windowN_batch,
 )
 
 
@@ -128,44 +128,33 @@ def eval_iop(node: Node, seg: Segment) -> EvalIop:
         idxs = [
             np.searchsorted(k.docs, common) for k in kids
         ]  # position of each common doc in each kid
+        # vectorized masked-step automata over ALL common docs at once
+        # (byte-identical match sequences, fuzz-pinned against the scalar
+        # kernels); the per-doc Python loop cost ~5s/query at 7.5M docs
         if len(kids) == 2:
-            # vectorized masked-step automaton over ALL common docs at once
-            # (byte-identical match sequence, fuzz-pinned); the per-doc
-            # Python loop below cost ~5s/query at 7.5M docs
             pa_flat, pa_off = _gather_positions(kids[0], idxs[0])
             pb_flat, pb_off = _gather_positions(kids[1], idxs[1])
             fn = near2_batch if node.op == "near" else window2_batch
             tfs_all, docs_emit, pos_emit = fn(
                 pa_flat, pa_off, pb_flat, pb_off, node.dist
             )
-            hit = tfs_all > 0
-            if not hit.any():
-                return _empty_iop(field)
-            tfs = tfs_all[hit]
-            return EvalIop(
-                field,
-                common[hit],
-                tfs,
-                pos_emit.astype(np.int32),
-                np.concatenate(([0], np.cumsum(tfs))),
-            )
-        match = near_positions if node.op == "near" else window_positions
-        out_docs, out_tfs, out_pos = [], [], []
-        for j, doc in enumerate(common):
-            plists = [k.pos_of(int(idxs[i][j])) for i, k in enumerate(kids)]
-            locs = match(plists, node.dist)
-            if locs:
-                out_docs.append(doc)
-                out_tfs.append(len(locs))
-                out_pos.extend(locs)
-        if not out_docs:
+        else:
+            gathered = [
+                _gather_positions(k, ix) for k, ix in zip(kids, idxs)
+            ]
+            flats = [g[0] for g in gathered]
+            offs = [g[1] for g in gathered]
+            fn = nearN_batch if node.op == "near" else windowN_batch
+            tfs_all, docs_emit, pos_emit = fn(flats, offs, node.dist)
+        hit = tfs_all > 0
+        if not hit.any():
             return _empty_iop(field)
-        tfs = np.asarray(out_tfs, dtype=np.int64)
+        tfs = tfs_all[hit]
         return EvalIop(
             field,
-            np.asarray(out_docs, dtype=np.int64),
+            common[hit],
             tfs,
-            np.asarray(out_pos, dtype=np.int32),
+            pos_emit.astype(np.int32),
             np.concatenate(([0], np.cumsum(tfs))),
         )
     raise ValueError(f"not an Iop: {node.op}")

@@ -37,6 +37,12 @@ QUERIES = [
     "the of and",  # all stopwords -> no hits
     "zzzznohit",  # zero-hit
     "#OR(#NEAR/1(w0030 w0031) #WINDOW/4(w0032 w0033))",
+    # 3- and 4-arg positional ops: the n-ary batch automata path
+    "#NEAR/2(w0000 w0001 w0002)",
+    "#NEAR/4(w0003 w0004 w0005 w0006)",
+    "#WINDOW/6(w0000 w0002 w0004)",
+    "#WINDOW/9(w0001 w0003 w0005 w0007)",
+    "#SUM(#NEAR/3(w0008 w0009 w0010) w0011)",
 ]
 
 MODELS = [

@@ -289,3 +289,51 @@ def test_positional_batch_matches_scalar(doc_lists, dist):
             assert got == want, (j, pa, pb, dist, got, want)
             assert all(int(d) == j for d in docs_emit[cursor : cursor + len(want)])
             cursor += len(want)
+
+
+@given(
+    st.integers(2, 4),
+    st.lists(st.integers(0, 1_000_000), min_size=1, max_size=10),
+    st.integers(1, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_positional_nary_batch_matches_scalar(k, seed_ints, dist):
+    """nearN_batch / windowN_batch (arbitrary arity) are byte-identical to
+    the scalar kernels across a batch of random docs."""
+    import random
+
+    from searchengines_ray.positional import (
+        nearN_batch,
+        near_positions,
+        windowN_batch,
+        window_positions,
+    )
+
+    rng = random.Random(tuple(seed_ints).__hash__())
+    docs = []
+    for _ in range(rng.randint(1, 7)):
+        docs.append(
+            [sorted(rng.sample(range(50), rng.randint(1, 9)))
+             for _ in range(k)]
+        )
+    flats, offs = [], []
+    for i in range(k):
+        parts = [d[i] for d in docs]
+        flats.append(
+            np.asarray([p for ps in parts for p in ps], dtype=np.int32)
+        )
+        offs.append(
+            np.concatenate(([0], np.cumsum([len(p) for p in parts])))
+        )
+    for batch_fn, scalar_fn in (
+        (nearN_batch, near_positions),
+        (windowN_batch, window_positions),
+    ):
+        tfs, docs_emit, pos_emit = batch_fn(flats, offs, dist)
+        cursor = 0
+        for j, plists in enumerate(docs):
+            want = scalar_fn(plists, dist)
+            assert int(tfs[j]) == len(want), (j, plists, dist)
+            got = pos_emit[cursor : cursor + len(want)].tolist()
+            assert got == want, (j, plists, dist, got, want)
+            cursor += len(want)
