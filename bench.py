@@ -208,7 +208,15 @@ def run_query_probe(num_cpus: int, sf_dir: str) -> dict:
     from searchengines_ray.models import BM25
     from searchengines_ray.query.engine import SearchEngine
 
-    out_dir = "/tmp/seray_query_probe_idx"
+    import hashlib
+
+    # cache key includes corpus + build params: a stale index from a
+    # different sf_dir must never be silently benchmarked
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|repl1500|seg50000|nots|v1".encode(),
+        digest_size=6,
+    ).hexdigest()
+    out_dir = f"/tmp/seray_query_probe_idx_{tag}"
     t: dict[str, float] = {}
     if not os.path.exists(os.path.join(out_dir, "stats.json")):
         pages = _replicated_pages(sf_dir, 1500)
@@ -239,14 +247,14 @@ def run_query_probe(num_cpus: int, sf_dir: str) -> dict:
     eng.search_batch(bow, BM25(), k=10, use_wand="auto")
     t["auto_wand_6q"] = round(time.perf_counter() - t0, 2)
     result = {
-        "metric": "query serving at 7.5M docs (mixed batch)",
+        "metric": "query serving at probe scale (mixed batch)",
         "value": t["warm_10q"],
         "unit": "sec",
         "queries": t,
         "ms_per_query_warm": round(t["warm_10q"] * 100, 1),
         "sf": sf_dir,
         "num_cpus": num_cpus,
-        "n_docs": 7_500_000,
+        "n_docs": int(eng.stats["n_docs"]),
     }
     ray.shutdown()
     return result

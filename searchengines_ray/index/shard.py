@@ -110,15 +110,25 @@ class Segment:
         (measured at 7.5M docs: startup 44s -> 123s, first query then
         runs at warm latency) — a win only for long-running serving where
         startup happens offline; leave 0 for batch jobs."""
-        rows = [
-            (int(self._df[i]), key)
-            for key, i in self._dict.items()
-            if key[0] == field
-        ]
-        rows.sort(reverse=True)
+        # clamp below the decode-cache cap: postings() clears the whole
+        # cache at capacity, which would wipe the terms just warmed
+        top = min(top, max(1, (self._cache_cap * 7) // 8))
+        fields = np.asarray(
+            self._tbl.column("field").to_pylist(), dtype=object
+        )
+        mask = fields == field
+        rows_idx = np.nonzero(mask)[0]
+        if not len(rows_idx):
+            return 0
+        dfs = self._df[rows_idx]
+        if len(rows_idx) > top:  # O(V) selection, no vocab-sized py sort
+            pick = rows_idx[np.argpartition(-dfs, top - 1)[:top]]
+        else:
+            pick = rows_idx
+        terms = self._tbl.column("term")
         n = 0
-        for _, key in rows[:top]:
-            if self.postings(*key) is not None:
+        for i in pick:
+            if self.postings(field, terms[int(i)].as_py()) is not None:
                 n += 1
         return n
 

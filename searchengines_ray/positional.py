@@ -86,9 +86,9 @@ def near2_batch(
         ib[idx[le]] += 1  # advance right past/onto left
         rest = idx[~le]
         if len(rest):
+            # rest pointers are untouched this step: reuse the gathered vals
             gap_ok = (
-                pb_flat[ib[rest]].astype(np.int64)
-                - pa_flat[ia[rest]].astype(np.int64)
+                vb[~le].astype(np.int64) - va[~le].astype(np.int64)
             ) <= dist
             mdoc = rest[gap_ok]
             if len(mdoc):

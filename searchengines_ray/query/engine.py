@@ -142,6 +142,10 @@ class LocalSearcher:
         from ..models import BM25 as _BM25
         from .wand import bm25_wand_topk
 
+        if use_wand not in (False, True, "auto"):
+            raise ValueError(
+                f"use_wand must be False, True or 'auto', got {use_wand!r}"
+            )
         results = []
         for tree in trees:
             if tree is None:

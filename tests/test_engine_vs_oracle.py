@@ -246,7 +246,25 @@ def test_wand_auto_routing_matches_exhaustive(corpus):
         ("single", "w0250"),
     ]
     exact = eng.search_batch(queries, BM25(), k=10)
-    auto = eng.search_batch(queries, BM25(), k=10, use_wand="auto")
+    # count which queries actually route through WAND under 'auto'
+    import searchengines_ray.query.wand as wand_mod
+
+    calls = []
+    orig = wand_mod.bm25_wand_topk
+
+    def counting(bow, *a, **kw):
+        calls.append(tuple(t for _, t in bow))
+        return orig(bow, *a, **kw)
+
+    wand_mod.bm25_wand_topk = counting
+    try:
+        auto = eng.search_batch(queries, BM25(), k=10, use_wand="auto")
+    finally:
+        wand_mod.bm25_wand_topk = orig
+    wand_terms = {t for c in calls for t in c}
+    # dense bag (top-Zipf terms) must FALL BACK; selective ones route WAND
+    assert "w0000" not in wand_terms and "w0001" not in wand_terms
+    assert "w0123" in wand_terms and "w0250" in wand_terms
     forced = eng.search_batch(queries, BM25(), k=10, use_wand=True)
     for qid, _ in queries:
         a = exact[exact.qid == qid]
@@ -254,3 +272,7 @@ def test_wand_auto_routing_matches_exhaustive(corpus):
         c = forced[forced.qid == qid]
         assert a.url.tolist() == b.url.tolist() == c.url.tolist(), qid
         assert a.score.tolist() == b.score.tolist() == c.score.tolist(), qid
+    import pytest
+
+    with pytest.raises(ValueError):
+        eng.search_batch(queries[:1], BM25(), k=10, use_wand="Auto")
