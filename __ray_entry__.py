@@ -456,6 +456,33 @@ def _q_curate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
 
 
+def _q_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus line-level dedup (C4-style): docs with every >=10-char
+    line kept only at its first global occurrence.  On this corpus the
+    result is the identity (no exact duplicate lines — verified by the
+    oracle); planted-duplicate behavior is pinned by pytest."""
+    from searchengines_ray.stages.dedup import line_dedup
+
+    out = line_dedup(_docs(sf_dir), min_chars=10).to_pandas()
+    return (
+        out[["doc_id", "text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
+def _q_repetition(sf_dir: str) -> pd.DataFrame:
+    from searchengines_ray.stages.text import repetition_signals
+
+    out = repetition_signals(_docs(sf_dir)).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_lines": "int64"})
+    )
+
+
 def _q_fingerprints(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.text import fingerprints
 
@@ -848,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup": _q_minhash_dedup,
         "curate_corpus": _q_curate,
+        "line_dedup": _q_line_dedup,
+        "repetition_signals": _q_repetition,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "fingerprints": _q_fingerprints,
@@ -2365,6 +2394,60 @@ def _oracle_sql_impl() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id
+        """,
+        "line_dedup": """
+            -- C4-style line dedup: a >=10-char line survives only at its
+            -- first global (doc_id, line_idx) occurrence; shorter lines
+            -- always survive; docs rejoin surviving lines in order
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS line_idx,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ),
+            marked AS (
+              SELECT doc_id, line_idx, line,
+                     (length(line) < 10 OR ROW_NUMBER() OVER (
+                        PARTITION BY line ORDER BY doc_id, line_idx
+                      ) = 1) AS keep
+              FROM lines
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_idx) AS text
+            FROM marked WHERE keep
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "repetition_signals": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+              FROM documents
+            ),
+            g3 AS (
+              SELECT doc_id,
+                CAST(GREATEST(len(ws) - 2, 0) AS DOUBLE) AS total3,
+                CAST(len(list_distinct(list_transform(
+                  generate_series(1, len(ws) - 2),
+                  i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]
+                ))) AS DOUBLE) AS distinct3
+              FROM w
+            ),
+            l AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE) AS distinct_l
+              FROM documents WHERE text <> ''
+            )
+            SELECT d.doc_id,
+                   COALESCE(l.n_lines, 0) AS n_lines,
+                   CASE WHEN l.n_lines IS NULL THEN 0.0
+                        ELSE 1.0 - l.distinct_l / CAST(l.n_lines AS DOUBLE) END
+                     AS dup_line_frac,
+                   CASE WHEN g3.total3 = 0.0 THEN 0.0
+                        ELSE 1.0 - g3.distinct3 / g3.total3 END AS dup_3gram_frac
+            FROM documents d
+            LEFT JOIN g3 ON g3.doc_id = d.doc_id
+            LEFT JOIN l ON l.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "curate_corpus": f"""
             -- the composed curation flow: marker-argmax lang filter +

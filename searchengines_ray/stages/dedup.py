@@ -564,6 +564,76 @@ def dedup_survivors_from_pairs(
     return pd.DataFrame({"doc_id": pd.array(sorted(keep), dtype="int64")})
 
 
+# ------------------------------------------------------------------ line dedup
+
+
+def line_dedup(ds, min_chars: int = 10, coarse_buckets: int = 1024):
+    """Cross-corpus line-level deduplication (the C4 pipeline's line dedup):
+    every line of ``min_chars``+ characters is kept only at its FIRST
+    global occurrence (ordered by (doc_id, line_idx)); shorter lines are
+    never deduplicated.  Returns a Dataset ``(doc_id, text)`` with each
+    doc's surviving lines rejoined in order.
+
+    Fully distributed two-shuffle plan: lines explode with their
+    (doc_id, line_idx) key, a hash-bucketed groupby marks each line
+    occurrence keep/drop (keeper = min packed key per line, computed
+    vectorized inside coarse buckets), and a second groupby reassembles
+    docs.  The line text rides the shuffles (reconstruction needs it) —
+    corpus-sized but streaming, never on the driver.
+    """
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_idx, rows_line, rows_h = [], [], [], []
+        for doc, text in zip(batch["doc_id"].astype(int), batch["text"]):
+            for i, line in enumerate(("" if text is None else text).split("\n")):
+                rows_doc.append(doc)
+                rows_idx.append(i)
+                rows_line.append(line)
+                rows_h.append(
+                    zlib.crc32(line.encode()) if len(line) >= min_chars else -1
+                )
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.array(rows_doc, dtype="int64"),
+                "line_idx": pd.array(rows_idx, dtype="int64"),
+                "line": rows_line,
+                "h": pd.array(rows_h, dtype="int64"),
+            }
+        )
+        df["cb"] = (df["h"].to_numpy() % coarse_buckets).astype(np.int64)
+        return df
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        packed = g["doc_id"].to_numpy() * np.int64(1 << 20) + g[
+            "line_idx"
+        ].to_numpy()
+        g["_p"] = packed
+        # short lines (h == -1) are always kept; others keep only the
+        # global first occurrence OF THE SAME LINE TEXT (hash + text so a
+        # crc collision cannot merge distinct lines)
+        first = g.groupby(["h", "line"])["_p"].transform("min")
+        keep = (g["h"].to_numpy() == -1) | (g["_p"].to_numpy() == first.to_numpy())
+        return g.loc[keep, ["doc_id", "line_idx", "line"]]
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("line_idx")
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "text": ["\n".join(g["line"].tolist())],
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------- simhash
 
 

@@ -295,6 +295,53 @@ class Fingerprinter:
         )
 
 
+class RepetitionSignals:
+    """Gopher/MassiveText-style within-document repetition quality signals:
+
+    - ``dup_3gram_frac``: 1 - distinct/total word 3-grams (0 when < 3
+      words) — boilerplate and babble score high;
+    - ``dup_line_frac``: 1 - distinct/total lines (0 for empty text).
+
+    Ratios are integer-count divisions (IEEE-identical across engines).
+    Vectorized via the shared flat-token-stream + rolling-shingle
+    machinery; line counts via pandas str ops.
+    """
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _batch_shingle_sets
+
+        texts = ["" if t is None else t for t in batch["text"]]
+        n = len(texts)
+        _, _, parent, counts = _flat_word_stream(texts)
+        total3 = np.maximum(counts - 2, 0).astype(np.float64)
+        sets = _batch_shingle_sets(texts, 3)
+        distinct3 = np.asarray([len(s) for s in sets], dtype=np.float64)
+        dup3 = np.zeros(n, dtype=np.float64)
+        has3 = counts >= 3
+        dup3[has3] = 1.0 - distinct3[has3] / total3[has3]
+
+        dup_line = np.zeros(n, dtype=np.float64)
+        n_lines = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            lines = t.split("\n")
+            n_lines[i] = len(lines)
+            dup_line[i] = 1.0 - float(len(set(lines))) / float(len(lines))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pd.array(n_lines, dtype="int64"),
+                "dup_line_frac": dup_line,
+                "dup_3gram_frac": dup3,
+            }
+        )
+
+
+def repetition_signals(ds):
+    return ds.map_batches(RepetitionSignals(), batch_format="pandas")
+
+
 # The helpers pass INSTANCES (stateless elastic tasks): the per-stage state
 # here is compiled regexes — cheap to pickle, so task elasticity beats actor
 # reservation (an actor pool sized to the session CPU count starves the read

@@ -334,3 +334,51 @@ def test_similarity_join_exact(ray_session):
     assert np.allclose(
         got["cosine"], [sims[a, b] for a, b in want], atol=1e-12
     )
+
+
+def test_line_dedup_cross_corpus(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import line_dedup
+
+    shared = "the shared boilerplate line here"
+    rows = [
+        {"doc_id": 0, "text": f"{shared}\nunique zero line content"},
+        {"doc_id": 1, "text": f"{shared}\nunique one line content"},
+        {"doc_id": 2, "text": f"short\n{shared}"},
+        {"doc_id": 3, "text": "short"},  # <10 chars: never deduped
+    ]
+    out = (
+        line_dedup(ray.data.from_items(rows), min_chars=10)
+        .to_pandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+    assert out[0] == f"{shared}\nunique zero line content"  # first keeps it
+    assert out[1] == "unique one line content"              # loses shared
+    assert out[2] == "short"                                # loses shared
+    assert out[3] == "short"                                # short always kept
+
+
+def test_repetition_signals(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import repetition_signals
+
+    rows = [
+        {"doc_id": 0, "text": "a b c a b c a b c"},     # 7 3-grams, 3 distinct
+        {"doc_id": 1, "text": "all distinct words here now"},
+        {"doc_id": 2, "text": "x\nx\ny"},               # dup line
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "two words"},             # <3 words
+    ]
+    out = (
+        repetition_signals(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "dup_3gram_frac"] == 1.0 - 3.0 / 7.0
+    assert out.loc[1, "dup_3gram_frac"] == 0.0
+    assert out.loc[2, "dup_line_frac"] == 1.0 - 2.0 / 3.0
+    assert out.loc[3, "n_lines"] == 0 and out.loc[3, "dup_3gram_frac"] == 0.0
+    assert out.loc[4, "dup_3gram_frac"] == 0.0
