@@ -75,6 +75,10 @@ class LocalSearcher:
         self.stats = load_stats(index_dir)
         dirs = list(seg_dirs) if seg_dirs is not None else segment_dirs(index_dir)
         self.segments = [Segment(d) for d in dirs]
+        # per-batch composite-Iop memo: (batch token) -> per-segment caches;
+        # the stats pass and the scoring pass share one evaluation
+        self._iop_token = None
+        self._iop_caches: list[dict] = []
         if warm_terms:
             for seg in self.segments:
                 seg.warm(top=warm_terms)
@@ -99,13 +103,24 @@ class LocalSearcher:
                     out[key] = (d0 + df, c0 + ctf)
         return out
 
-    def iop_stats_partial(self, trees: Sequence[Optional[Node]]) -> dict:
+    def _caches(self, token) -> list:
+        if token is None:
+            return [None] * len(self.segments)
+        if token != self._iop_token:
+            self._iop_token = token
+            self._iop_caches = [{} for _ in self.segments]
+        return self._iop_caches
+
+    def iop_stats_partial(
+        self, trees: Sequence[Optional[Node]], token=None
+    ) -> dict:
         out: dict = {}
+        caches = self._caches(token)
         for tree in trees:
             if tree is None:
                 continue
-            for seg in self.segments:
-                collect_iop_stats(tree, seg, out)
+            for seg, cache in zip(self.segments, caches):
+                collect_iop_stats(tree, seg, out, cache)
         return out
 
     def term_vectors(
@@ -130,6 +145,7 @@ class LocalSearcher:
         model: RetrievalModel,
         k: Optional[int],
         use_wand: bool = False,
+        token=None,
     ) -> list[list[tuple[int, str, float]]]:
         """Per-query partial top-k over THIS searcher's segments.
 
@@ -167,13 +183,14 @@ class LocalSearcher:
                 if total_df > 0.15 * g.n_docs:
                     bow = None
             partials: list[tuple[int, str, float]] = []
-            for seg in self.segments:
+            caches = self._caches(token)
+            for seg, cache in zip(self.segments, caches):
                 if bow is not None:
                     partials.extend(
                         bm25_wand_topk(bow, seg, g, model, k)
                     )
                 else:
-                    ev = eval_sop(tree, seg, g, model)
+                    ev = eval_sop(tree, seg, g, model, cache)
                     partials.extend(segment_topk(ev, seg, k))
             partials.sort(key=lambda r: (-r[2], r[1]))
             results.append(partials[:k] if k is not None else partials)
@@ -267,7 +284,9 @@ class SearchEngine:
             self._term_memo[k] = got.get(k, (0, 0))
         return self._term_memo
 
-    def global_stats_for(self, trees: Sequence[Optional[Node]]) -> GlobalStats:
+    def global_stats_for(
+        self, trees: Sequence[Optional[Node]], token=None
+    ) -> GlobalStats:
         keys: set = set()
         for t in trees:
             if t is not None:
@@ -284,10 +303,13 @@ class SearchEngine:
                 import ray
 
                 partials = ray.get(
-                    [a.iop_stats_partial.remote(live) for a in self._actors]
+                    [
+                        a.iop_stats_partial.remote(live, token)
+                        for a in self._actors
+                    ]
                 )
             else:
-                partials = [self._local.iop_stats_partial(live)]
+                partials = [self._local.iop_stats_partial(live, token)]
             merged: dict = {}
             for p in partials:
                 for key, (df, ctf) in p.items():
@@ -311,11 +333,14 @@ class SearchEngine:
         ordered per query by (score desc, url asc) and truncated to k —
         rank-identical to the oracle.
         """
+        import uuid
+
         trees = [
             parse_query(text, model.default_op, self.config)
             for _, text in queries
         ]
-        g = self.global_stats_for(trees)
+        token = uuid.uuid4().hex  # one composite-Iop memo per batch
+        g = self.global_stats_for(trees, token)
 
         if self._actors:
             import ray
@@ -323,13 +348,15 @@ class SearchEngine:
             gref = ray.put(g)
             per_actor = ray.get(
                 [
-                    a.search_trees.remote(trees, gref, model, k, use_wand)
+                    a.search_trees.remote(
+                        trees, gref, model, k, use_wand, token
+                    )
                     for a in self._actors
                 ]
             )
         else:
             per_actor = [
-                self._local.search_trees(trees, g, model, k, use_wand)
+                self._local.search_trees(trees, g, model, k, use_wand, token)
             ]
 
         rows = []

@@ -93,20 +93,34 @@ def _empty_iop(field: str) -> EvalIop:
     )
 
 
-def eval_iop(node: Node, seg: Segment) -> EvalIop:
+def eval_iop(
+    node: Node, seg: Segment, cache: Optional[dict] = None
+) -> EvalIop:
     if node.op == "term":
         pl = seg.postings(node.field, node.term)
         if pl is None:
             return _empty_iop(node.field)
         return EvalIop(node.field, pl.docs, pl.tfs, pl.positions, pl.offsets)
 
-    kids = [eval_iop(a, seg) for a in node.args]
+    # per-batch memo: the engine evaluates every composite Iop TWICE per
+    # query batch (stats pass + scoring pass) — the derived list is
+    # identical both times (index immutable within a batch)
+    key = str(node) if cache is not None else None
+    if key is not None and key in cache:
+        return cache[key]
+
+    kids = [eval_iop(a, seg, cache) for a in node.args]
     field = kids[0].field if kids else "body"
+
+    def _done(ev: EvalIop) -> EvalIop:
+        if key is not None:
+            cache[key] = ev
+        return ev
 
     if node.op == "syn":
         # union; per-doc positions = arg-order concat then sorted
         if all(len(k.docs) == 0 for k in kids):
-            return _empty_iop(field)
+            return _done(_empty_iop(field))
         all_docs = np.concatenate(
             [np.repeat(k.docs, k.tfs.astype(np.int64)) for k in kids]
         )
@@ -115,16 +129,18 @@ def eval_iop(node: Node, seg: Segment) -> EvalIop:
         all_docs, all_pos = all_docs[order], all_pos[order]
         docs, tfs = np.unique(all_docs, return_counts=True)
         offsets = np.concatenate(([0], np.cumsum(tfs)))
-        return EvalIop(field, docs, tfs, all_pos.astype(np.int32), offsets)
+        return _done(
+            EvalIop(field, docs, tfs, all_pos.astype(np.int32), offsets)
+        )
 
     if node.op in ("near", "window"):
         if any(len(k.docs) == 0 for k in kids):
-            return _empty_iop(field)
+            return _done(_empty_iop(field))
         common = kids[0].docs
         for k in kids[1:]:
             common = np.intersect1d(common, k.docs, assume_unique=True)
         if len(common) == 0:
-            return _empty_iop(field)
+            return _done(_empty_iop(field))
         idxs = [
             np.searchsorted(k.docs, common) for k in kids
         ]  # position of each common doc in each kid
@@ -148,14 +164,16 @@ def eval_iop(node: Node, seg: Segment) -> EvalIop:
             tfs_all, docs_emit, pos_emit = fn(flats, offs, node.dist)
         hit = tfs_all > 0
         if not hit.any():
-            return _empty_iop(field)
+            return _done(_empty_iop(field))
         tfs = tfs_all[hit]
-        return EvalIop(
-            field,
-            common[hit],
-            tfs,
-            pos_emit.astype(np.int32),
-            np.concatenate(([0], np.cumsum(tfs))),
+        return _done(
+            EvalIop(
+                field,
+                common[hit],
+                tfs,
+                pos_emit.astype(np.int32),
+                np.concatenate(([0], np.cumsum(tfs))),
+            )
         )
     raise ValueError(f"not an Iop: {node.op}")
 
@@ -176,19 +194,21 @@ def _gather_positions(k: EvalIop, rows: np.ndarray):
     return k.positions[gather], off
 
 
-def collect_iop_stats(node: Node, seg: Segment, out: dict) -> None:
+def collect_iop_stats(
+    node: Node, seg: Segment, out: dict, cache: Optional[dict] = None
+) -> None:
     """Per-segment (df, ctf) partials for every composite Iop in the tree
     (summed across segments by the engine before scoring)."""
     if node.op == "term":
         return
     if node.is_iop():
-        ev = eval_iop(node, seg)
+        ev = eval_iop(node, seg, cache)
         key = str(node)
         df, ctf = out.get(key, (0, 0))
         out[key] = (df + ev.local_df, ctf + ev.local_ctf)
         return  # nested composites contribute via their own tree walk below
     for a in node.args:
-        collect_iop_stats(a, seg, out)
+        collect_iop_stats(a, seg, out, cache)
 
 
 def iter_term_keys(node: Node, out: set) -> None:
@@ -217,11 +237,15 @@ def _zero_default(docs: np.ndarray) -> np.ndarray:
 
 
 def eval_sop(
-    node: Node, seg: Segment, g: GlobalStats, model: RetrievalModel
+    node: Node,
+    seg: Segment,
+    g: GlobalStats,
+    model: RetrievalModel,
+    iop_cache: Optional[dict] = None,
 ) -> EvalSop:
     if node.is_iop():
-        return _score_leaf(node, seg, g, model)
-    kids = [eval_sop(a, seg, g, model) for a in node.args]
+        return _score_leaf(node, seg, g, model, iop_cache)
+    kids = [eval_sop(a, seg, g, model, iop_cache) for a in node.args]
     indri = isinstance(model, Indri)
     op = node.op
 
@@ -358,9 +382,13 @@ def eval_sop(
 
 
 def _score_leaf(
-    node: Node, seg: Segment, g: GlobalStats, model: RetrievalModel
+    node: Node,
+    seg: Segment,
+    g: GlobalStats,
+    model: RetrievalModel,
+    iop_cache: Optional[dict] = None,
 ) -> EvalSop:
-    iop = eval_iop(node, seg)
+    iop = eval_iop(node, seg, iop_cache)
     field = iop.field
     df, ctf = g.stats_of(node)
     tf = iop.tfs.astype(np.float64)
