@@ -844,6 +844,42 @@ def _q_prf_expansion_simple(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "term", "rank", "score_r"])
 
 
+def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling plumbing (1 row -> n frame rows, actor-pool
+    fan-out) over deterministic fake payloads — SQL-checked: the sampler's
+    sha256-derived frame count/hashes are reproducible in DuckDB."""
+    import pyarrow as pa
+
+    from searchengines_ray.stages.multimodal import sample_frames
+
+    docs = _docs(sf_dir)
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [
+                        (t or "").encode("utf-8")[:256]
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    frames = sample_frames(
+        docs.map_batches(to_payload, batch_format="pyarrow"),
+        every_n=10,
+        concurrency=2,
+    ).to_pandas()
+    return (
+        frames.sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "frame_idx": "int64", "frame_hash": "int64"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # search-engine core (SURVEY.md §2)
@@ -885,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join": _q_similarity_join,
         "sessionize": _q_sessionize,
         "multimodal_decode": _q_multimodal,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -2631,6 +2668,36 @@ def _oracle_sql_impl() -> dict[str, str]:
                         AS BIGINT) AS height,
                    CAST(3 AS BIGINT) AS channels
             FROM h ORDER BY doc_id
+        """,
+        "frame_sample": """
+            -- fake frame sampler: n_frames = 1 + sha256(payload)[0] % 50,
+            -- frames every 10; frame_hash = first 60 bits of
+            -- sha256(payload || '#' || i)
+            WITH h AS (
+              SELECT doc_id, substr(text, 1, 256) AS payload,
+                     sha256(substr(text, 1, 256)) AS hx
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, payload,
+                     1 + ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                        + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 50
+                       AS n_frames
+              FROM h
+            ),
+            f AS (
+              SELECT doc_id, payload,
+                     unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+              FROM n
+            )
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         string_split(substr(sha256(payload || '#' || CAST(frame_idx AS VARCHAR)), 1, 15), ''),
+                         c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                     (a, c) -> a * 16 + c) AS frame_hash
+            FROM f ORDER BY doc_id, frame_idx
         """,
         "ann_topk": """
             WITH q AS (

@@ -79,26 +79,22 @@ class FrameSampler:
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # sha256 + '#'-delimited frame tag (not blake2b/binary concat):
+        # DuckDB can reproduce the fake sampler byte-for-byte
         doc_ids, frame_idx, frame_hash = [], [], []
         for doc, payload in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+            h = hashlib.sha256(payload or b"").digest()
             n_frames = 1 + h[0] % 50
             for i in range(0, n_frames, self.every_n):
                 doc_ids.append(doc)
                 frame_idx.append(i)
-                frame_hash.append(
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            (payload or b"") + i.to_bytes(4, "big"),
-                            digest_size=8,
-                        ).digest(),
-                        "big",
-                    )
-                    >> 1
-                )
+                fh = hashlib.sha256(
+                    (payload or b"") + b"#" + str(i).encode()
+                ).hexdigest()
+                frame_hash.append(int(fh[:15], 16))  # 60 bits, int64-safe
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
