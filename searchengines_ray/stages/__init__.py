@@ -1,0 +1,36 @@
+"""Training-data pipeline operators (public surface).
+
+Every operator takes a Ray ``Dataset`` and returns a ``Dataset`` (or a
+small pandas result for pair lists) — see each module for the scale
+design notes.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    embedding_neardup_pairs,
+    line_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_dedup_survivors,
+    minhash_verify_pairs,
+    ngram_jaccard,
+    simhash_dup_pairs,
+)
+from .multimodal import decode_images, sample_frames  # noqa: F401
+from .similarity import (  # noqa: F401
+    IVFIndex,
+    cosine_similarity_join,
+    cosine_topk,
+)
+from .text import (  # noqa: F401
+    fingerprints,
+    lang_id,
+    quality_scores,
+    repetition_signals,
+    token_counts,
+)
+from .windows import (  # noqa: F401
+    hopping_window_agg,
+    sessionize,
+    tumbling_window_agg,
+)
