@@ -24,6 +24,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _topk_tiebreak(s: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k rows by (score desc, id asc) — the frozen
+    tie-break.  argpartition alone drops the WRONG row when cosines tie at
+    the k boundary (duplicate embeddings), making the per-batch partial
+    depend on batch partitioning; here the candidate set is widened to
+    every row tying the k-th score and the tie broken by id before the
+    cut, so the partial is partition-invariant (O(n) selection + an
+    O(c log c) lexsort over the candidates only)."""
+    n = len(s)
+    if n <= k:
+        return np.lexsort((ids, -s))
+    part = np.argpartition(-s, k - 1)[:k]
+    kth = s[part].min()
+    cand = np.nonzero(s >= kth)[0]
+    order = np.lexsort((ids[cand], -s[cand]))[:k]
+    return cand[order]
+
+
 def _merge_topk(partials, k: int) -> pd.DataFrame:
     """Per-query merge of partial top-k rows: (cosine desc, vec_id asc)
     tie-break — frozen rule so distributed and single-process runs agree."""
@@ -63,14 +81,19 @@ def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
         mat = _normalize(_as_matrix(batch["embedding"]))
         sims = q @ mat.T  # (nq, nbatch)
         ids = batch["vec_id"].astype("int64").to_numpy()
-        out = []
-        kk = min(k, sims.shape[1])
+        qs, vs, cs = [], [], []
         for qi in range(sims.shape[0]):
-            s = sims[qi]
-            part = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
-            for j in part:
-                out.append((qi, int(ids[j]), float(s[j])))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+            sel = _topk_tiebreak(sims[qi], ids, k)
+            qs.append(np.full(len(sel), qi, dtype=np.int64))
+            vs.append(ids[sel])
+            cs.append(sims[qi][sel])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qs) if qs else np.empty(0, np.int64),
+                "vec_id": np.concatenate(vs) if vs else np.empty(0, np.int64),
+                "cosine": np.concatenate(cs) if cs else np.empty(0, np.float64),
+            }
+        )
 
     return _merge_topk(
         emb_ds.map_batches(batch_topk, batch_format="pandas"), k
@@ -259,20 +282,30 @@ class IVFIndex:
             mat = np.stack([np.asarray(v) for v in batch["vec"]])
             ids = batch["vec_id"].astype("int64").to_numpy()
             sims = q @ mat.T
-            out = []
+            qs, vs, cs = [], [], []
             for qi in range(sims.shape[0]):
                 valid = np.nonzero(allowed[qi])[0]
                 if not valid.size:
                     continue
                 s = sims[qi][valid]
-                if valid.size > k:
-                    pick = valid[np.argpartition(-s, k - 1)[:k]]
-                else:
-                    pick = valid
-                for j in pick:
-                    out.append((qi, int(ids[j]), float(sims[qi][j])))
+                pick = valid[_topk_tiebreak(s, ids[valid], k)]
+                qs.append(np.full(len(pick), qi, dtype=np.int64))
+                vs.append(ids[pick])
+                cs.append(sims[qi][pick])
+            if not qs:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.array([], dtype="int64"),
+                        "vec_id": pd.array([], dtype="int64"),
+                        "cosine": pd.array([], dtype="float64"),
+                    }
+                )
             return pd.DataFrame(
-                out, columns=["query_id", "vec_id", "cosine"]
+                {
+                    "query_id": np.concatenate(qs),
+                    "vec_id": np.concatenate(vs),
+                    "cosine": np.concatenate(cs),
+                }
             )
 
         return _merge_topk(

@@ -172,6 +172,31 @@ def test_ivf_recall(ray_session):
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_topk_tiebreak_with_duplicate_embeddings(ray_session):
+    """Duplicate embeddings tying at the k boundary must resolve by the
+    frozen (cosine desc, vec_id asc) rule regardless of batch partitioning
+    (the argpartition-only combiner dropped an arbitrary tied row)."""
+    import ray.data
+
+    from searchengines_ray.stages.similarity import IVFIndex, cosine_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = [
+        {"vec_id": i, "embedding": (base * (1.0 + i)).tolist()}  # cosine 1.0
+        for i in range(12)
+    ] + [
+        {"vec_id": 100 + i, "embedding": rng.standard_normal(8).tolist()}
+        for i in range(20)
+    ]
+    ds = ray.data.from_items(rows).repartition(6)
+    got = cosine_topk(ds, np.stack([base]), k=5)
+    assert got.sort_values("rank")["vec_id"].tolist() == [0, 1, 2, 3, 4]
+    ivf = IVFIndex(nlist=4).fit(ds).assign(ds)
+    approx = ivf.search(np.stack([base]), k=5, nprobe=4)
+    assert approx.sort_values("rank")["vec_id"].tolist() == [0, 1, 2, 3, 4]
+
+
 def test_tumbling_window(ray_session):
     import ray.data
 
