@@ -246,6 +246,24 @@ def _q_syn_topk_simple(sf_dir: str) -> pd.DataFrame:
     return _simple_ranked(res)
 
 
+FIELD_QUERIES = [
+    ("fq1", "dup.title"),              # title-field term (per-field stats)
+    ("fq2", "dup.title key.body"),     # mixed-field #SUM
+    ("fq3", "doc.url dup.body"),       # url field: df == N -> idf 0, every
+                                       # doc matches -> tie-break sweep
+]
+
+
+def _q_field_queries(sf_dir: str) -> pd.DataFrame:
+    """Field-qualified query terms (``term.field`` — QryParser.java:141-179
+    semantics) under BM25 on the simple analyzer: each leaf scores with ITS
+    field's df, doclen, and avg length (title = first text line tokens,
+    url = tokens of the synthetic url); idf stays corpus-global n_docs."""
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(FIELD_QUERIES, BM25(), k=None)
+    return _simple_ranked(res)
+
+
 def _q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     """Flagship BM25 on the FULL analyzer (stopwords occupy positions,
     kstem_lite) — SQL-checked end to end: the oracle reproduces the
@@ -436,9 +454,39 @@ def _q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH near-dup pairs over the embeddings table AUGMENTED
+    with planted near-duplicates (vec_id < 20 re-emitted as vec_id + 1e6
+    with +0.005 on every coordinate -> cosine ~0.9992): the SQL oracle is
+    exact all-pairs, so this checks LSH RECALL on real positives — the raw
+    table has none (max off-diagonal cosine ~0.51, verified round 1)."""
     from searchengines_ray.stages.dedup import embedding_neardup_pairs
 
-    out = embedding_neardup_pairs(_emb(sf_dir), threshold=0.9)
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch.loc[batch["vec_id"] < 20]
+        extra = pd.DataFrame(
+            {
+                "vec_id": sub["vec_id"].to_numpy().astype(np.int64)
+                + 1_000_000,
+                "embedding": [
+                    np.asarray(v, dtype=np.float64) + 0.005
+                    for v in sub["embedding"]
+                ],
+            }
+        )
+        base = pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+                "embedding": [
+                    np.asarray(v, dtype=np.float64)
+                    for v in batch["embedding"]
+                ],
+            }
+        )
+        return pd.concat([base, extra], ignore_index=True)
+
+    aug = _emb(sf_dir).map_batches(plant, batch_format="pandas")
+    # tables=8: planted pairs sit at ~2.3 deg, per-pair miss prob ~(1-.857)^8
+    out = embedding_neardup_pairs(aug, threshold=0.9, tables=8)
     out["cosine_r"] = np.floor(out.pop("cosine").to_numpy() * 1e4) / 1e4
     return out
 
@@ -595,6 +643,61 @@ def _q_multimodal(sf_dir: str) -> pd.DataFrame:
         imgs[["doc_id", "width", "height", "channels"]]
         .astype("int64")
         .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_trec_flow(sf_dir: str) -> pd.DataFrame:
+    """S1->S3->S7 flow conformance: a param file and a query file round-trip
+    through the real readers, the batch runs RankedBoolean (integer scores
+    => Java Double.toString == '<n>.0', SQL-reproducible byte-for-byte), and
+    the trec output file — including the zero-hit dummyRecord row
+    (QryEval.java:1442-1467) — is read back and checked LINE-exactly."""
+    import tempfile
+
+    from searchengines_ray.sources.formats import (
+        read_params,
+        read_query_file,
+        results_df_to_trec,
+        validate_params,
+    )
+
+    qtexts = [("t1", "dup key"), ("t2", "#OR(dup window batch)"),
+              ("t3", "zzz9nohit")]
+    with tempfile.TemporaryDirectory() as td:
+        qfile = os.path.join(td, "queries.qry")
+        pfile = os.path.join(td, "run.param")
+        tfile = os.path.join(td, "out.teIn")
+        with open(qfile, "w") as f:
+            for qid, qt in qtexts:
+                f.write(f"{qid}:{qt}\n")
+        with open(pfile, "w") as f:
+            f.write(f"indexPath={_index_for(sf_dir, simple=True)}\n")
+            f.write(f"queryFilePath={qfile}\n")
+            f.write(f"trecEvalOutputPath={tfile}\n")
+            f.write("retrievalAlgorithm=RankedBoolean\n")
+            f.write("trecEvalOutputLength=10\n")
+        params = read_params(pfile)
+        validate_params(
+            params, required=("indexPath", "queryFilePath",
+                              "trecEvalOutputPath")
+        )
+        queries = read_query_file(params["queryFilePath"])
+        eng = _engine(sf_dir, simple=True)
+        res = eng.search_batch(
+            queries, RankedBoolean(),
+            k=int(params["trecEvalOutputLength"]),
+        )
+        results_df_to_trec(
+            res, params["trecEvalOutputPath"], all_qids=[q for q, _ in queries]
+        )
+        with open(params["trecEvalOutputPath"]) as f:
+            lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    rows = [(ln.split()[0], int(ln.split()[3]), ln) for ln in lines]
+    return (
+        pd.DataFrame(rows, columns=["qid", "rank", "line"])
+        .astype({"rank": "int64"})
+        .sort_values(["qid", "rank"])
         .reset_index(drop=True)
     )
 
@@ -801,6 +904,151 @@ def _q_ltr_features_simple(sf_dir: str) -> pd.DataFrame:
     ).sort_values(["qid", "url"]).reset_index(drop=True)
 
 
+_NORM_FEATS = (5, 6, 7, 18, 20)
+
+
+def _q_ltr_norm(sf_dir: str) -> pd.DataFrame:
+    """A4: per-query min-max feature normalization (SVM mode) incl. the
+    diff==0 leave-unchanged quirk (QryEval.java:706-736), applied by the
+    REAL ``normalize_features`` code path to the gate-pinned (floored)
+    ltr_features_simple values — flooring first makes both engines
+    normalize bit-identical inputs."""
+    from searchengines_ray.pipelines.ltr import DocFeatures, normalize_features
+
+    base = _q_ltr_features_simple(sf_dir)
+    vals = {5: "f5_r", 6: "f6_r", 7: "f7", 18: "f18_r", 20: "f20_r"}
+    rows = []
+    for qid, sub in base.groupby("qid", sort=True):
+        fvs = [
+            DocFeatures(
+                0, 0, r.url, qid,
+                {i: float(getattr(r, c)) for i, c in vals.items()},
+            )
+            for r in sub.itertuples()
+        ]
+        normalize_features(fvs)
+        for fv in fvs:
+            rows.append(
+                (qid, fv.external_id)
+                + tuple(
+                    np.floor(fv.features[i] * 1e6) / 1e6 for i in _NORM_FEATS
+                )
+            )
+    return (
+        pd.DataFrame(
+            rows,
+            columns=["qid", "url", "f5_n", "f6_n", "f7_n", "f18_n", "f20_n"],
+        )
+        .sort_values(["qid", "url"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_ltr_fields(sf_dir: str) -> pd.DataFrame:
+    """Per-field LTR features f8-f13 ({BM25, Indri, match count} x {title,
+    url}), f17 (url idf-weighted match: sum tf*ln(N/df)) and f19 (title
+    1/min-gap between matched positions; 0.0 at exactly one match) —
+    QryEval.java:605-704,860-880 — over the same top-5 BM25 candidates as
+    ltr_features_simple; closes the F2/F3 per-field rows with a hard SQL
+    check (title = first text line, url = synthetic url tokens)."""
+    from searchengines_ray.analysis import tokenize
+    from searchengines_ray.pipelines.ltr import extract_features
+
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(BM25_QUERIES, BM25(), k=None)
+    res = res.copy()
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    cands = res[res["rank"] <= 5]
+
+    def fl(v):
+        return np.floor((0.0 if v is None else float(v)) * 1e6) / 1e6
+
+    rows = []
+    for qid, qtext in BM25_QUERIES:
+        sub = cands[cands["qid"] == qid]
+        docs = [(0, int(r.doc_id), r.url) for r in sub.itertuples()]
+        if not docs:
+            continue
+        qv: dict[str, int] = {}
+        for t in tokenize(qtext, SIMPLE_ANALYZER):
+            qv[t] = qv.get(t, 0) + 1
+        fvs = extract_features(
+            eng, qid, qv, docs, BM25(), Indri(mu=1000.0, lam=0.4)
+        )
+        for fv in fvs:
+            rows.append(
+                (
+                    qid,
+                    fv.external_id,
+                    fl(fv.features[8]),
+                    fl(fv.features[9]),
+                    int(fv.features[10] or 0),
+                    fl(fv.features[11]),
+                    fl(fv.features[12]),
+                    int(fv.features[13] or 0),
+                    fl(fv.features[17]),
+                    fl(fv.features[19]),
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "qid", "url", "f8_r", "f9_r", "f10", "f11_r", "f12_r", "f13",
+            "f17_r", "f19_r",
+        ],
+    ).sort_values(["qid", "url"]).reset_index(drop=True)
+
+
+def _q_ltr_rerank(sf_dir: str) -> pd.DataFrame:
+    """R3 end-to-end LTR flow: BM25 candidates -> feature extraction ->
+    pairwise-logistic training -> classify -> re-rank (score desc, extid
+    asc) -> truncate (QryEval.java:892-949 contract).  Deterministic and
+    SQL-expressible because one gradient iteration from w=0 is closed form
+    (sigma(0)=0.5): w = lr * 0.5 * mean over preference pairs of
+    (x_a - x_b).  rel = 1 for the top-2 docs by (f5_r desc, url asc)."""
+    from searchengines_ray.pipelines.ltr import (
+        DocFeatures,
+        classify,
+        rerank,
+        train_pairwise_logistic,
+    )
+
+    base = _q_ltr_features_simple(sf_dir)
+    vals = {5: "f5_r", 6: "f6_r", 7: "f7", 18: "f18_r", 20: "f20_r"}
+    fvs = []
+    for qid, sub in base.groupby("qid", sort=True):
+        order = sub.sort_values(
+            ["f5_r", "url"], ascending=[False, True], kind="mergesort"
+        )
+        rel_of = {r.url: (1 if i < 2 else 0) for i, r in enumerate(order.itertuples())}
+        for r in sub.itertuples():
+            fvs.append(
+                DocFeatures(
+                    rel_of[r.url], 0, r.url, qid,
+                    {i: float(getattr(r, c)) for i, c in vals.items()},
+                )
+            )
+    w = train_pairwise_logistic(fvs, iters=1, lr=0.1)
+    scores = np.floor(classify(fvs, w) * 1e6) / 1e6
+    per_q = rerank(fvs, scores, top_n=3)
+    rows = [
+        (qid, url, rank, score)
+        for qid, lst in per_q.items()
+        for rank, (url, score) in enumerate(lst, 1)
+    ]
+    return (
+        pd.DataFrame(rows, columns=["qid", "url", "rank", "score_r"])
+        .astype({"rank": "int64"})
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_prf_expansion_simple(sf_dir: str) -> pd.DataFrame:
     """Indri PRF expansion terms on the SIMPLE analyzer — the reference's
     incremental back-fill accumulation (QryEval.java:1218-1306) equals the
@@ -890,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indri_topk_simple": _q_indri_topk_simple,
         "boolean_topk_simple": _q_boolean_topk_simple,
         "syn_topk_simple": _q_syn_topk_simple,
+        "field_queries": _q_field_queries,
         "bm25_topk": _q_bm25_topk,
         "indri_topk": _q_indri_topk,
         "structured_queries": _q_structured,
@@ -901,6 +1150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity_pm2": _q_diversity_pm2,
         "ltr_features": _q_ltr_features,
         "ltr_features_simple": _q_ltr_features_simple,
+        "ltr_norm": _q_ltr_norm,
+        "ltr_rerank": _q_ltr_rerank,
+        "ltr_features_fields": _q_ltr_fields,
+        "trec_flow": _q_trec_flow,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
@@ -1605,9 +1858,82 @@ def _diversity_sql(algorithm: str) -> str:
         """
 
 
+def _ltr_norm_sql(inner: str) -> str:
+    """Per-query min-max over the (floored) ltr_features_simple output,
+    diff==0 leaving the value unchanged (QryEval.java:706-736)."""
+    feats = [
+        ("f5_r", "f5_n"), ("f6_r", "f6_n"), ("f7", "f7_n"),
+        ("f18_r", "f18_n"), ("f20_r", "f20_n"),
+    ]
+    win = ", ".join(
+        f"MIN({c}) OVER w AS mn_{c}, MAX({c}) OVER w AS mx_{c}"
+        for c, _ in feats
+    )
+    sel = ", ".join(
+        f"FLOOR((CASE WHEN mx_{c} = mn_{c} THEN CAST({c} AS DOUBLE) "
+        f"ELSE (CAST({c} AS DOUBLE) - mn_{c}) / CAST(mx_{c} - mn_{c} AS DOUBLE) END)"
+        f" * 1000000) / 1000000 AS {n}"
+        for c, n in feats
+    )
+    return f"""
+        SELECT qid, url, {sel}
+        FROM (
+          SELECT b.*, {win}
+          FROM ({inner}) b
+          WINDOW w AS (PARTITION BY qid)
+        )
+        ORDER BY qid, url
+    """
+
+
+def _ltr_rerank_sql(inner: str) -> str:
+    """Closed-form one-iteration pairwise logistic from w=0 (sigma(0)=0.5):
+    w_j = 0.1 * 0.5 * AVG over preference pairs of (x_aj - x_bj); scores =
+    x.w, floored, re-ranked (score desc, url asc), top 3 per query."""
+    feats = ["f5_r", "f6_r", "f7", "f18_r", "f20_r"]
+    dcols = ", ".join(
+        f"CAST(a.{c} AS DOUBLE) - CAST(b.{c} AS DOUBLE) AS d_{c}"
+        for c in feats
+    )
+    wcols = ", ".join(f"0.1 * 0.5 * AVG(d_{c}) AS w_{c}" for c in feats)
+    dot = " + ".join(f"CAST(l.{c} AS DOUBLE) * w.w_{c}" for c in feats)
+    return f"""
+        WITH base AS ({inner}),
+        lab AS (
+          SELECT b.*,
+                 CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY f5_r DESC, url ASC
+                 ) <= 2 THEN 1 ELSE 0 END AS rel
+          FROM base b
+        ),
+        pairs AS (
+          SELECT a.qid, {dcols}
+          FROM lab a JOIN lab b ON a.qid = b.qid AND a.rel > b.rel
+        ),
+        w AS (SELECT {wcols} FROM pairs),
+        scores AS (
+          SELECT l.qid, l.url, {dot} AS score
+          FROM lab l CROSS JOIN w
+        ),
+        ranked AS (
+          SELECT qid, url,
+                 FLOOR(score * 1000000) / 1000000 AS score_r,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY FLOOR(score * 1000000) / 1000000 DESC, url ASC
+                 ) AS rank
+          FROM scores
+        )
+        SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
+        FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
+    sqls["ltr_norm"] = _ltr_norm_sql(sqls["ltr_features_simple"])
+    sqls["ltr_rerank"] = _ltr_rerank_sql(sqls["ltr_features_simple"])
     # IVF probing ALL buckets must equal exact brute force
     sqls["ivf_topk"] = sqls["ann_topk"]
     sqls["diversity_xquad"] = _diversity_sql("xquad")
@@ -1948,6 +2274,116 @@ def _oracle_sql_impl() -> dict[str, str]:
             )
             SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
             FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "field_queries": f"""
+            -- term.field leaves: per-field df / doclen / avg length (title
+            -- = first text line, url = synthetic url tokens); idf uses the
+            -- corpus-global doc count.  doc.url has df == N -> idf 0, so
+            -- fq3 sweeps the whole corpus on the (score desc, url asc)
+            -- tie-break.
+            WITH toks AS (
+              SELECT doc_id, 'body' AS field,
+                     unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'title',
+                     unnest(regexp_extract_all(lower(split_part(text, chr(10), 1)), '[0-9a-z]+'))
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'url',
+                     unnest(regexp_extract_all(
+                       'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                       '[0-9a-z]+'))
+              FROM documents
+            ),
+            corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            dl AS (SELECT field, doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                   FROM toks GROUP BY field, doc_id),
+            fst AS (SELECT field,
+                           CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dc,
+                           CAST(COUNT(*) AS DOUBLE) AS sl
+                    FROM toks GROUP BY field),
+            tf AS (SELECT field, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY field, doc_id, term),
+            df AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                   FROM toks GROUP BY field, term),
+            q(qid, field, term) AS (VALUES
+              ('fq1', 'title', 'dup'),
+              ('fq2', 'title', 'dup'), ('fq2', 'body', 'key'),
+              ('fq3', 'url', 'doc'), ('fq3', 'body', 'dup')),
+            scores AS (
+              SELECT q.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fst.sl / fst.dc)))))
+                     ) AS score
+              FROM q
+              JOIN tf ON q.field = tf.field AND q.term = tf.term
+              JOIN df ON q.field = df.field AND q.term = df.term
+              JOIN dl ON dl.field = q.field AND dl.doc_id = tf.doc_id
+              JOIN fst ON fst.field = q.field
+              CROSS JOIN corpus
+              GROUP BY q.qid, tf.doc_id
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     FLOOR(score * 1000000) / 1000000 AS score_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM scores
+            )
+            SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
+            FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "trec_flow": f"""
+            -- byte-exact trec lines: 'qid Q0 url rank score runid' with
+            -- Java Double.toString of an integer-valued double == '<n>.0',
+            -- plus the dummyRecord row for the zero-hit query.
+            WITH toks AS ({_TOKS}),
+            tfm AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM toks GROUP BY doc_id, term),
+            p AS (
+              SELECT doc_id,
+                MAX(CASE WHEN term = 'dup' THEN tf END) AS t_dup,
+                MAX(CASE WHEN term = 'key' THEN tf END) AS t_key,
+                MAX(CASE WHEN term = 'window' THEN tf END) AS t_window,
+                MAX(CASE WHEN term = 'batch' THEN tf END) AS t_batch
+              FROM tfm GROUP BY doc_id
+            ),
+            s AS (
+              SELECT 't1' AS qid, doc_id, LEAST(t_dup, t_key) AS score
+              FROM p WHERE t_dup IS NOT NULL AND t_key IS NOT NULL
+              UNION ALL
+              SELECT 't2', doc_id,
+                     GREATEST(COALESCE(t_dup, 0), COALESCE(t_window, 0),
+                              COALESCE(t_batch, 0))
+              FROM p WHERE t_dup IS NOT NULL OR t_window IS NOT NULL
+                        OR t_batch IS NOT NULL
+            ),
+            ranked AS (
+              SELECT qid,
+                     'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     CAST(score AS BIGINT) AS score_i,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY score DESC,
+                                'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                     ) AS rank
+              FROM s
+            ),
+            lines AS (
+              SELECT qid, rank,
+                     qid || ' Q0 ' || url || ' ' || CAST(rank AS VARCHAR)
+                         || ' ' || CAST(score_i AS VARCHAR) || '.0 ?' AS line
+              FROM ranked WHERE rank <= 10
+              UNION ALL
+              SELECT 't3', 1, 't3 Q0 dummyRecord 1 0 ?'
+            )
+            SELECT qid, CAST(rank AS BIGINT) AS rank, line
+            FROM lines ORDER BY qid, rank
         """,
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents
@@ -2390,6 +2826,162 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN qn ON qn.qid = fb.qid
             ORDER BY fb.qid, url
         """,
+        "ltr_features_fields": f"""
+            -- per-field features f8-f13: same top-5 BM25-body candidates,
+            -- then {{BM25, Indri-over-matched, match count}} computed with
+            -- the TITLE / URL field's tf, df, ctf, doclen and field stats
+            -- (QryEval.java:605-704; N stays corpus-global).
+            WITH toks AS ({_TOKS}),
+            ttoks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(split_part(text, chr(10), 1)), '[0-9a-z]+')) AS term
+              FROM documents
+            ),
+            utoks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                       '[0-9a-z]+')) AS term
+              FROM documents
+            ),
+            doclen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                       FROM toks GROUP BY doc_id),
+            corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            fstats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS doc_count,
+                              CAST(COUNT(*) AS DOUBLE) AS sum_len FROM toks),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            stats_t AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                        FROM toks GROUP BY term),
+            tdl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                    FROM ttoks GROUP BY doc_id),
+            udl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                    FROM utoks GROUP BY doc_id),
+            tst AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dc,
+                           CAST(COUNT(*) AS DOUBLE) AS sl FROM ttoks),
+            ust AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dc,
+                           CAST(COUNT(*) AS DOUBLE) AS sl FROM utoks),
+            ttf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                    FROM ttoks GROUP BY doc_id, term),
+            utf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                    FROM utoks GROUP BY doc_id, term),
+            tstats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df,
+                              CAST(COUNT(*) AS DOUBLE) AS ctf
+                       FROM ttoks GROUP BY term),
+            ustats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df,
+                              CAST(COUNT(*) AS DOUBLE) AS ctf
+                       FROM utoks GROUP BY term),
+            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
+            qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n FROM q GROUP BY qid),
+            scores AS (
+              SELECT q.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - s.df + 0.5) / (s.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (fstats.sum_len / fstats.doc_count)))))
+                     ) AS score
+              FROM q
+              JOIN tf ON q.term = tf.term
+              JOIN stats_t s ON q.term = s.term
+              JOIN doclen dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY q.qid, tf.doc_id
+            ),
+            ranked AS (
+              SELECT qid, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                doc_id ASC
+                     ) AS rank
+              FROM scores
+            ),
+            cands AS (SELECT qid, doc_id FROM ranked WHERE rank <= 5),
+            feat_t AS (
+              SELECT c.qid, c.doc_id,
+                COALESCE(SUM(CASE WHEN t.tf IS NOT NULL THEN
+                  GREATEST(0.0, LN((corpus.n_docs - s.df + 0.5) / (s.df + 0.5)))
+                  * (t.tf / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (tst.sl / tst.dc)))))
+                END), 0.0) AS f8,
+                COUNT(t.tf) AS f10,
+                product(CASE WHEN t.tf IS NOT NULL THEN
+                  pow((1.0 - 0.4) * ((t.tf + 1000.0 * (s.ctf / tst.sl)) / (dl.dl + 1000.0))
+                      + 0.4 * (s.ctf / tst.sl),
+                      1.0 / qn.n)
+                ELSE 1.0 END) AS f9raw
+              FROM cands c
+              JOIN q ON q.qid = c.qid
+              LEFT JOIN ttf t ON t.term = q.term AND t.doc_id = c.doc_id
+              LEFT JOIN tstats s ON s.term = q.term
+              LEFT JOIN tdl dl ON dl.doc_id = c.doc_id
+              CROSS JOIN corpus CROSS JOIN tst
+              JOIN qn ON qn.qid = c.qid
+              GROUP BY c.qid, c.doc_id, dl.dl, corpus.n_docs,
+                       tst.sl, tst.dc, qn.n
+            ),
+            feat_u AS (
+              SELECT c.qid, c.doc_id,
+                COALESCE(SUM(CASE WHEN t.tf IS NOT NULL THEN
+                  GREATEST(0.0, LN((corpus.n_docs - s.df + 0.5) / (s.df + 0.5)))
+                  * (t.tf / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (ust.sl / ust.dc)))))
+                END), 0.0) AS f11,
+                COALESCE(SUM(CASE WHEN t.tf IS NOT NULL THEN
+                  t.tf * LN(corpus.n_docs / s.df)
+                END), 0.0) AS f17,
+                COUNT(t.tf) AS f13,
+                product(CASE WHEN t.tf IS NOT NULL THEN
+                  pow((1.0 - 0.4) * ((t.tf + 1000.0 * (s.ctf / ust.sl)) / (dl.dl + 1000.0))
+                      + 0.4 * (s.ctf / ust.sl),
+                      1.0 / qn.n)
+                ELSE 1.0 END) AS f12raw
+              FROM cands c
+              JOIN q ON q.qid = c.qid
+              LEFT JOIN utf t ON t.term = q.term AND t.doc_id = c.doc_id
+              LEFT JOIN ustats s ON s.term = q.term
+              LEFT JOIN udl dl ON dl.doc_id = c.doc_id
+              CROSS JOIN corpus CROSS JOIN ust
+              JOIN qn ON qn.qid = c.qid
+              GROUP BY c.qid, c.doc_id, dl.dl, corpus.n_docs,
+                       ust.sl, ust.dc, qn.n
+            ),
+            tpos AS (
+              -- parallel unnests zip: (doc, 1-based title position, term)
+              SELECT doc_id,
+                     unnest(generate_series(1, len(arr))) AS pos,
+                     unnest(arr) AS term
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(split_part(text, chr(10), 1)), '[0-9a-z]+') AS arr
+                    FROM documents)
+            ),
+            tmatch AS (
+              SELECT DISTINCT qd.qid, tp.doc_id, tp.pos
+              FROM tpos tp
+              JOIN (SELECT DISTINCT qid, term FROM q) qd ON qd.term = tp.term
+            ),
+            gaps AS (
+              SELECT qid, doc_id,
+                     pos - LAG(pos) OVER (
+                       PARTITION BY qid, doc_id ORDER BY pos) AS gap
+              FROM tmatch
+            ),
+            f19t AS (
+              SELECT qid, doc_id, COUNT(*) AS total, MIN(gap) AS mingap
+              FROM gaps GROUP BY qid, doc_id
+            )
+            SELECT ft.qid,
+                   'https://example.org/doc/' || lpad(CAST(ft.doc_id AS VARCHAR), 12, '0') AS url,
+                   FLOOR(ft.f8 * 1000000) / 1000000 AS f8_r,
+                   FLOOR((CASE WHEN ft.f10 = 0 THEN 0.0 ELSE ft.f9raw END) * 1000000) / 1000000 AS f9_r,
+                   CAST(ft.f10 AS BIGINT) AS f10,
+                   FLOOR(fu.f11 * 1000000) / 1000000 AS f11_r,
+                   FLOOR((CASE WHEN fu.f13 = 0 THEN 0.0 ELSE fu.f12raw END) * 1000000) / 1000000 AS f12_r,
+                   CAST(fu.f13 AS BIGINT) AS f13,
+                   FLOOR(fu.f17 * 1000000) / 1000000 AS f17_r,
+                   FLOOR((CASE WHEN f19t.total IS NULL OR f19t.total <= 1
+                          THEN 0.0 ELSE 1.0 / f19t.mingap END) * 1000000) / 1000000 AS f19_r
+            FROM feat_t ft
+            JOIN feat_u fu ON fu.qid = ft.qid AND fu.doc_id = ft.doc_id
+            LEFT JOIN f19t ON f19t.qid = ft.qid AND f19t.doc_id = ft.doc_id
+            ORDER BY ft.qid, url
+        """,
         "similarity_join": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2530,16 +3122,23 @@ def _oracle_sql_impl() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "embedding_neardup": """
-            -- ground truth: exact all-pairs cosine >= 0.9 (empty on this
-            -- corpus — max off-diagonal cosine is ~0.51; the LSH pipeline
-            -- must also emit nothing).
+            -- ground truth: exact all-pairs cosine >= 0.9 over the table
+            -- AUGMENTED with planted near-dups (vec_id < 20 copied to
+            -- vec_id + 1e6 with +0.005 per coordinate, cosine ~0.9992) —
+            -- non-vacuous recall check (the raw corpus has no pair >= 0.9).
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            aug AS (
+              SELECT vec_id, v FROM e
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x + 0.005)
+              FROM e WHERE vec_id < 20
             )
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    FLOOR(list_cosine_similarity(a.v, b.v) * 10000) / 10000
                      AS cosine_r
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.9
             ORDER BY doc_a, doc_b
         """,

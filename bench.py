@@ -291,31 +291,39 @@ def run_scaling(sf_dir: str, repl: int) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int, trials: int) -> dict:
-        # best-of-N: the box is shared, and co-tenant load hits the
-        # high-cpu leg hardest (measured 93k..166k docs/s for the SAME
-        # code at 16 cpus across a day); the max is the least-noisy
-        # estimate of what the hardware sustains
-        best = None
-        for _ in range(trials):
-            r = run_once(ncpu)
-            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        return best
+    def run(ncpu: int, trials: int) -> tuple[dict, float, list]:
+        # best-of-N AND median-of-N: the box is shared, and co-tenant load
+        # hits the high-cpu leg hardest (measured 93k..166k docs/s for the
+        # SAME code at 16 cpus across a day); the max is the least-noisy
+        # estimate of what the hardware sustains, the median shows how wide
+        # the noise band actually is (reported, never cherry-picked)
+        rs = [run_once(ncpu) for _ in range(trials)]
+        tps = sorted(r["docs_per_sec"] for r in rs)
+        best = max(rs, key=lambda r: r["docs_per_sec"])
+        mid = len(tps) // 2
+        med = (
+            tps[mid] if len(tps) % 2 else (tps[mid - 1] + tps[mid]) / 2.0
+        )
+        return best, med, tps
 
-    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
     pair = os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(",")
     n_lo, n_hi = int(pair[0]), int(pair[1])
-    lo, hi = run(n_lo, trials), run(n_hi, trials)
+    lo, med_lo, all_lo = run(n_lo, trials)
+    hi, med_hi, all_hi = run(n_hi, trials)
     tp_lo, tp_hi = lo["docs_per_sec"], hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (n_hi / n_lo)
+    eff_med = (med_hi / med_lo) / (n_hi / n_lo)
     return {
         "metric": f"index-build scaling efficiency ({n_lo} -> {n_hi} cpus)",
         f"docs_per_sec_{n_lo}": tp_lo,
         f"docs_per_sec_{n_hi}": tp_hi,
+        f"docs_per_sec_{n_lo}_all": all_lo,
+        f"docs_per_sec_{n_hi}_all": all_hi,
         f"build_sec_{n_lo}": lo["queries"]["index_build"],
         f"build_sec_{n_hi}": hi["queries"]["index_build"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(eff_med, 3),
         "trials_per_leg": trials,
         "sf": sf_dir,
     }

@@ -13,8 +13,11 @@ Scale posture:
 - The filtered corpus is materialized in the OBJECT STORE (spillable),
   never on the driver; it feeds the dedup candidate scan, the shingle
   verification scan, and the final filter.
-- The only driver-side state is the candidate-sized verified pair list
-  and its union-find drop set (broadcast once via ``ray.put``).
+- The verified pair list stays a DATASET end-to-end (LSH -> distributed
+  verification -> distributed min-label-propagation connected components);
+  the only driver-side state is the candidate-doc-bounded drop array
+  (component non-roots, broadcast once via ``ray.put``) — never the pair
+  graph, which is super-linear in corpus size on boilerplate-heavy data.
 - Output buckets are committed like index segments: tmp dir + atomic
   rename with a MANIFEST marker, so a re-run SKIPS finished buckets
   (partition-level resume; idempotent because the curated set and the
@@ -26,9 +29,10 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 
-from ..stages.dedup import _dropset_from_pairs, minhash_dedup_pairs
+from ..stages.dedup import dedup_drop_ids, minhash_dedup_pairs_ds
 from ..stages.text import LangId
 
 
@@ -76,20 +80,21 @@ def curate_corpus(
         batch_format="pandas",
     ).materialize()  # object-store resident; feeds three downstream scans
 
-    pairs = minhash_dedup_pairs(filtered, threshold=minhash_threshold)
-    drop = _dropset_from_pairs(pairs)
+    pairs = minhash_dedup_pairs_ds(
+        filtered, threshold=minhash_threshold
+    ).materialize()  # bounded (verified pairs); consumed by CC + count
+    drop = dedup_drop_ids(pairs)  # distributed connected components
     dref = ray.put(drop)
 
     def keep_rows(batch: pd.DataFrame) -> pd.DataFrame:
         d = ray.get(dref)
-        return batch.loc[~batch["doc_id"].isin(d)]
+        docs = batch["doc_id"].to_numpy().astype(np.int64)
+        return batch.loc[~np.isin(docs, d)]
 
     curated = filtered.map_batches(keep_rows, batch_format="pandas")
     stats = {
-        "n_dup_pairs": int(len(pairs)),
+        "n_dup_pairs": int(pairs.count()),
         "n_dropped": int(len(drop)),
-        # never silent: a capped candidate set means under-deduplication
-        "candidates_capped": bool(pairs.attrs.get("candidates_capped", False)),
     }
     if out_dir is None:
         return curated, stats

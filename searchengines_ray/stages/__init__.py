@@ -6,16 +6,21 @@ design notes.
 """
 
 from .dedup import (  # noqa: F401
+    dedup_drop_ids,
     exact_dedup,
     embedding_neardup_pairs,
     line_dedup,
     minhash_candidate_pairs,
+    minhash_candidate_pairs_ds,
     minhash_dedup_pairs,
+    minhash_dedup_pairs_ds,
     minhash_dedup_survivors,
     minhash_verify_pairs,
+    minhash_verify_pairs_ds,
     ngram_jaccard,
     simhash_dup_pairs,
 )
+from .graph import connected_components, nonroot_ids  # noqa: F401
 from .multimodal import decode_images, sample_frames  # noqa: F401
 from .similarity import (  # noqa: F401
     IVFIndex,

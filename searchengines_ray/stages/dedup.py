@@ -331,74 +331,122 @@ def _batch_shingle_sets(texts: list, k: int) -> list[np.ndarray]:
     return out
 
 
-def minhash_verify_pairs(
+def minhash_verify_pairs_ds(
     ds,
-    cand_pairs: pd.DataFrame,
+    pairs_ds,
     threshold: float,
     shingle: int = 3,
     text_key: str = "text",
     coarse_buckets: int = 256,
-) -> pd.DataFrame:
-    """Distributed exact n-gram-Jaccard verification of candidate pairs.
+):
+    """Distributed exact n-gram-Jaccard verification of a candidate-pair
+    DATASET — pairs never land on the driver (no pair-map broadcast, no
+    ``max_pairs`` cap, no silent under-dedup when the near-dup graph is
+    super-linear in corpus size).
 
-    Nothing corpus-sized ever reaches the driver: candidate doc shingle
-    SETS are computed in one streaming pass over the corpus (broadcast
-    pair-map semi-join filter + vectorized shingling) and emitted keyed by
-    pair, so ONE bucketed groupby brings the two sides of each pair
-    together; the set intersections run inside ``map_groups``.  The
-    returned verified pairs are candidate-sized by assumption.
+    Plan: the only driver/broadcast structure is the candidate DOC-ID
+    array (corpus-bounded, 8 bytes per candidate doc).  The corpus scan
+    emits each candidate doc's shingle set ONCE keyed by doc; the pair
+    Dataset emits two slot rows per pair keyed by endpoint; one
+    doc-bucketed groupby attaches sets to slots, one pair-bucketed groupby
+    intersects the two sides.  Shuffled bytes = candidate-doc shingle sets
+    + pair rows — never the corpus.  Returns a Dataset
+    ``(doc_a, doc_b, jaccard)``.
     """
     import ray
     import ray.data
 
-    cols = {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-    if cand_pairs.empty:
-        return pd.DataFrame({c: pd.array([], dtype=t) for c, t in cols.items()})
-    # broadcast the (control-plane sized) pair list as doc_id -> pair slots;
-    # the corpus scan emits each candidate doc's shingle set ONCE PER PAIR,
-    # keyed by the pair, so a single bucketed groupby completes the join
-    # (one scan + one shuffle — the doc-keyed/pair-keyed two-shuffle join
-    # costs an extra all-to-all execution for nothing at any scale)
-    pairmap: dict[int, list] = {}
-    for a, b in zip(
-        cand_pairs["doc_a"].astype(int), cand_pairs["doc_b"].astype(int)
-    ):
-        pairmap.setdefault(a, []).append((a, b, 0))
-        pairmap.setdefault(b, []).append((a, b, 1))
-    pmref = ray.put(pairmap)
-
-    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        pm = ray.get(pmref)
-        sub = batch.loc[batch["doc_id"].isin(pm.keys())]
-        sets = _batch_shingle_sets(list(sub[text_key]), shingle)
-        oa, ob, oside, osh = [], [], [], []
-        for did, sh in zip(sub["doc_id"].astype(int), sets):
-            for a, b, side in pm[did]:
-                oa.append(a)
-                ob.append(b)
-                oside.append(side)
-                osh.append(sh)
-        df = pd.DataFrame(
+    def batch_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "doc_a": pd.array(oa, dtype="int64"),
-                "doc_b": pd.array(ob, dtype="int64"),
-                "side": pd.array(oside, dtype="int64"),
-                "sh": osh,
+                "d": np.unique(
+                    np.concatenate(
+                        [
+                            batch["doc_a"].to_numpy().astype(np.int64),
+                            batch["doc_b"].to_numpy().astype(np.int64),
+                        ]
+                    )
+                )
             }
         )
-        df["cb2"] = (
-            (df["doc_a"].to_numpy() * 1000003 + df["doc_b"].to_numpy())
+
+    idparts = pairs_ds.map_batches(
+        batch_ids, batch_format="pandas"
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.array([], dtype="int64"),
+            "doc_b": pd.array([], dtype="int64"),
+            "jaccard": pd.array([], dtype="float64"),
+        }
+    )
+    if idparts.empty:
+        return ray.data.from_pandas(empty)
+    cand_ids = np.unique(idparts["d"].to_numpy().astype(np.int64))
+    cref = ray.put(cand_ids)
+
+    def _dbucket(x: np.ndarray) -> np.ndarray:
+        return (
+            (x.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
+
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(cref)
+        docs = batch["doc_id"].to_numpy().astype(np.int64)
+        sub = batch.loc[np.isin(docs, ids)]
+        sets = _batch_shingle_sets(list(sub[text_key]), shingle)
+        d = sub["doc_id"].to_numpy().astype(np.int64)
+        n = len(d)
+        return pd.DataFrame(
+            {
+                "jd": d,
+                "doc_a": np.full(n, -1, dtype=np.int64),
+                "doc_b": np.full(n, -1, dtype=np.int64),
+                "side": np.full(n, -1, dtype=np.int64),
+                # bytes, not ndarrays: a block whose sets happen to share a
+                # length would densify to a TensorArray and fail to concat
+                # with the slot rows' placeholder column in the shuffle
+                "sh": [np.asarray(s, dtype=np.uint64).tobytes() for s in sets],
+                "cb": _dbucket(d),
+            }
+        )
+
+    def slot_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        jd = np.concatenate([a, b])
+        n = len(a)
+        return pd.DataFrame(
+            {
+                "jd": jd,
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(n, dtype=np.int64), np.ones(n, dtype=np.int64)]
+                ),
+                "sh": [b""] * (2 * n),
+                "cb": _dbucket(jd),
+            }
+        )
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        shr = group.loc[group["side"] == -1]
+        slots = group.loc[group["side"] >= 0].drop(columns=["sh"])
+        m = slots.merge(shr[["jd", "sh"]], on="jd", how="inner")
+        m["cb2"] = (
+            (m["doc_a"].to_numpy() * 1000003 + m["doc_b"].to_numpy())
             % coarse_buckets
         ).astype(np.int64)
-        return df
+        return m[["doc_a", "doc_b", "side", "sh", "cb2"]]
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for (a, b), g in group.groupby(["doc_a", "doc_b"]):
             if len(g) < 2:
                 continue  # a candidate id missing from the corpus
-            sa = np.asarray(g.loc[g["side"] == 0, "sh"].iloc[0], dtype=np.uint64)
-            sb = np.asarray(g.loc[g["side"] == 1, "sh"].iloc[0], dtype=np.uint64)
+            sa = np.frombuffer(g.loc[g["side"] == 0, "sh"].iloc[0], dtype=np.uint64)
+            sb = np.frombuffer(g.loc[g["side"] == 1, "sh"].iloc[0], dtype=np.uint64)
             inter = np.intersect1d(sa, sb).size
             union = sa.size + sb.size - inter
             j = 1.0 if union == 0 else inter / union
@@ -408,12 +456,38 @@ def minhash_verify_pairs(
             {"doc_a": "int64", "doc_b": "int64"}
         )
 
-    joined = (
+    return (
         ds.map_batches(shingle_rows, batch_format="pandas")
+        .union(pairs_ds.map_batches(slot_rows, batch_format="pandas"))
+        .groupby("cb")
+        .map_groups(attach, batch_format="pandas")
         .groupby("cb2")
         .map_groups(verify, batch_format="pandas")
     )
-    return _pairs_pandas(joined, cols)
+
+
+def minhash_verify_pairs(
+    ds,
+    cand_pairs: pd.DataFrame,
+    threshold: float,
+    shingle: int = 3,
+    text_key: str = "text",
+    coarse_buckets: int = 256,
+) -> pd.DataFrame:
+    """Pandas-in/pandas-out wrapper over :func:`minhash_verify_pairs_ds`
+    for control-plane-sized pair lists (tests / CLI)."""
+    import ray.data
+
+    cols = {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    if cand_pairs.empty:
+        return pd.DataFrame({c: pd.array([], dtype=t) for c, t in cols.items()})
+    pairs_ds = ray.data.from_pandas(
+        cand_pairs[["doc_a", "doc_b"]].astype("int64")
+    )
+    out = minhash_verify_pairs_ds(
+        ds, pairs_ds, threshold, shingle, text_key, coarse_buckets
+    )
+    return _pairs_pandas(out, cols)
 
 
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
@@ -426,14 +500,17 @@ def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_candidate_pairs(
+def minhash_candidate_pairs_ds(
     ds,
     num_perm: int = 64,
     bands: int = 16,
     shingle: int = 3,
     max_bucket: int = 200,
+    coarse_buckets: int = 1024,
 ):
-    """LSH candidate pairs (doc_a < doc_b), deduplicated."""
+    """LSH candidate pairs (doc_a < doc_b) as a DATASET, distinct — the
+    pair list never lands on the driver (the near-dup graph is super-linear
+    in corpus size on boilerplate-heavy web data)."""
     from functools import partial
 
     # an INSTANCE (stateless elastic tasks), not an actor pool: the state is
@@ -480,12 +557,67 @@ def minhash_candidate_pairs(
         .groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
-    # distinct pairs: the candidate ID pairs are control-plane sized (the
-    # result of this function), so dedup on the driver — a second
-    # all-to-all groupby execution just to drop duplicates costs more than
-    # the rows it moves (measured ~0.7s fixed at any scale)
-    out = _pairs_pandas(pairs, {"doc_a": "int64", "doc_b": "int64"})
-    return out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # distinct pairs: one pair-hash-bucketed shuffle + a vectorized
+    # drop_duplicates per bucket (a driver-side dedup would make the pair
+    # list itself the scale ceiling; dup pairs across bands land in the
+    # same pcb bucket, so the dedup is global)
+    def add_pcb(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pcb"] = (
+            (
+                batch["doc_a"].to_numpy().astype(np.uint64)
+                * np.uint64(1000003)
+                + batch["doc_b"].to_numpy().astype(np.uint64)
+            )
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
+        return batch
+
+    def distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return (
+        pairs.map_batches(add_pcb, batch_format="pandas")
+        .groupby("pcb")
+        .map_groups(distinct, batch_format="pandas")
+        .materialize()  # bounded (distinct pairs); consumed twice by verify
+    )
+
+
+def minhash_candidate_pairs(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    max_bucket: int = 200,
+) -> pd.DataFrame:
+    """Pandas wrapper over :func:`minhash_candidate_pairs_ds` for
+    control-plane-sized pair lists (tests / CLI)."""
+    out = minhash_candidate_pairs_ds(
+        ds, num_perm=num_perm, bands=bands, shingle=shingle,
+        max_bucket=max_bucket,
+    )
+    return _pairs_pandas(out, {"doc_a": "int64", "doc_b": "int64"})
+
+
+def minhash_dedup_pairs_ds(
+    ds,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+):
+    """Candidate pairs verified with EXACT n-gram Jaccard >= threshold, as
+    a Dataset ``(doc_a, doc_b, jaccard)`` — pairs stay distributed from LSH
+    through verification (no driver pair list, no ``max_pairs`` cap: a cap
+    silently under-dedups exactly when the corpus is boilerplate-heavy and
+    the candidate graph explodes).
+    """
+    pairs = minhash_candidate_pairs_ds(
+        ds, num_perm=num_perm, bands=bands, shingle=shingle
+    )
+    return minhash_verify_pairs_ds(ds, pairs, threshold, shingle)
 
 
 def minhash_dedup_pairs(
@@ -494,24 +626,16 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle: int = 3,
-    max_pairs: int = 200_000,
 ) -> pd.DataFrame:
-    """Candidate pairs verified with EXACT n-gram Jaccard >= threshold.
-
-    Verification is DISTRIBUTED (:func:`minhash_verify_pairs`): candidate
-    shingle sets stream out of the corpus and meet the pair list in two
-    bucketed shuffles — no doc text ever reaches the driver.  ``max_pairs``
-    caps the candidate set; a hit is reported in the returned attrs, never
-    silent.
-    """
-    pairs = minhash_candidate_pairs(
-        ds, num_perm=num_perm, bands=bands, shingle=shingle
+    """Pandas wrapper over :func:`minhash_dedup_pairs_ds` (sorted) for
+    oracle comparison and small pair lists."""
+    out = _pairs_pandas(
+        minhash_dedup_pairs_ds(
+            ds, threshold=threshold, num_perm=num_perm, bands=bands,
+            shingle=shingle,
+        ),
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
     )
-    capped = len(pairs) > max_pairs
-    if capped:
-        pairs = pairs.sort_values(["doc_a", "doc_b"]).head(max_pairs)
-    out = minhash_verify_pairs(ds, pairs, threshold, shingle)
-    out.attrs["candidates_capped"] = capped
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -537,18 +661,35 @@ def _dropset_from_pairs(pairs: pd.DataFrame) -> set[int]:
     return {x for x in parent if find(x) != x}
 
 
-def minhash_dedup_survivors(ds, pairs: pd.DataFrame):
-    """Dataset of surviving doc_ids after near-dup removal: the drop set
-    (pair-graph non-roots — candidate-sized) is broadcast once via
-    ``ray.put`` and applied as a streaming ``map_batches`` filter; the
-    corpus never materializes on the driver."""
+def dedup_drop_ids(pairs) -> np.ndarray:
+    """Component non-roots (keep min doc_id per component) as an int64
+    array.  A pair DATASET consolidates via distributed min-label
+    propagation (:func:`..graph.connected_components` — the pair graph
+    never lands on the driver; only the candidate-doc-bounded drop array
+    does).  A pandas pair list (tests / CLI) uses the in-process
+    union-find."""
+    if isinstance(pairs, pd.DataFrame):
+        return np.asarray(sorted(_dropset_from_pairs(pairs)), dtype=np.int64)
+    from .graph import connected_components, nonroot_ids
+
+    return nonroot_ids(connected_components(pairs))
+
+
+def minhash_dedup_survivors(ds, pairs):
+    """Dataset of surviving doc_ids after near-dup removal: the drop array
+    (pair-graph non-roots — candidate-doc-bounded, 8 bytes each) is
+    broadcast once via ``ray.put`` and applied as a streaming
+    ``map_batches`` filter; neither the corpus nor the pair graph ever
+    materializes on the driver.  ``pairs`` may be a Dataset (scale path,
+    distributed connected components) or a DataFrame (small path)."""
     import ray
 
-    dref = ray.put(_dropset_from_pairs(pairs))
+    dref = ray.put(dedup_drop_ids(pairs))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         drop = ray.get(dref)
-        out = batch.loc[~batch["doc_id"].isin(drop), ["doc_id"]]
+        docs = batch["doc_id"].to_numpy().astype(np.int64)
+        out = batch.loc[~np.isin(docs, drop), ["doc_id"]]
         return out.astype({"doc_id": "int64"})
 
     return ds.map_batches(keep, batch_format="pandas")
@@ -572,64 +713,106 @@ def line_dedup(ds, min_chars: int = 10, coarse_buckets: int = 1024):
     every line of ``min_chars``+ characters is kept only at its FIRST
     global occurrence (ordered by (doc_id, line_idx)); shorter lines are
     never deduplicated.  Returns a Dataset ``(doc_id, text)`` with each
-    doc's surviving lines rejoined in order.
+    doc's surviving lines rejoined in order; a doc whose every line was a
+    duplicate survives as ``(doc_id, '')`` (never silently dropped).
 
     Fully distributed two-shuffle plan: lines explode with their
     (doc_id, line_idx) key, a hash-bucketed groupby marks each line
-    occurrence keep/drop (keeper = min packed key per line, computed
-    vectorized inside coarse buckets), and a second groupby reassembles
-    docs.  The line text rides the shuffles (reconstruction needs it) —
-    corpus-sized but streaming, never on the driver.
+    occurrence keep/drop (keeper = min (doc_id, line_idx) per line text,
+    vectorized inside coarse buckets), and a second groupby — coarse
+    doc-hash buckets, ONE vectorized sort + string-agg per bucket, never a
+    per-document Python group — reassembles docs.  Short lines bucket by
+    doc (they skip dedup, so co-location by content buys nothing and a
+    constant bucket would funnel every short line into one task).  The
+    line text rides the shuffles (reconstruction needs it) — corpus-sized
+    but streaming, never on the driver.
     """
 
+    def _doc_bucket(doc_ids: np.ndarray) -> np.ndarray:
+        # Knuth multiplicative hash — short/sentinel rows scatter by DOC, not
+        # by line hash (a constant short-line bucket would funnel every short
+        # line corpus-wide into one group)
+        return (
+            (doc_ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_idx, rows_line, rows_h = [], [], [], []
-        for doc, text in zip(batch["doc_id"].astype(int), batch["text"]):
-            for i, line in enumerate(("" if text is None else text).split("\n")):
-                rows_doc.append(doc)
-                rows_idx.append(i)
-                rows_line.append(line)
-                rows_h.append(
-                    zlib.crc32(line.encode()) if len(line) >= min_chars else -1
-                )
+        import itertools
+
+        docs = batch["doc_id"].to_numpy().astype(np.int64)
+        split = [("" if t is None else t).split("\n") for t in batch["text"]]
+        nlines = np.asarray([len(s) for s in split], dtype=np.int64)
+        doc_rep = np.repeat(docs, nlines)
+        lines = list(itertools.chain.from_iterable(split))
+        idx = (
+            np.arange(len(lines), dtype=np.int64)
+            - np.repeat(np.cumsum(nlines) - nlines, nlines)
+        )
+        h = np.asarray(
+            [
+                zlib.crc32(ln.encode()) if len(ln) >= min_chars else -1
+                for ln in lines
+            ],
+            dtype=np.int64,
+        )
+        # one SENTINEL row per doc (line_idx -1, always kept) so a document
+        # whose every line is a duplicate still yields a (doc_id, '') row
         df = pd.DataFrame(
             {
-                "doc_id": pd.array(rows_doc, dtype="int64"),
-                "line_idx": pd.array(rows_idx, dtype="int64"),
-                "line": rows_line,
-                "h": pd.array(rows_h, dtype="int64"),
+                "doc_id": np.concatenate([doc_rep, docs]),
+                "line_idx": np.concatenate(
+                    [idx, np.full(len(docs), -1, dtype=np.int64)]
+                ),
+                "line": lines + [""] * len(docs),
+                "h": np.concatenate(
+                    [h, np.full(len(docs), -1, dtype=np.int64)]
+                ),
             }
         )
-        df["cb"] = (df["h"].to_numpy() % coarse_buckets).astype(np.int64)
+        hh = df["h"].to_numpy()
+        dd = df["doc_id"].to_numpy()
+        df["cb"] = np.where(
+            hh == -1, _doc_bucket(dd), hh % coarse_buckets
+        ).astype(np.int64)
         return df
 
     def mark(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.copy()
-        packed = g["doc_id"].to_numpy() * np.int64(1 << 20) + g[
-            "line_idx"
-        ].to_numpy()
-        g["_p"] = packed
-        # short lines (h == -1) are always kept; others keep only the
-        # global first occurrence OF THE SAME LINE TEXT (hash + text so a
-        # crc collision cannot merge distinct lines)
-        first = g.groupby(["h", "line"])["_p"].transform("min")
-        keep = (g["h"].to_numpy() == -1) | (g["_p"].to_numpy() == first.to_numpy())
-        return g.loc[keep, ["doc_id", "line_idx", "line"]]
+        # short/sentinel lines (h == -1) are always kept; long lines keep
+        # only the global first occurrence OF THE SAME LINE TEXT (hash +
+        # text so a crc collision cannot merge distinct lines).  First =
+        # min (doc_id, line_idx) via a mergesort + keep-first — the two-key
+        # pair directly, no packed-int key (a packed key overflows int64
+        # for doc_id >= ~2^43 and bleeds across docs at >=2^20 lines).
+        short = group["h"].to_numpy() == -1
+        gl = group.loc[~short].sort_values(
+            ["h", "line", "doc_id", "line_idx"], kind="mergesort"
+        )
+        first = ~gl.duplicated(subset=["h", "line"], keep="first")
+        kept = pd.concat(
+            [group.loc[short], gl.loc[first.to_numpy()]], ignore_index=True
+        )[["doc_id", "line_idx", "line"]]
+        kept["cb2"] = _doc_bucket(kept["doc_id"].to_numpy())
+        return kept
 
     def reassemble(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("line_idx")
-        return pd.DataFrame(
-            {
-                "doc_id": [int(g["doc_id"].iloc[0])],
-                "text": ["\n".join(g["line"].tolist())],
-            }
+        # ONE vectorized sort + join per coarse doc bucket (a per-document
+        # map_groups would pay a Python callback + pandas frame per doc —
+        # 10^9 tiny frames at corpus scale)
+        g = group.loc[group["line_idx"] >= 0].sort_values(
+            ["doc_id", "line_idx"], kind="mergesort"
         )
+        joined = g.groupby("doc_id", sort=True)["line"].agg("\n".join)
+        all_docs = np.unique(group["doc_id"].to_numpy())
+        out = pd.DataFrame({"doc_id": all_docs.astype(np.int64)})
+        out["text"] = out["doc_id"].map(joined).fillna("")
+        return out
 
     return (
         ds.map_batches(explode, batch_format="pandas")
         .groupby("cb")
         .map_groups(mark, batch_format="pandas")
-        .groupby("doc_id")
+        .groupby("cb2")
         .map_groups(reassemble, batch_format="pandas")
     )
 

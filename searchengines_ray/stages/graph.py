@@ -1,0 +1,223 @@
+"""Distributed connected components over a pair Dataset.
+
+Dedup consolidation at corpus scale: the verified near-dup pair graph on
+boilerplate-heavy web data is SUPER-LINEAR in corpus size, so a driver-side
+union-find over the full pair list (and any ``max_pairs`` cap protecting it)
+is the scale ceiling — a capped candidate set silently under-dedups.  Here
+the pair list stays a Ray Dataset end-to-end:
+
+- **min-label propagation**: per round every node adopts the minimum label
+  in its closed neighborhood (one reduce-side join via union + coarse-bucket
+  ``map_groups``, then a combiner-backed ``groupby(node).min``);
+- **pointer jumping**: labels then flatten one hop (label <- label(label)),
+  so a path component collapses in O(log diameter) rounds, not O(diameter);
+- **convergence** is detected from the monotone label sum (labels are node
+  ids and only ever decrease), a single scalar aggregate per round — the
+  driver never materializes nodes, edges, or labels.
+
+Partitioning assumption: per-round shuffles carry edge-count rows; coarse
+node-hash buckets bound per-group Python overhead the same way the LSH
+stages do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_KNUTH = np.uint64(2654435761)
+
+
+def _nbucket(x: np.ndarray, n: int) -> np.ndarray:
+    return ((x.astype(np.uint64) * _KNUTH) % np.uint64(n)).astype(np.int64)
+
+
+def connected_components(
+    pairs_ds, coarse_buckets: int = 256, max_iters: int = 64,
+    _verbose: bool = False,
+):
+    """Labels every node of an undirected pair Dataset ``(doc_a, doc_b)``
+    with its component's minimum node id.  Returns a Dataset
+    ``(node, root)`` covering every node that appears in a pair.
+
+    Raises ``RuntimeError`` (loud, never a silent wrong answer) if the
+    label sum has not stabilized after ``max_iters`` rounds — with pointer
+    jumping that needs a component diameter around 2^max_iters.
+    """
+    import ray.data
+
+    def bidirect(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        key = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        return pd.DataFrame(
+            {
+                "key": key,
+                "other": other,
+                "kind": np.zeros(len(key), dtype=np.int8),
+                "cb": _nbucket(key, coarse_buckets),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "node": pd.array([], dtype="int64"),
+            "root": pd.array([], dtype="int64"),
+        }
+    )
+    if _verbose:
+        print("[cc] building edges", flush=True)
+    edges = pairs_ds.map_batches(bidirect, batch_format="pandas").materialize()
+    if _verbose:
+        print("[cc] edges done", flush=True)
+    if edges.count() == 0:
+        return ray.data.from_pandas(empty)
+
+    # init: label(node) = min(node, min neighbor) — one free propagation hop
+    def init_lab(batch: pd.DataFrame) -> pd.DataFrame:
+        node = batch["key"].to_numpy().astype(np.int64)
+        m = batch["min(other)"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"node": node, "label": np.minimum(node, m)}
+        )
+
+    labels = (
+        edges.groupby("key")
+        .min("other")
+        .map_batches(init_lab, batch_format="pandas")
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    if _verbose:
+        print(f"[cc] init sum={prev_sum}", flush=True)
+
+    def label_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        node = batch["node"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "key": node,
+                "other": batch["label"].to_numpy().astype(np.int64),
+                "kind": np.ones(len(node), dtype=np.int8),
+                "cb": _nbucket(node, coarse_buckets),
+            }
+        )
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group.loc[group["kind"] == 1]
+        ed = group.loc[group["kind"] == 0]
+        m = ed.merge(
+            lab[["key", "other"]].rename(columns={"other": "label"}),
+            on="key",
+            how="inner",  # labels cover every node, so nothing drops
+        )
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [m["other"].to_numpy(), lab["key"].to_numpy()]
+                ).astype(np.int64),
+                "cand": np.concatenate(
+                    [m["label"].to_numpy(), lab["other"].to_numpy()]
+                ).astype(np.int64),
+            }
+        )
+
+    def jump_reqs(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = batch["label"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "key": lab,  # whose label do I need?  my label's.
+                "other": batch["node"].to_numpy().astype(np.int64),
+                "kind": np.zeros(len(lab), dtype=np.int8),
+                "cb": _nbucket(lab, coarse_buckets),
+            }
+        )
+
+    def jump(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group.loc[group["kind"] == 1]
+        rq = group.loc[group["kind"] == 0]
+        m = rq.merge(
+            lab[["key", "other"]].rename(columns={"other": "newlab"}),
+            on="key",
+            how="left",
+        )
+        # a root's label is itself; label(label(x)) <= label(x) always
+        newlab = m["newlab"].fillna(m["key"]).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"node": m["other"].to_numpy().astype(np.int64), "label": newlab}
+        )
+
+    # fixed label-block count: union adds blocks and groupby preserves
+    # them, so an unbounded loop DOUBLES blocks per round (task-count
+    # explosion); repartitioning labels back to the edge block count keeps
+    # every round's plan the same size
+    nblocks = max(2, edges.num_blocks())
+
+    for _ in range(max_iters):
+        lrows = labels.map_batches(label_rows, batch_format="pandas")
+        # 1) min over closed neighborhood (combiner-backed groupby.min)
+        labels = (
+            edges.union(lrows)
+            .groupby("cb")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("node")
+            .min("cand")
+            .map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "node": b["node"].to_numpy().astype(np.int64),
+                        "label": b["min(cand)"].to_numpy().astype(np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .repartition(nblocks)
+            .materialize()  # bounded (one row per node); an unmaterialized
+            # chain re-executes under each round's groupby sampling
+        )
+        if _verbose:
+            print("[cc] propagate done", flush=True)
+        # 2) pointer jump: label <- label(label)
+        labels = (
+            labels.map_batches(jump_reqs, batch_format="pandas")
+            .union(labels.map_batches(label_rows, batch_format="pandas"))
+            .groupby("cb")
+            .map_groups(jump, batch_format="pandas")
+            .repartition(nblocks)
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if _verbose:
+            import time
+
+            print(f"[cc] round sum={cur_sum} t={time.time():.1f}", flush=True)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+
+    return labels.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].to_numpy().astype(np.int64),
+                "root": b["label"].to_numpy().astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def nonroot_ids(labels_ds) -> np.ndarray:
+    """Driver-side array of non-root node ids (the dedup DROP set) — the
+    root-label map is the ONE candidate-doc-bounded structure the driver
+    holds (8 bytes per dropped doc; the pair graph itself never lands)."""
+    part = labels_ds.map_batches(
+        lambda b: b.loc[b["node"] != b["root"], ["node"]],
+        batch_format="pandas",
+    ).to_pandas()
+    if part.empty:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(part["node"].to_numpy().astype(np.int64))

@@ -123,31 +123,42 @@ class QualityScorer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
-        low = texts.str.lower()
-        words = low.str.findall(self.word)
-        n_words = words.str.len().astype("int64")
+        n = len(texts)
         n_chars = texts.str.len().astype("int64")
         n_punct = texts.str.count(self.punct).astype("int64")
         n_digits = texts.str.count(self.digit).astype("int64")
-        n_stop = words.map(
-            lambda ws: sum(1 for w in ws if w in self.stop)
-        ).astype("int64")
-        sum_word_len = words.map(lambda ws: sum(len(w) for w in ws)).astype(
-            "int64"
+        # word-derived stats over the shared flat token stream: stopword
+        # flag and word length once per UNIQUE word, per-doc sums via one
+        # bincount (the earlier per-row .map lambdas re-walked every token
+        # list in Python)
+        vocab, vids, parent, counts = _flat_word_stream(list(texts))
+        stop_flag = np.asarray(
+            [w in self.stop for w in vocab], dtype=np.float64
         )
-        nw = n_words.to_numpy().astype(np.float64)
-        safe = np.maximum(nw, 1.0)
+        wlen = np.asarray([len(w) for w in vocab], dtype=np.float64)
+        if len(parent):
+            n_stop = np.bincount(
+                parent, weights=stop_flag[vids], minlength=n
+            ).astype(np.int64)
+            sum_word_len = np.bincount(
+                parent, weights=wlen[vids], minlength=n
+            ).astype(np.int64)
+        else:
+            n_stop = np.zeros(n, dtype=np.int64)
+            sum_word_len = np.zeros(n, dtype=np.int64)
+        n_words = counts.astype(np.int64)
+        safe = np.maximum(n_words.astype(np.float64), 1.0)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "n_chars": n_chars,
-                "n_words": n_words,
+                "n_words": pd.array(n_words, dtype="int64"),
                 "n_punct": n_punct,
                 "n_digits": n_digits,
-                "n_stopwords": n_stop,
-                "stopword_ratio": n_stop.to_numpy() / safe,
+                "n_stopwords": pd.array(n_stop, dtype="int64"),
+                "stopword_ratio": n_stop / safe,
                 "punct_ratio": n_punct.to_numpy() / safe,
-                "mean_word_len": sum_word_len.to_numpy() / safe,
+                "mean_word_len": sum_word_len / safe,
             }
         )
 

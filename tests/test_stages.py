@@ -92,6 +92,59 @@ def test_minhash_finds_planted_neardups(ray_session):
     assert 100 in surv["doc_id"].tolist() and 101 not in surv["doc_id"].tolist()
 
 
+def test_connected_components_giant_chain(ray_session):
+    """A 300-node path component must consolidate to one root within the
+    round budget (pointer jumping), plus a star and an isolated pair —
+    all via the distributed pipeline, no driver union-find."""
+    import ray.data
+
+    from searchengines_ray.stages.graph import connected_components, nonroot_ids
+
+    chain = [(i, i + 1) for i in range(1000, 1300)]
+    star = [(2000, 2000 + i) for i in range(1, 6)]
+    pairs = chain + star + [(3001, 3000)]
+    ds = ray.data.from_items(
+        [{"doc_a": a, "doc_b": b} for a, b in pairs]
+    ).repartition(8)
+    labels = connected_components(ds).to_pandas()
+    roots = labels.set_index("node")["root"].to_dict()
+    assert all(roots[n] == 1000 for n in range(1000, 1301))
+    assert all(roots[2000 + i] == 2000 for i in range(6))
+    assert roots[3000] == 3000 and roots[3001] == 3000
+    drop = nonroot_ids(connected_components(ds))
+    assert set(drop.tolist()) == (
+        set(range(1001, 1301)) | {2000 + i for i in range(1, 6)} | {3001}
+    )
+
+
+def test_minhash_survivors_dataset_pairs(ray_session):
+    """minhash_dedup_survivors with a pair DATASET (the scale path through
+    distributed connected components) equals the pandas union-find path."""
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        dedup_survivors_from_pairs,
+        minhash_dedup_survivors,
+    )
+
+    pairs_pd = pd.DataFrame(
+        {"doc_a": [0, 1, 5, 7], "doc_b": [1, 2, 6, 0]}
+    ).astype("int64")
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(10)]
+    )
+    got = (
+        minhash_dedup_survivors(docs, ray.data.from_pandas(pairs_pd))
+        .to_pandas()
+        .sort_values("doc_id")["doc_id"]
+        .tolist()
+    )
+    want = dedup_survivors_from_pairs(
+        pd.Series(range(10)), pairs_pd
+    )["doc_id"].tolist()
+    assert got == want == [0, 3, 4, 5, 8, 9]
+
+
 def test_simhash_pairs(ray_session):
     import ray.data
 
@@ -372,6 +425,7 @@ def test_line_dedup_cross_corpus(ray_session):
         {"doc_id": 1, "text": f"{shared}\nunique one line content"},
         {"doc_id": 2, "text": f"short\n{shared}"},
         {"doc_id": 3, "text": "short"},  # <10 chars: never deduped
+        {"doc_id": 4, "text": shared},   # every line a dup: survives as ''
     ]
     out = (
         line_dedup(ray.data.from_items(rows), min_chars=10)
@@ -383,6 +437,7 @@ def test_line_dedup_cross_corpus(ray_session):
     assert out[1] == "unique one line content"              # loses shared
     assert out[2] == "short"                                # loses shared
     assert out[3] == "short"                                # short always kept
+    assert out[4] == ""  # fully-deduped doc still yields a row (no silent drop)
 
 
 def test_repetition_signals(ray_session):
