@@ -3027,7 +3027,9 @@ def _oracle_sql_impl() -> dict[str, str]:
         "line_dedup": """
             -- C4-style line dedup: a >=10-char line survives only at its
             -- first global (doc_id, line_idx) occurrence; shorter lines
-            -- always survive; docs rejoin surviving lines in order
+            -- always survive; docs rejoin surviving lines in order.  A doc
+            -- whose EVERY line was a duplicate still yields (doc_id, '')
+            -- (never silently dropped), hence the left join over documents.
             WITH lines AS (
               SELECT doc_id,
                      unnest(generate_series(1, len(string_split(text, chr(10))))) AS line_idx,
@@ -3041,10 +3043,15 @@ def _oracle_sql_impl() -> dict[str, str]:
                       ) = 1) AS keep
               FROM lines
             )
-            SELECT doc_id,
-                   string_agg(line, chr(10) ORDER BY line_idx) AS text
-            FROM marked WHERE keep
-            GROUP BY doc_id ORDER BY doc_id
+            SELECT d.doc_id, COALESCE(agg.text, '') AS text
+            FROM documents d
+            LEFT JOIN (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY line_idx) AS text
+              FROM marked WHERE keep
+              GROUP BY doc_id
+            ) agg USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "repetition_signals": """
             WITH w AS (

@@ -175,9 +175,19 @@ def connected_components(
             .materialize()  # bounded (one row per node); an unmaterialized
             # chain re-executes under each round's groupby sampling
         )
+        # labels monotonically decrease, so an unchanged sum after the
+        # closed-neighborhood min IS the fixpoint — check here, BEFORE the
+        # pointer jump: clique-heavy dedup graphs converge in 1-2 rounds
+        # and the jump's two extra executions per round are pure overhead
+        # for them (the jump only earns its cost on long-path components)
+        cur_sum = labels.sum("label")
         if _verbose:
-            print("[cc] propagate done", flush=True)
-        # 2) pointer jump: label <- label(label)
+            print(f"[cc] propagate sum={cur_sum}", flush=True)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        # 2) pointer jump: label <- label(label) — collapses a path
+        # component in O(log diameter) rounds instead of O(diameter)
         labels = (
             labels.map_batches(jump_reqs, batch_format="pandas")
             .union(labels.map_batches(label_rows, batch_format="pandas"))
@@ -190,10 +200,8 @@ def connected_components(
         if _verbose:
             import time
 
-            print(f"[cc] round sum={cur_sum} t={time.time():.1f}", flush=True)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            print(f"[cc] jump sum={cur_sum} t={time.time():.1f}", flush=True)
+        prev_sum = min(prev_sum, cur_sum)
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
