@@ -456,6 +456,9 @@ def minhash_verify_pairs_ds(
             {"doc_a": "int64", "doc_b": "int64"}
         )
 
+    # fully lazy/streaming: each stage has a single consumer, so nothing
+    # re-executes; the two shuffles move only candidate-bounded rows
+    # (shingle sets + pair slots), never the corpus.
     return (
         ds.map_batches(shingle_rows, batch_format="pandas")
         .union(pairs_ds.map_batches(slot_rows, batch_format="pandas"))
@@ -507,10 +510,16 @@ def minhash_candidate_pairs_ds(
     shingle: int = 3,
     max_bucket: int = 200,
     coarse_buckets: int = 1024,
+    distinct: bool = True,
 ):
-    """LSH candidate pairs (doc_a < doc_b) as a DATASET, distinct — the
-    pair list never lands on the driver (the near-dup graph is super-linear
-    in corpus size on boilerplate-heavy web data)."""
+    """LSH candidate pairs (doc_a < doc_b) as a DATASET — the pair list
+    never lands on the driver (the near-dup graph is super-linear in
+    corpus size on boilerplate-heavy web data).
+
+    ``distinct=False`` skips the pair-dedup shuffle and may emit the same
+    pair once per matching band; use it when the consumer dedupes anyway
+    (``minhash_verify_pairs_ds`` groups by (doc_a, doc_b), so duplicated
+    candidates cost only a few extra shuffled slot rows)."""
     from functools import partial
 
     # an INSTANCE (stateless elastic tasks), not an actor pool: the state is
@@ -552,11 +561,19 @@ def minhash_candidate_pairs_ds(
             )
         return pd.concat(frames, ignore_index=True)
 
+    # one materialize only, at the pair list (bounded, pre-distinct):
+    # verify consumes it TWICE (id extraction + slot rows) and a lazy
+    # dataset re-executes the whole signature chain per consumer.  A
+    # single downstream consumer does NOT re-execute (measured on this
+    # Ray), so the intermediate band-row stages stay lazy/streaming.
     pairs = (
         band_rows.map_batches(add_coarse, batch_format="pandas")
         .groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
+        .materialize()
     )
+    if not distinct:
+        return pairs
 
     # distinct pairs: one pair-hash-bucketed shuffle + a vectorized
     # drop_duplicates per bucket (a driver-side dedup would make the pair
@@ -615,7 +632,8 @@ def minhash_dedup_pairs_ds(
     the candidate graph explodes).
     """
     pairs = minhash_candidate_pairs_ds(
-        ds, num_perm=num_perm, bands=bands, shingle=shingle
+        ds, num_perm=num_perm, bands=bands, shingle=shingle,
+        distinct=False,  # verify groups by (doc_a, doc_b) — dups collapse
     )
     return minhash_verify_pairs_ds(ds, pairs, threshold, shingle)
 

@@ -153,7 +153,9 @@ def connected_components(
     # every round's plan the same size
     nblocks = max(2, edges.num_blocks())
 
-    for _ in range(max_iters):
+    iters = 0
+    converged = False
+    while iters < max_iters:
         lrows = labels.map_batches(label_rows, batch_format="pandas")
         # 1) min over closed neighborhood (combiner-backed groupby.min)
         labels = (
@@ -175,34 +177,42 @@ def connected_components(
             .materialize()  # bounded (one row per node); an unmaterialized
             # chain re-executes under each round's groupby sampling
         )
+        iters += 1
         # labels monotonically decrease, so an unchanged sum after the
         # closed-neighborhood min IS the fixpoint — check here, BEFORE the
         # pointer jump: clique-heavy dedup graphs converge in 1-2 rounds
-        # and the jump's two extra executions per round are pure overhead
-        # for them (the jump only earns its cost on long-path components)
+        # and the jump's extra executions are pure overhead for them
         cur_sum = labels.sum("label")
         if _verbose:
             print(f"[cc] propagate sum={cur_sum}", flush=True)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-        # 2) pointer jump: label <- label(label) — collapses a path
-        # component in O(log diameter) rounds instead of O(diameter)
-        labels = (
-            labels.map_batches(jump_reqs, batch_format="pandas")
-            .union(labels.map_batches(label_rows, batch_format="pandas"))
-            .groupby("cb")
-            .map_groups(jump, batch_format="pandas")
-            .repartition(nblocks)
-            .materialize()
-        )
-        cur_sum = labels.sum("label")
-        if _verbose:
-            import time
-
-            print(f"[cc] jump sum={cur_sum} t={time.time():.1f}", flush=True)
-        prev_sum = min(prev_sum, cur_sum)
-    else:
+        # 2) pointer jump UNTIL QUIESCENT: label <- label(label).  A jump
+        # round touches only label rows (no edge volume), so it is much
+        # cheaper than a propagate round; on a path component the inner
+        # loop collapses the whole pointer chain to the root in
+        # O(log diameter) cheap rounds, after which one more propagate
+        # confirms the fixpoint (vs alternating 1:1, which pays the edge
+        # shuffle O(log diameter) times)
+        while iters < max_iters:
+            labels = (
+                labels.map_batches(jump_reqs, batch_format="pandas")
+                .union(labels.map_batches(label_rows, batch_format="pandas"))
+                .groupby("cb")
+                .map_groups(jump, batch_format="pandas")
+                .repartition(nblocks)
+                .materialize()
+            )
+            iters += 1
+            cur_sum = labels.sum("label")
+            if _verbose:
+                print(f"[cc] jump sum={cur_sum}", flush=True)
+            if cur_sum == prev_sum:
+                break  # pointer structure flattened; back to propagate
+            prev_sum = cur_sum
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
         )

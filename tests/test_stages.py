@@ -106,12 +106,13 @@ def test_connected_components_giant_chain(ray_session):
     ds = ray.data.from_items(
         [{"doc_a": a, "doc_b": b} for a, b in pairs]
     ).repartition(8)
-    labels = connected_components(ds).to_pandas()
+    labels_ds = connected_components(ds).materialize()
+    labels = labels_ds.to_pandas()
     roots = labels.set_index("node")["root"].to_dict()
     assert all(roots[n] == 1000 for n in range(1000, 1301))
     assert all(roots[2000 + i] == 2000 for i in range(6))
     assert roots[3000] == 3000 and roots[3001] == 3000
-    drop = nonroot_ids(connected_components(ds))
+    drop = nonroot_ids(labels_ds)
     assert set(drop.tolist()) == (
         set(range(1001, 1301)) | {2000 + i for i in range(1, 6)} | {3001}
     )
