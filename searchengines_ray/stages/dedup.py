@@ -441,19 +441,53 @@ def minhash_verify_pairs_ds(
         return m[["doc_a", "doc_b", "side", "sh", "cb2"]]
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (a, b), g in group.groupby(["doc_a", "doc_b"]):
-            if len(g) < 2:
-                continue  # a candidate id missing from the corpus
-            sa = np.frombuffer(g.loc[g["side"] == 0, "sh"].iloc[0], dtype=np.uint64)
-            sb = np.frombuffer(g.loc[g["side"] == 1, "sh"].iloc[0], dtype=np.uint64)
-            inter = np.intersect1d(sa, sb).size
-            union = sa.size + sb.size - inter
-            j = 1.0 if union == 0 else inter / union
-            if j >= threshold:
-                rows.append((int(a), int(b), float(j)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-            {"doc_a": "int64", "doc_b": "int64"}
+        # vectorized over ALL pairs in the bucket — no per-pair Python
+        # loop.  Duplicate candidate rows for the same (pair, side)
+        # collapse to one; a pair with a side missing from the corpus is
+        # dropped.  Intersection size = number of (pair, hash) keys that
+        # appear on BOTH sides (each side's set is unique), computed with
+        # one lexsort over the concatenated streams.
+        g = group.drop_duplicates(["doc_a", "doc_b", "side"])
+        counts = g.groupby(["doc_a", "doc_b"])["side"].transform("size")
+        g = g.loc[counts == 2]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                    "jaccard": pd.array([], dtype="float64"),
+                }
+            )
+        # pair index: rows are (side0, side1) adjacent after a stable sort
+        g = g.sort_values(["doc_a", "doc_b", "side"], kind="stable")
+        npairs = len(g) // 2
+        pidx = np.repeat(np.arange(npairs, dtype=np.int64), 2)
+        sets = [np.frombuffer(s, dtype=np.uint64) for s in g["sh"]]
+        sizes = np.asarray([s.size for s in sets], dtype=np.int64)
+        flat = (
+            np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        )
+        owner = np.repeat(pidx, sizes)
+        # count duplicates of (pair, hash): sort by pair then hash; a
+        # same-pair adjacent equal hash means present on both sides
+        order = np.lexsort((flat, owner))
+        of, ff = owner[order], flat[order]
+        dup = np.zeros(len(ff), dtype=bool)
+        if len(ff) > 1:
+            dup[1:] = (of[1:] == of[:-1]) & (ff[1:] == ff[:-1])
+        inter = np.bincount(of[dup], minlength=npairs).astype(np.int64)
+        side_sizes = sizes.reshape(npairs, 2)
+        union = side_sizes.sum(axis=1) - inter
+        jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+        keep = jac >= threshold
+        da = g["doc_a"].to_numpy()[::2][keep]
+        db = g["doc_b"].to_numpy()[::2][keep]
+        return pd.DataFrame(
+            {
+                "doc_a": da.astype(np.int64),
+                "doc_b": db.astype(np.int64),
+                "jaccard": jac[keep],
+            }
         )
 
     # fully lazy/streaming: each stage has a single consumer, so nothing
