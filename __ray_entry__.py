@@ -553,6 +553,66 @@ def _q_lang_id(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _pii_augment_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministically plant PII in every 5th doc (SQL-mirrored concat)
+    so the redaction entry is non-vacuous — the synthetic corpus contains
+    no organic emails/URLs/phones."""
+    ids = b["doc_id"].to_numpy()
+    txt = ["" if t is None else t for t in b["text"]]
+    extra = [
+        (
+            f" Contact u{i}@example.com or https://ex{i}.example/page"
+            f" ip 10.{i % 256}.0.1 call 555-{100 + i % 900}-{1000 + i % 9000}"
+        )
+        if i % 5 == 0
+        else ""
+        for i in ids
+    ]
+    return pd.DataFrame(
+        {"doc_id": b["doc_id"], "text": [t + e for t, e in zip(txt, extra)]}
+    )
+
+
+def _q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing (emails/URLs/IPv4/phones) with per-doc counts over a
+    corpus AUGMENTED with planted, SQL-reproducible PII."""
+    from searchengines_ray.stages.text import pii_redact
+
+    aug = _docs(sf_dir).map_batches(
+        _pii_augment_batch, batch_format="pandas"
+    )
+    return (
+        pii_redact(aug).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~10% corpus sample by Knuth-multiplicative doc_id
+    hash — coordination-free, repartition/resume-stable, SQL-exact."""
+    from searchengines_ray.stages.sample import hash_sample
+
+    out = hash_sample(_docs(sf_dir), permille=100).to_pandas()
+    return (
+        out[["doc_id", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_unigram_lm(sf_dir: str) -> pd.DataFrame:
+    """Corpus-fit unigram LM doc scoring (CCNet-style quality signal):
+    vocabulary-bounded model via map-combined groupby, broadcast via
+    ray.put, exact integer micro-unit log-prob sums."""
+    from searchengines_ray.stages.text import unigram_lm_scores
+
+    return (
+        unigram_lm_scores(_docs(sf_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """IVF with nprobe == nlist (probe every bucket): the partitioned
     assign/probe/merge machinery must be LOSSLESS and reproduce the exact
@@ -1170,6 +1230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "fingerprints": _q_fingerprints,
         "lang_id": _q_lang_id,
+        "pii_redact": _q_pii_redact,
+        "hash_sample": _q_hash_sample,
+        "unigram_lm": _q_unigram_lm,
         "ivf_topk": _q_ivf_topk,
         "similarity_join": _q_similarity_join,
         "sessionize": _q_sessionize,
@@ -3255,6 +3318,102 @@ def _oracle_sql_impl() -> dict[str, str]:
                         WHEN h.es = GREATEST(h.de, h.en, h.es, h.fr) THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "pii_redact": r"""
+            -- planted PII mirror of _pii_augment_batch, then the fixed
+            -- email -> url -> ipv4 -> phone redaction chain; each count is
+            -- taken on the text as left by the PREVIOUS redaction, exactly
+            -- like PIIRedactor (stages/text.py)
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0 THEN
+                       ' Contact u' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or https://ex'
+                       || CAST(doc_id AS VARCHAR)
+                       || '.example/page ip 10.'
+                       || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.1 call 555-'
+                       || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                       || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                     ELSE '' END AS t0
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                CAST(length(regexp_extract_all(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                regexp_replace(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+              FROM aug
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                CAST(length(regexp_extract_all(t1, 'https?://\S+')) AS BIGINT)
+                  AS n_urls,
+                regexp_replace(t1, 'https?://\S+', '<URL>', 'g') AS t2
+              FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, n_emails, n_urls,
+                CAST(length(regexp_extract_all(t2,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                  AS n_ipv4,
+                regexp_replace(t2,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id, n_emails, n_urls, n_ipv4,
+              CAST(length(regexp_extract_all(t3,
+                '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+              regexp_replace(t3, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')
+                AS text_redacted
+            FROM s3
+            ORDER BY doc_id
+        """,
+        "hash_sample": """
+            -- Knuth multiplicative hash confined to BIGINT-exact range
+            -- (stages/sample.py contract)
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE ((((doc_id % 2147483648) * 2654435761) % 4294967296)
+                   % 1000) < 100
+            ORDER BY doc_id
+        """,
+        "unigram_lm": """
+            -- add-one-smoothed corpus unigram LM; per-token
+            -- floor(ln(p)*1e6) micro-units summed as BIGINT (order-free,
+            -- libm ln contract shared with the BM25 idf oracle)
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[0-9a-z]+'))
+                       AS term
+              FROM documents
+            ),
+            model AS (
+              SELECT term, COUNT(*) AS ctf FROM toks GROUP BY term
+            ),
+            tot AS (
+              SELECT CAST(SUM(ctf) AS BIGINT) AS t,
+                     CAST(COUNT(*) AS BIGINT) AS v
+              FROM model
+            ),
+            scored AS (
+              SELECT tk.doc_id,
+                     CAST(FLOOR(ln((m.ctf + 1.0) / (tot.t + tot.v))
+                                * 1000000.0) AS BIGINT) AS micro
+              FROM toks tk JOIN model m USING (term) CROSS JOIN tot
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(s.total, 0) AS BIGINT) AS lm_score_micro
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM toks
+                       GROUP BY doc_id) cnt USING (doc_id)
+            LEFT JOIN (SELECT doc_id, SUM(micro) AS total FROM scored
+                       GROUP BY doc_id) s USING (doc_id)
             ORDER BY d.doc_id
         """,
         "multimodal_decode": """

@@ -27,12 +27,15 @@ from .similarity import (  # noqa: F401
     cosine_similarity_join,
     cosine_topk,
 )
+from .sample import hash_sample, sample_mask  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,
     lang_id,
+    pii_redact,
     quality_scores,
     repetition_signals,
     token_counts,
+    unigram_lm_scores,
 )
 from .windows import (  # noqa: F401
     hopping_window_agg,

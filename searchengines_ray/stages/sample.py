@@ -1,0 +1,44 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Reservoir/random sampling is not reproducible across partitionings; web-scale
+pipelines instead sample by a hash of a stable key so that (a) every worker
+makes the same keep/drop decision with no coordination, (b) re-runs and
+resumed runs select the identical subset, and (c) a SQL engine can replicate
+the selection exactly for auditing.
+
+The hash is Knuth multiplicative hashing confined to BIGINT-exact range:
+``((doc_id mod 2^31) * 2654435761) mod 2^32`` — every intermediate is
+< 2^62, so DuckDB BIGINT arithmetic reproduces it bit-for-bit (same
+contract as the polynomial text hashes in :mod:`.text`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_KNUTH = 2654435761
+_M31P1 = 2147483648  # 2^31
+_M32 = 4294967296  # 2^32
+
+
+def sample_mask(ids: np.ndarray, permille: int) -> np.ndarray:
+    """Boolean keep-mask: hash(doc_id) lands in the first ``permille``
+    buckets of 1000.  Pure int64 arithmetic (no uint wraparound) so the
+    SQL mirror is exact."""
+    h = ((ids.astype(np.int64) % _M31P1) * _KNUTH) % _M32
+    return (h % 1000) < permille
+
+
+def hash_sample(ds, permille: int, key: str = "doc_id"):
+    """Keep a deterministic ~``permille``/1000 subset of rows by key hash.
+
+    Embarrassingly parallel — a pure per-batch filter, no shuffle, no
+    coordination, stable under repartitioning and resume.
+    """
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = sample_mask(batch[key].to_numpy(), permille)
+        return batch.loc[m]
+
+    return ds.map_batches(keep, batch_format="pandas")

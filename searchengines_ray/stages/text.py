@@ -374,3 +374,117 @@ def lang_id(ds):
 
 def fingerprints(ds):
     return ds.map_batches(Fingerprinter(), batch_format="pandas")
+
+
+class PIIRedactor:
+    """PII scrubbing for web-text curation: redact emails, URLs, IPv4
+    addresses and dashed phone numbers, reporting per-doc match counts.
+
+    Patterns are deliberately RE2-compatible and applied in a FIXED order
+    (email -> url -> ipv4 -> phone), each counted on the text as left by
+    the previous redaction, so a SQL oracle (DuckDB ``regexp_extract_all``
+    + ``regexp_replace(..., 'g')``) reproduces counts and redacted text
+    byte-for-byte.  Compiled once per worker; applied vectorized per batch.
+    """
+
+    STEPS = (
+        ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+         "<EMAIL>"),
+        ("n_urls", r"https?://\S+", "<URL>"),
+        ("n_ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+        ("n_phones", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    )
+
+    def __init__(self):
+        self.steps = [
+            (name, re.compile(pat), repl) for name, pat, repl in self.STEPS
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cur = batch["text"].fillna("")
+        out = {"doc_id": batch["doc_id"]}
+        for name, rx, repl in self.steps:
+            out[name] = cur.str.count(rx).astype("int64")
+            cur = cur.str.replace(rx, repl, regex=True)
+        out["text_redacted"] = cur
+        return pd.DataFrame(out)
+
+
+def pii_redact(ds):
+    return ds.map_batches(PIIRedactor(), batch_format="pandas")
+
+
+def unigram_lm_scores(ds):
+    """CCNet-style unigram language-model scoring: fit an add-one-smoothed
+    unigram model on the corpus, then score every document by the sum of
+    its tokens' log-probabilities.
+
+    Scale shape: phase 1 is a map-side-combined ``groupby(term).sum`` whose
+    result is VOCABULARY-bounded (the only driver-side structure); the
+    per-term ``floor(log p * 1e6)`` micro-units are precomputed once with
+    scalar ``math.log`` (libm — DuckDB ``ln`` reproduces it bit-for-bit,
+    same contract as the BM25 idf) and broadcast via ``ray.put``; phase 2
+    is a pure per-batch bincount over the flat token stream.  Integer
+    micro-unit sums are order-independent, so the distributed result is
+    EXACT — no float-reduction-order drift.
+
+    Returns ``(doc_id, n_tokens, lm_score_micro)`` with
+    ``lm_score_micro = sum_t floor(ln((ctf_t+1)/(T+V)) * 1e6)`` (BIGINT).
+    """
+    import math
+
+    import ray
+
+    def term_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, _, _ = _flat_word_stream(list(batch["text"]))
+        cnt = np.bincount(vids, minlength=len(vocab)).astype(np.int64)
+        # _flat_word_stream's vocab can carry the empty split residue with
+        # count 0 — it must not inflate V (the smoothing denominator)
+        df = pd.DataFrame({"term": vocab, "ctf": cnt})
+        return df.loc[(df["ctf"] > 0) & (df["term"] != "")]
+
+    model = (
+        ds.map_batches(term_counts, batch_format="pandas")
+        .groupby("term")
+        .sum("ctf")
+        .to_pandas()
+    )
+    if model.empty:
+        total = 0
+        vocab_size = 0
+        logp = {}
+    else:
+        ctf = model["sum(ctf)"].to_numpy().astype(np.int64)
+        total = int(ctf.sum())
+        vocab_size = int(len(model))
+        denom = float(total + vocab_size)
+        logp = {
+            t: int(math.floor(math.log((int(c) + 1) / denom) * 1e6))
+            for t, c in zip(model["term"], ctf)
+        }
+    mref = ray.put(logp)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lp = ray.get(mref)
+        vocab, vids, parent, counts = _flat_word_stream(list(batch["text"]))
+        n = len(batch)
+        micro = np.asarray(
+            [lp.get(w, 0) for w in vocab], dtype=np.float64
+        )
+        if len(parent):
+            s = np.bincount(
+                parent, weights=micro[vids], minlength=n
+            ).astype(np.int64)
+        else:
+            s = np.zeros(n, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pd.array(
+                    counts.astype(np.int64), dtype="int64"
+                ),
+                "lm_score_micro": pd.array(s, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -463,3 +463,81 @@ def test_repetition_signals(ray_session):
     assert out.loc[2, "dup_line_frac"] == 1.0 - 2.0 / 3.0
     assert out.loc[3, "n_lines"] == 0 and out.loc[3, "dup_3gram_frac"] == 0.0
     assert out.loc[4, "dup_3gram_frac"] == 0.0
+
+
+def test_pii_redact(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import pii_redact
+
+    rows = [
+        {"doc_id": 0,
+         "text": "mail bob.smith@corp.io and see https://x.io/a?b=1 now"},
+        {"doc_id": 1, "text": "server at 192.168.0.1 call 412-555-1234"},
+        {"doc_id": 2, "text": "clean text, no pii at all"},
+        # email inside a URL: email pass runs FIRST, so it is redacted as
+        # an email and splits the URL match
+        {"doc_id": 3, "text": "http://u@e.com rest"},
+    ]
+    out = (
+        pii_redact(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_urls"] == 1
+    assert out.loc[0, "text_redacted"] == "mail <EMAIL> and see <URL> now"
+    assert out.loc[1, "n_ipv4"] == 1 and out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "text_redacted"] == "server at <IP> call <PHONE>"
+    assert out.loc[2, ["n_emails", "n_urls", "n_ipv4", "n_phones"]].sum() == 0
+    assert out.loc[3, "n_emails"] == 1
+
+
+def test_hash_sample_deterministic(ray_session):
+    import numpy as np
+    import ray.data
+
+    from searchengines_ray.stages.sample import hash_sample, sample_mask
+
+    ids = np.arange(10_000, dtype=np.int64)
+    ds = ray.data.from_items([{"doc_id": int(i)} for i in ids])
+    kept = sorted(
+        hash_sample(ds, permille=100).to_pandas()["doc_id"].tolist()
+    )
+    # matches the pure-numpy mask, any partitioning
+    expect = sorted(ids[sample_mask(ids, 100)].tolist())
+    assert kept == expect
+    # roughly 10% and stable across repartitioning
+    assert 800 < len(kept) < 1200
+    kept2 = sorted(
+        hash_sample(ds.repartition(7), permille=100)
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert kept2 == expect
+
+
+def test_unigram_lm_scores(ray_session):
+    import math
+
+    import ray.data
+
+    from searchengines_ray.stages.text import unigram_lm_scores
+
+    rows = [
+        {"doc_id": 0, "text": "a a b"},
+        {"doc_id": 1, "text": "b c"},
+        {"doc_id": 2, "text": ""},
+    ]
+    out = (
+        unigram_lm_scores(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # model: ctf a=2 b=2 c=1, T=5, V=3, denom=8
+    lp = {t: math.floor(math.log((c + 1) / 8.0) * 1e6)
+          for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "lm_score_micro"] == 2 * lp["a"] + lp["b"]
+    assert out.loc[1, "lm_score_micro"] == lp["b"] + lp["c"]
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "lm_score_micro"] == 0
