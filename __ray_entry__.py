@@ -613,6 +613,40 @@ def _q_unigram_lm(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_asof_attribution(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join (attribution): every purchase event joined to
+    the latest click/view by the same user at-or-before its timestamp —
+    the custom join Ray Data lacks, built as one key-hash shuffle + a
+    vectorized per-bucket pandas merge_asof (stages/joins.py).  The tie
+    rule (max ts, then max event_id) is the SQL LATERAL oracle's ORDER
+    BY, so the match is deterministic."""
+    import ray.data
+
+    from searchengines_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def _is(kinds):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b["event_type"].isin(kinds)].drop(
+                columns=["event_type"]
+            )
+
+        return _f
+
+    left = ev.map_batches(_is({"purchase"}), batch_format="pandas")
+    right = ev.map_batches(_is({"click", "view"}), batch_format="pandas")
+    out = asof_join(left, right).to_pandas()
+    return (
+        out[["event_id", "user_id", "attr_event_id", "lag_us"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """IVF with nprobe == nlist (probe every bucket): the partitioned
     assign/probe/merge machinery must be LOSSLESS and reproduce the exact
@@ -1233,6 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "hash_sample": _q_hash_sample,
         "unigram_lm": _q_unigram_lm,
+        "asof_attribution": _q_asof_attribution,
         "ivf_topk": _q_ivf_topk,
         "similarity_join": _q_similarity_join,
         "sessionize": _q_sessionize,
@@ -3415,6 +3450,29 @@ def _oracle_sql_impl() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, SUM(micro) AS total FROM scored
                        GROUP BY doc_id) s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "asof_attribution": """
+            -- backward as-of join; the LATERAL's ORDER BY is the engine's
+            -- deterministic tie rule (max ts, then max event_id)
+            WITH l AS MATERIALIZED (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            r AS MATERIALIZED (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type IN ('click', 'view')
+            )
+            SELECT l.event_id, l.user_id,
+                   CAST(COALESCE(m.event_id, -1) AS BIGINT) AS attr_event_id,
+                   CAST(COALESCE(epoch_us(l.ts) - epoch_us(m.ts), -1)
+                        AS BIGINT) AS lag_us
+            FROM l
+            LEFT JOIN LATERAL (
+              SELECT r.event_id, r.ts FROM r
+              WHERE r.user_id = l.user_id AND r.ts <= l.ts
+              ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+            ) m ON TRUE
+            ORDER BY l.event_id
         """,
         "multimodal_decode": """
             -- the deterministic fake decoder: sha256(payload) with

@@ -21,6 +21,7 @@ from .dedup import (  # noqa: F401
     simhash_dup_pairs,
 )
 from .graph import connected_components, nonroot_ids  # noqa: F401
+from .joins import asof_join  # noqa: F401
 from .multimodal import decode_images, sample_frames  # noqa: F401
 from .similarity import (  # noqa: F401
     IVFIndex,

@@ -541,3 +541,43 @@ def test_unigram_lm_scores(ray_session):
     assert out.loc[0, "lm_score_micro"] == 2 * lp["a"] + lp["b"]
     assert out.loc[1, "lm_score_micro"] == lp["b"] + lp["c"]
     assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "lm_score_micro"] == 0
+
+
+def test_asof_join(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.joins import asof_join
+
+    def ts(s):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {
+            "event_id": pd.array([10, 11, 12, 13], dtype="int64"),
+            "user_id": pd.array([1, 1, 2, 3], dtype="int64"),
+            "ts": [ts(5), ts(100), ts(50), ts(7)],
+        }
+    ))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {
+            # user 1: rows at t=5 (two rows, tie -> max event_id wins) and
+            # t=60; user 2: only at t=51 (after left -> no match)
+            "event_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "user_id": pd.array([1, 1, 1, 2], dtype="int64"),
+            "ts": [ts(5), ts(5), ts(60), ts(51)],
+        }
+    ))
+    out = (
+        asof_join(left, right)
+        .to_pandas()
+        .sort_values("event_id")
+        .set_index("event_id")
+    )
+    # exact match allowed; tie at t=5 -> event_id 2 (max)
+    assert out.loc[10, "attr_event_id"] == 2 and out.loc[10, "lag_us"] == 0
+    # most recent prior for t=100 is t=60 row
+    assert out.loc[11, "attr_event_id"] == 3
+    assert out.loc[11, "lag_us"] == 40_000_000
+    # user 2: right row is later -> no match; user 3: no right rows
+    assert out.loc[12, "attr_event_id"] == -1 and out.loc[12, "lag_us"] == -1
+    assert out.loc[13, "attr_event_id"] == -1
