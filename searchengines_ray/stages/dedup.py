@@ -22,8 +22,10 @@ cap is LOGGED, not silent.  Verification re-reads only candidate doc texts
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 import zlib
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -331,6 +333,155 @@ def _batch_shingle_sets(texts: list, k: int) -> list[np.ndarray]:
     return out
 
 
+def _verify_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Vectorized exact-Jaccard kernel over ALL pairs in one bucket — no
+    per-pair Python loop.  Duplicate candidate rows for the same (pair,
+    side) collapse to one; a pair with a side missing from the corpus is
+    dropped.  Intersection size = number of (pair, hash) keys that appear
+    on BOTH sides (each side's set is unique), computed with one lexsort
+    over the concatenated hash streams."""
+    g = group.drop_duplicates(["doc_a", "doc_b", "side"])
+    counts = g.groupby(["doc_a", "doc_b"])["side"].transform("size")
+    g = g.loc[counts == 2]
+    if g.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+                "jaccard": pd.array([], dtype="float64"),
+            }
+        )
+    # pair index: rows are (side0, side1) adjacent after a stable sort
+    g = g.sort_values(["doc_a", "doc_b", "side"], kind="stable")
+    npairs = len(g) // 2
+    pidx = np.repeat(np.arange(npairs, dtype=np.int64), 2)
+    sets = [np.frombuffer(s, dtype=np.uint64) for s in g["sh"]]
+    sizes = np.asarray([s.size for s in sets], dtype=np.int64)
+    flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+    owner = np.repeat(pidx, sizes)
+    # count duplicates of (pair, hash): sort by pair then hash; a
+    # same-pair adjacent equal hash means present on both sides
+    order = np.lexsort((flat, owner))
+    of, ff = owner[order], flat[order]
+    dup = np.zeros(len(ff), dtype=bool)
+    if len(ff) > 1:
+        dup[1:] = (of[1:] == of[:-1]) & (ff[1:] == ff[:-1])
+    inter = np.bincount(of[dup], minlength=npairs).astype(np.int64)
+    side_sizes = sizes.reshape(npairs, 2)
+    union = side_sizes.sum(axis=1) - inter
+    jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    keep = jac >= threshold
+    da = g["doc_a"].to_numpy()[::2][keep]
+    db = g["doc_b"].to_numpy()[::2][keep]
+    return pd.DataFrame(
+        {
+            "doc_a": da.astype(np.int64),
+            "doc_b": db.astype(np.int64),
+            "jaccard": jac[keep],
+        }
+    )
+
+
+def _expand_slots(
+    docs: np.ndarray, endpoint_sorted: np.ndarray, order: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """For each doc in ``docs``, every index of the pair array whose
+    (sorted) endpoint equals it — vectorized range flattening, no per-doc
+    loop.  Returns (doc_row_repeat, pair_indices)."""
+    lo = np.searchsorted(endpoint_sorted, docs, "left")
+    hi = np.searchsorted(endpoint_sorted, docs, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    doc_rep = np.repeat(np.arange(len(docs), dtype=np.int64), cnt)
+    cum = np.zeros(len(cnt), dtype=np.int64)
+    np.cumsum(cnt[:-1], out=cum[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum, cnt) + np.repeat(
+        lo, cnt
+    )
+    return doc_rep, order[pos]
+
+
+# Pair-count bound for the broadcast verify fast path: at or below it the
+# pair endpoints are broadcast ONCE as numpy arrays (16 B/pair, zero-copy
+# from the object store in every task) and verification costs a single
+# pair-keyed shuffle; above it pairs stay a Dataset and verification pays
+# a second (doc-keyed) shuffle instead of any driver/broadcast pair
+# structure.  Both paths are exact.
+VERIFY_BROADCAST_MAX_PAIRS = int(
+    os.environ.get("SERAY_VERIFY_BROADCAST_PAIRS", 5_000_000)
+)
+
+
+def _verify_pairs_broadcast(
+    ds,
+    pairs_df: pd.DataFrame,
+    threshold: float,
+    shingle: int,
+    text_key: str,
+    coarse_buckets: int,
+):
+    """One-shuffle verification for a bounded pair list: broadcast the
+    endpoint arrays, emit each candidate doc's shingle set once per pair
+    slot keyed BY PAIR, and intersect inside a single bucketed groupby
+    (the sets ride exactly one shuffle; the two-shuffle Dataset plan
+    ships them twice)."""
+    import ray
+    from functools import partial
+
+    pa = pairs_df["doc_a"].to_numpy().astype(np.int64)
+    pb = pairs_df["doc_b"].to_numpy().astype(np.int64)
+    oa = np.argsort(pa, kind="stable")
+    ob = np.argsort(pb, kind="stable")
+    cand = np.unique(np.concatenate([pa, pb]))
+    bref = ray.put((pa, pb, pa[oa], pb[ob], oa, ob, cand))
+
+    def shingle_slot_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        pa, pb, pas, pbs, oa, ob, cand = ray.get(bref)
+        docs = batch["doc_id"].to_numpy().astype(np.int64)
+        idx = np.minimum(np.searchsorted(cand, docs), len(cand) - 1)
+        sub = batch.loc[cand[idx] == docs]
+        sets = _batch_shingle_sets(list(sub[text_key]), shingle)
+        blobs = [np.asarray(s, dtype=np.uint64).tobytes() for s in sets]
+        d = sub["doc_id"].to_numpy().astype(np.int64)
+        rep0, pid0 = _expand_slots(d, pas, oa)
+        rep1, pid1 = _expand_slots(d, pbs, ob)
+        doc_a = np.concatenate([pa[pid0], pa[pid1]])
+        doc_b = np.concatenate([pb[pid0], pb[pid1]])
+        side = np.concatenate(
+            [
+                np.zeros(len(pid0), dtype=np.int64),
+                np.ones(len(pid1), dtype=np.int64),
+            ]
+        )
+        cb2 = (
+            (
+                doc_a.astype(np.uint64) * np.uint64(1000003)
+                + doc_b.astype(np.uint64)
+            )
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": doc_a,
+                "doc_b": doc_b,
+                "side": side,
+                "sh": [blobs[i] for i in np.concatenate([rep0, rep1])],
+                "cb2": cb2,
+            }
+        )
+
+    return (
+        ds.map_batches(shingle_slot_rows, batch_format="pandas")
+        .groupby("cb2")
+        .map_groups(
+            partial(_verify_group, threshold=threshold),
+            batch_format="pandas",
+        )
+    )
+
+
 def minhash_verify_pairs_ds(
     ds,
     pairs_ds,
@@ -352,9 +503,31 @@ def minhash_verify_pairs_ds(
     intersects the two sides.  Shuffled bytes = candidate-doc shingle sets
     + pair rows — never the corpus.  Returns a Dataset
     ``(doc_a, doc_b, jaccard)``.
+
+    Fast path: at or below ``VERIFY_BROADCAST_MAX_PAIRS`` the (bounded)
+    pair list is broadcast as endpoint arrays instead and the sets ride a
+    SINGLE pair-keyed shuffle (:func:`_verify_pairs_broadcast`) — exactly
+    the same result, one all-to-all cheaper.
     """
     import ray
     import ray.data
+
+    pairs_ds = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    if pairs_ds.count() <= VERIFY_BROADCAST_MAX_PAIRS:
+        pairs_df = pairs_ds.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        if pairs_df.empty:
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_a": pd.array([], dtype="int64"),
+                        "doc_b": pd.array([], dtype="int64"),
+                        "jaccard": pd.array([], dtype="float64"),
+                    }
+                )
+            )
+        return _verify_pairs_broadcast(
+            ds, pairs_df, threshold, shingle, text_key, coarse_buckets
+        )
 
     def batch_ids(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -440,55 +613,7 @@ def minhash_verify_pairs_ds(
         ).astype(np.int64)
         return m[["doc_a", "doc_b", "side", "sh", "cb2"]]
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        # vectorized over ALL pairs in the bucket — no per-pair Python
-        # loop.  Duplicate candidate rows for the same (pair, side)
-        # collapse to one; a pair with a side missing from the corpus is
-        # dropped.  Intersection size = number of (pair, hash) keys that
-        # appear on BOTH sides (each side's set is unique), computed with
-        # one lexsort over the concatenated streams.
-        g = group.drop_duplicates(["doc_a", "doc_b", "side"])
-        counts = g.groupby(["doc_a", "doc_b"])["side"].transform("size")
-        g = g.loc[counts == 2]
-        if g.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.array([], dtype="int64"),
-                    "doc_b": pd.array([], dtype="int64"),
-                    "jaccard": pd.array([], dtype="float64"),
-                }
-            )
-        # pair index: rows are (side0, side1) adjacent after a stable sort
-        g = g.sort_values(["doc_a", "doc_b", "side"], kind="stable")
-        npairs = len(g) // 2
-        pidx = np.repeat(np.arange(npairs, dtype=np.int64), 2)
-        sets = [np.frombuffer(s, dtype=np.uint64) for s in g["sh"]]
-        sizes = np.asarray([s.size for s in sets], dtype=np.int64)
-        flat = (
-            np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
-        )
-        owner = np.repeat(pidx, sizes)
-        # count duplicates of (pair, hash): sort by pair then hash; a
-        # same-pair adjacent equal hash means present on both sides
-        order = np.lexsort((flat, owner))
-        of, ff = owner[order], flat[order]
-        dup = np.zeros(len(ff), dtype=bool)
-        if len(ff) > 1:
-            dup[1:] = (of[1:] == of[:-1]) & (ff[1:] == ff[:-1])
-        inter = np.bincount(of[dup], minlength=npairs).astype(np.int64)
-        side_sizes = sizes.reshape(npairs, 2)
-        union = side_sizes.sum(axis=1) - inter
-        jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
-        keep = jac >= threshold
-        da = g["doc_a"].to_numpy()[::2][keep]
-        db = g["doc_b"].to_numpy()[::2][keep]
-        return pd.DataFrame(
-            {
-                "doc_a": da.astype(np.int64),
-                "doc_b": db.astype(np.int64),
-                "jaccard": jac[keep],
-            }
-        )
+    from functools import partial
 
     # fully lazy/streaming: each stage has a single consumer, so nothing
     # re-executes; the two shuffles move only candidate-bounded rows
@@ -499,7 +624,10 @@ def minhash_verify_pairs_ds(
         .groupby("cb")
         .map_groups(attach, batch_format="pandas")
         .groupby("cb2")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(
+            partial(_verify_group, threshold=threshold),
+            batch_format="pandas",
+        )
     )
 
 
@@ -691,37 +819,81 @@ def minhash_dedup_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _nonroot_ids_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized min-hook union-find over edge arrays: returns the sorted
+    non-root node ids (every node whose component root — the component's
+    MINIMUM id — is not itself).  O(E · log V) numpy sweeps, no per-pair
+    Python; 5M pairs consolidate in well under a second."""
+    if len(a) == 0:
+        return np.empty(0, dtype=np.int64)
+    nodes, inv = np.unique(
+        np.concatenate([a, b]).astype(np.int64), return_inverse=True
+    )
+    ia, ib = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # pointer-jump to full path compression
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        ra, rb = parent[ia], parent[ib]
+        hi = np.maximum(ra, rb)
+        lo = np.minimum(ra, rb)
+        mask = hi != lo
+        if not mask.any():
+            break
+        # hook the larger root onto the smaller (min-label wins; .at
+        # resolves duplicate hi indices with an elementwise minimum)
+        np.minimum.at(parent, hi[mask], lo[mask])
+    # nodes[] ascending => index order == id order => root index holds the
+    # component's min id
+    return nodes[parent != np.arange(len(nodes), dtype=np.int64)]
+
+
 def _dropset_from_pairs(pairs: pd.DataFrame) -> set[int]:
-    """Union-find over the (small) verified pair list: every non-root
-    member of a component is dropped (keep min doc_id per component)."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        union(int(a), int(b))
-    return {x for x in parent if find(x) != x}
+    """Union-find over a pandas pair list: every non-root member of a
+    component is dropped (keep min doc_id per component)."""
+    return set(
+        _nonroot_ids_np(
+            pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+        ).tolist()
+    )
 
 
-def dedup_drop_ids(pairs) -> np.ndarray:
+# Pair-count bound for driver-side consolidation: below it the verified
+# pair list (two int64 columns, 16 B/pair — 80 MB at the default) is pulled
+# once and consolidated with the vectorized union-find; above it the pairs
+# stay a Dataset and consolidate via distributed min-label propagation.
+# Both paths are EXACT — this is a constant-bounded fast path, not a cap
+# (nothing is ever truncated; contrast the removed ``max_pairs``).
+DRIVER_CC_MAX_PAIRS = int(os.environ.get("SERAY_DRIVER_CC_PAIRS", 5_000_000))
+
+
+def dedup_drop_ids(pairs, driver_max_pairs: Optional[int] = None) -> np.ndarray:
     """Component non-roots (keep min doc_id per component) as an int64
-    array.  A pair DATASET consolidates via distributed min-label
-    propagation (:func:`..graph.connected_components` — the pair graph
-    never lands on the driver; only the candidate-doc-bounded drop array
-    does).  A pandas pair list (tests / CLI) uses the in-process
-    union-find."""
+    array.  A pandas pair list (tests / CLI) consolidates in-process.  A
+    pair DATASET is first counted: at or below ``driver_max_pairs``
+    (default ``DRIVER_CC_MAX_PAIRS``) the two id columns are pulled once
+    and consolidated with the same vectorized union-find — a bounded
+    driver structure that skips the O(log diameter) shuffle-barrier rounds
+    a toy-scale run would otherwise pay; above it, distributed min-label
+    propagation (:func:`..graph.connected_components`) keeps the pair
+    graph off the driver entirely."""
     if isinstance(pairs, pd.DataFrame):
-        return np.asarray(sorted(_dropset_from_pairs(pairs)), dtype=np.int64)
+        return np.sort(
+            _nonroot_ids_np(
+                pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+            )
+        )
+    limit = DRIVER_CC_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if pairs.count() <= limit:
+        df = pairs.to_pandas()
+        return np.sort(
+            _nonroot_ids_np(df["doc_a"].to_numpy(), df["doc_b"].to_numpy())
+        )
     from .graph import connected_components, nonroot_ids
 
     return nonroot_ids(connected_components(pairs))

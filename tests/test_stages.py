@@ -146,6 +146,72 @@ def test_minhash_survivors_dataset_pairs(ray_session):
     assert got == want == [0, 3, 4, 5, 8, 9]
 
 
+def test_verify_pairs_both_paths(ray_session, monkeypatch):
+    """The broadcast one-shuffle verify fast path and the two-shuffle
+    Dataset path must return identical verified pairs."""
+    import ray.data
+
+    from searchengines_ray.stages import dedup
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and again",
+        3: "the quick brown fox leaps over the lazy dog again and again",
+        4: "completely different text about ray data pipelines at scale",
+    }
+    docs = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()]
+    )
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 1, 1, 2], "doc_b": [2, 3, 4, 3]}
+    ).astype("int64")
+
+    def run():
+        out = dedup.minhash_verify_pairs_ds(
+            docs, ray.data.from_pandas(pairs), threshold=0.5
+        ).to_pandas()
+        return (
+            out.sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+            .round({"jaccard": 12})
+        )
+
+    fast = run()
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_MAX_PAIRS", 0)
+    big = run()
+    pd.testing.assert_frame_equal(fast, big)
+    assert {(1, 2)} <= set(zip(fast["doc_a"], fast["doc_b"]))
+    assert (1, 4) not in set(zip(fast["doc_a"], fast["doc_b"]))
+
+
+def test_dedup_drop_ids_adaptive_paths(ray_session):
+    """The bounded driver union-find fast path and the distributed CC
+    path (forced with driver_max_pairs=0) must produce identical drop
+    sets; both are exact consolidations of the same pair graph."""
+    import ray.data
+
+    from searchengines_ray.stages.dedup import dedup_drop_ids
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    extra = [(7, 3), (3, 1), (500, 900), (900, 250)]
+    pairs_pd = pd.DataFrame(
+        {
+            "doc_a": [a for a, _ in chain + extra],
+            "doc_b": [b for _, b in chain + extra],
+        }
+    ).astype("int64")
+    want = sorted(
+        set(range(101, 141)) | {3, 7} | {500, 900}
+    )
+    fast = dedup_drop_ids(ray.data.from_pandas(pairs_pd))
+    dist = dedup_drop_ids(
+        ray.data.from_pandas(pairs_pd).repartition(4), driver_max_pairs=0
+    )
+    assert fast.tolist() == want
+    assert sorted(dist.tolist()) == want
+    assert dedup_drop_ids(pairs_pd).tolist() == want
+
+
 def test_simhash_pairs(ray_session):
     import ray.data
 
