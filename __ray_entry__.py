@@ -160,6 +160,41 @@ def _q_bm25_topk_simple(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_bm25_topk_merged(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-20 served from a COMPACTED index: the corpus is built with
+    tiny segments (64 docs — the build-parallelism profile), then
+    merge_segments() k-way-merges them to serving-sized ones
+    (index/compact.py; the reference queries one monolithic Lucene index,
+    Idx.java:236-259 — compaction is how the SPIMI small-segment build
+    reaches that serving profile).  Must match the SAME SQL oracle as
+    bm25_topk_simple: compaction is bit-identical by contract."""
+    import shutil
+
+    from searchengines_ray.index.compact import merge_segments
+    from searchengines_ray.index.shard import list_segments
+
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|merged|v5".encode(), digest_size=6
+    ).hexdigest()
+    out = f"/tmp/seray_index/{tag}"
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        os.makedirs(out, exist_ok=True)
+        build_index(
+            pages_from_documents(sf_dir),
+            out,
+            config=SIMPLE_ANALYZER,
+            docs_per_segment=64,
+            dedup=False,
+        )
+        n_before = len(list_segments(out))
+        merge_segments(out, target_docs=100_000)
+        if len(list_segments(out)) >= n_before and n_before > 1:
+            shutil.rmtree(out, ignore_errors=True)
+            raise RuntimeError("compaction did not reduce segment count")
+    eng = SearchEngine(out, config=SIMPLE_ANALYZER, num_searchers=0)
+    return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
+
+
 def _q_bm25_wand_simple(sf_dir: str) -> pd.DataFrame:
     """Block-max WAND top-20 over the simple-analyzer index — must produce
     the SAME rows as bm25_topk_simple (and is checked against the same SQL
@@ -1228,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_simple": _q_term_stats_simple,
         "doc_lengths": _q_doc_lengths,
         "bm25_topk_simple": _q_bm25_topk_simple,
+        "bm25_topk_merged": _q_bm25_topk_merged,
         "bm25_wand_simple": _q_bm25_wand_simple,
         "indri_topk_simple": _q_indri_topk_simple,
         "boolean_topk_simple": _q_boolean_topk_simple,
@@ -2030,6 +2066,9 @@ def _ltr_rerank_sql(inner: str) -> str:
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
+    # compaction is bit-identical by contract: same oracle as the
+    # small-segment index (the entry builds 64-doc segments, then merges)
+    sqls["bm25_topk_merged"] = sqls["bm25_topk_simple"]
     sqls["ltr_norm"] = _ltr_norm_sql(sqls["ltr_features_simple"])
     sqls["ltr_rerank"] = _ltr_rerank_sql(sqls["ltr_features_simple"])
     # IVF probing ALL buckets must equal exact brute force

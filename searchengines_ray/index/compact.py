@@ -1,0 +1,296 @@
+"""Segment merge / compaction.
+
+The build wants SMALL segments (one per ``map_batches`` task — maximum
+build parallelism, cheap retries); query serving wants BIG ones (~50k
+docs: per-(query,segment) scatter overhead is ~1 ms, so a 7.5M-doc corpus
+in 2k-doc segments pays 3750 scatter slots per query where 150 would do).
+Compaction bridges the two: an offline Ray pass that k-way-merges
+committed segments into ``target_docs``-sized ones, bit-identically —
+merged indexes MUST return byte-equal query results (postings carry the
+same docs/tfs/positions, global stats are untouched, and the tie-break
+(score desc, url asc) never sees a difference).
+
+The reference has no segmented index at all (it queries a prebuilt
+monolithic Lucene index, ``/root/reference/QryEval/Idx.java:236-259``);
+compaction is what makes the SPIMI build's small-segment write strategy
+compatible with that serving profile.
+
+Scale design:
+- one Ray task per merge group (greedy-packed by manifest ``n_docs`` in
+  deterministic name order) — compaction of an N-segment index is
+  embarrassingly parallel, no shuffle at all;
+- the driver holds only the segment LISTING (names + doc counts), never
+  postings;
+- each merged segment commits atomically (tmp dir + rename, same
+  protocol as the build) and lists its sources in ``merged_from``;
+  sources are deleted after commit.  A crash between commit and delete
+  leaves both visible — :func:`repair_merges` (run automatically at the
+  start of every compaction) deletes any source named by a committed
+  merged segment, so the index is self-healing and a rerun resumes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analysis import FIELDS
+from . import encode
+from .build import POSTINGS_SCHEMA, SEGMENT_DIR, STATS_FILE, _manifest_table
+from .shard import list_segments
+
+
+def merge_plan(index_dir: str, target_docs: int) -> list[list[str]]:
+    """Greedy-pack committed segments (deterministic name order) into
+    groups of ~``target_docs`` docs.  Only groups of >= 2 segments merge;
+    singleton remainders stay as they are."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_docs = 0
+    for name in list_segments(index_dir):
+        with open(
+            os.path.join(index_dir, SEGMENT_DIR, name, "MANIFEST.json")
+        ) as f:
+            n = json.load(f)["n_docs"]
+        if cur and cur_docs + n > target_docs:
+            groups.append(cur)
+            cur, cur_docs = [], 0
+        cur.append(name)
+        cur_docs += n
+    if cur:
+        groups.append(cur)
+    return [g for g in groups if len(g) >= 2]
+
+
+def repair_merges(index_dir: str) -> int:
+    """Delete source segments named in any committed merged segment's
+    ``merged_from`` (the crash window between commit and source delete).
+    Idempotent; returns the number of removed source dirs."""
+    seg_root = os.path.join(index_dir, SEGMENT_DIR)
+    removed = 0
+    for name in list_segments(index_dir):
+        with open(os.path.join(seg_root, name, "MANIFEST.json")) as f:
+            m = json.load(f)
+        for src in m.get("merged_from", []):
+            src_dir = os.path.join(seg_root, src)
+            if os.path.exists(src_dir):
+                shutil.rmtree(src_dir, ignore_errors=True)
+                removed += 1
+    return removed
+
+
+def _permute_position_blocks(
+    flat: np.ndarray, tfs: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Reorder per-posting position blocks (block i has length tfs[i])
+    into ``order`` — vectorized repeat/cumsum, no per-posting loop."""
+    starts = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=starts[1:])
+    lens = tfs[order]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    off = np.repeat(starts[order], lens)
+    block0 = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=block0[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(block0, lens)
+    return flat[off + within]
+
+
+def merge_group(index_dir: str, seg_names: list[str]) -> pa.Table:
+    """Merge one group of segments into a single new segment; returns a
+    one-row manifest table.  Idempotent (skips if the merged segment is
+    already committed); deletes sources after commit either way."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    seg_root = os.path.join(index_dir, SEGMENT_DIR)
+    seg_names = sorted(seg_names)
+    h = hashlib.blake2b(digest_size=8)
+    for s in seg_names:
+        h.update(s.encode())
+        h.update(b"\x00")
+    name = f"seg-m{h.hexdigest()}"
+    seg_dir = os.path.join(seg_root, name)
+    manifest_path = os.path.join(seg_dir, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        m["resumed"] = True
+    else:
+        m = _merge_group_inner(seg_root, seg_names, seg_dir, name)
+    for src in seg_names:  # post-commit cleanup (repair_merges covers crashes)
+        shutil.rmtree(os.path.join(seg_root, src), ignore_errors=True)
+    return _manifest_table(m)
+
+
+def _merge_group_inner(
+    seg_root: str, seg_names: list[str], seg_dir: str, name: str
+) -> dict:
+    import time
+
+    t0 = time.perf_counter()
+    dms = [
+        pq.read_table(os.path.join(seg_root, s, "docmeta.parquet"))
+        for s in seg_names
+    ]
+    tbls = [
+        pq.read_table(os.path.join(seg_root, s, "postings.parquet"))
+        for s in seg_names
+    ]
+
+    merged_dm = pa.concat_tables(dms)
+    merged_dm = merged_dm.take(pc.sort_indices(merged_dm.column("doc_id")))
+    new_ids = merged_dm.column("doc_id").to_numpy()
+    # per-source local idx -> merged local idx (doc_ids globally unique)
+    maps = [
+        np.searchsorted(new_ids, dm.column("doc_id").to_numpy()) for dm in dms
+    ]
+    doclen = {
+        f: merged_dm.column(f"len_{f}").to_numpy().astype(np.int64)
+        for f in FIELDS
+    }
+
+    # row inventory across sources, grouped by (field, term) in the frozen
+    # lexicographic layout order (each source is already sorted, so a
+    # stable sort here is a k-way merge)
+    inv = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "field": t.column("field").to_pylist(),
+                    "term": t.column("term").to_pylist(),
+                    "seg": np.full(t.num_rows, s, dtype=np.int32),
+                    "row": np.arange(t.num_rows, dtype=np.int64),
+                }
+            )
+            for s, t in enumerate(tbls)
+        ],
+        ignore_index=True,
+    ).sort_values(["field", "term", "seg"], kind="mergesort")
+
+    fld = inv["field"].to_numpy()
+    trm = inv["term"].to_numpy()
+    first = np.ones(len(inv), dtype=bool)
+    if len(inv) > 1:
+        first[1:] = (fld[1:] != fld[:-1]) | (trm[1:] != trm[:-1])
+    bounds = np.append(np.nonzero(first)[0], len(inv))
+    segs_np = inv["seg"].to_numpy()
+    rows_np = inv["row"].to_numpy()
+
+    cols: dict[str, list] = {n: [] for n in POSTINGS_SCHEMA.names}
+    docs_cols = [t.column("docs") for t in tbls]
+    tfs_cols = [t.column("tfs") for t in tbls]
+    pos_cols = [t.column("positions") for t in tbls]
+    n_postings = 0
+    for gi in range(len(bounds) - 1):
+        a, b = bounds[gi], bounds[gi + 1]
+        fname = fld[a]
+        parts_d, parts_t, parts_p = [], [], []
+        for j in range(a, b):
+            s, r = int(segs_np[j]), int(rows_np[j])
+            d = encode.decode_doc_ids(docs_cols[s][r].as_py())
+            parts_d.append(maps[s][d.astype(np.int64)])
+            parts_t.append(encode.decode_values(tfs_cols[s][r].as_py()))
+            parts_p.append(encode.decode_values(pos_cols[s][r].as_py()))
+        docs = np.concatenate(parts_d).astype(np.int64)
+        tfs = np.concatenate(parts_t).astype(np.int64)
+        flat_pos = np.concatenate(parts_p)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs_o = docs[order], tfs[order]
+        flat_pos = _permute_position_blocks(flat_pos, tfs, order)
+        n_postings += len(docs)
+        cols["field"].append(fname)
+        cols["term"].append(trm[a])
+        cols["df"].append(len(docs))
+        cols["ctf"].append(int(tfs_o.sum()))
+        cols["docs"].append(encode.encode_doc_ids(docs.astype(np.uint64)))
+        cols["tfs"].append(encode.encode_values(tfs_o.astype(np.uint64)))
+        cols["positions"].append(
+            encode.encode_values(flat_pos.astype(np.uint64))
+        )
+        bmd, bmt, bml = encode.block_maxes(
+            docs.astype(np.uint64), tfs_o.astype(np.uint64), doclen[fname][docs]
+        )
+        cols["bm_max_doc"].append(bmd)
+        cols["bm_max_tf"].append(bmt)
+        cols["bm_min_dl"].append(bml)
+
+    postings_tbl = pa.Table.from_pydict(cols, schema=POSTINGS_SCHEMA)
+
+    tmp_dir = seg_dir + f".tmp-{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(postings_tbl, os.path.join(tmp_dir, "postings.parquet"))
+    pq.write_table(merged_dm, os.path.join(tmp_dir, "docmeta.parquet"))
+    fwd_paths = [os.path.join(seg_root, s, "fwd.parquet") for s in seg_names]
+    if all(os.path.exists(p) for p in fwd_paths):
+        fwd = pa.concat_tables(pq.read_table(p) for p in fwd_paths)
+        fwd = fwd.take(
+            pc.sort_indices(
+                fwd, sort_keys=[("doc_id", "ascending"), ("field", "ascending")]
+            )
+        )
+        pq.write_table(fwd, os.path.join(tmp_dir, "fwd.parquet"))
+
+    manifest = {
+        "segment": name,
+        "n_docs": merged_dm.num_rows,
+        "n_terms": postings_tbl.num_rows,
+        "n_postings": n_postings,
+        "doc_count": {f: int((doclen[f] > 0).sum()) for f in FIELDS},
+        "sum_field_len": {f: int(doclen[f].sum()) for f in FIELDS},
+        "input_hash": name[5:],
+        "merged_from": seg_names,
+        "wall_s": round(time.perf_counter() - t0, 4),
+        "bytes": sum(
+            os.path.getsize(os.path.join(tmp_dir, p))
+            for p in os.listdir(tmp_dir)
+        ),
+        "resumed": False,
+    }
+    with open(os.path.join(tmp_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.rename(tmp_dir, seg_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return manifest
+
+
+def merge_segments(index_dir: str, target_docs: int = 50_000) -> dict:
+    """Compact an index's committed segments toward ``target_docs`` docs
+    per segment — one Ray task per merge group, no shuffle.  Returns the
+    updated stats dict (only ``n_segments`` changes: postings, global
+    stats and query results are bit-identical by construction)."""
+    import ray.data
+
+    repair_merges(index_dir)
+    groups = merge_plan(index_dir, target_docs)
+    if groups:
+        payload = [{"gi": i} for i in range(len(groups))]
+
+        def run(batch: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for gi in batch["gi"]:
+                t = merge_group(index_dir, groups[int(gi)])
+                frames.append(t.to_pandas())
+            return pd.concat(frames, ignore_index=True)
+
+        ray.data.from_items(
+            payload, override_num_blocks=len(payload)
+        ).map_batches(run, batch_format="pandas", batch_size=1).materialize()
+
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        stats = json.load(f)
+    stats["n_segments"] = len(list_segments(index_dir))
+    with open(os.path.join(index_dir, STATS_FILE), "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats

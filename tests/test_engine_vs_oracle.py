@@ -276,3 +276,62 @@ def test_wand_auto_routing_matches_exhaustive(corpus):
 
     with pytest.raises(ValueError):
         eng.search_batch(queries[:1], BM25(), k=10, use_wand="Auto")
+
+
+def test_merge_segments_bit_identical(corpus, tmp_path, ray_session):
+    """Compacting segments must leave every model's ranked output
+    bit-identical (scores float-equal, same order) and preserve global
+    stats; only n_segments changes.  Also pins merge resume + repair."""
+    import json
+    import shutil
+
+    from searchengines_ray.index.compact import (
+        merge_plan,
+        merge_segments,
+        repair_merges,
+    )
+    from searchengines_ray.index.shard import list_segments
+
+    out, oidx, stats = corpus
+    merged_dir = str(tmp_path / "merged")
+    shutil.copytree(out, merged_dir)
+    before = list_segments(merged_dir)
+    assert len(before) == 6  # 240 docs / 40 per segment
+    qs = [(str(i), q) for i, q in enumerate(QUERIES)]
+    eng0 = SearchEngine(out, num_searchers=0)
+    base = [eng0.search_batch(qs, m, k=15) for m in MODELS[:3]]
+
+    stats2 = merge_segments(merged_dir, target_docs=120)
+    after = list_segments(merged_dir)
+    assert len(after) == 2 and all(s.startswith("seg-m") for s in after)
+    assert stats2["n_docs"] == stats["n_docs"]
+    assert stats2["doc_count"] == stats["doc_count"]
+    assert stats2["sum_field_len"] == stats["sum_field_len"]
+    assert stats2["n_segments"] == 2
+
+    eng1 = SearchEngine(merged_dir, num_searchers=0)
+    for mi, m in enumerate(MODELS[:3]):
+        got = eng1.search_batch(qs, m, k=15)
+        want = base[mi]
+        assert got.url.tolist() == want.url.tolist()
+        assert got.score.tolist() == want.score.tolist()
+        assert got.doc_id.tolist() == want.doc_id.tolist()
+
+    # WAND exercises the recomputed block-max metadata
+    bow = [(qid, q) for qid, q in qs if not q.startswith("#")]
+    w0 = eng0.search_batch(bow, MODELS[0], k=10, use_wand=True)
+    w1 = eng1.search_batch(bow, MODELS[0], k=10, use_wand=True)
+    assert w0.url.tolist() == w1.url.tolist()
+    assert w0.score.tolist() == w1.score.tolist()
+
+    # merged manifests carry lineage; a rerun is a no-op
+    seg_root = f"{merged_dir}/segments"
+    m0 = json.load(open(f"{seg_root}/{after[0]}/MANIFEST.json"))
+    assert len(m0["merged_from"]) == 3
+    assert merge_plan(merged_dir, 120) == []
+
+    # crash-window repair: resurrect a source dir, then repair removes it
+    ghost = f"{seg_root}/{m0['merged_from'][0]}"
+    shutil.copytree(f"{seg_root}/{after[0]}", ghost)
+    assert repair_merges(merged_dir) == 1
+    assert not __import__("os").path.exists(ghost)
