@@ -195,6 +195,50 @@ def _q_bm25_topk_merged(sf_dir: str) -> pd.DataFrame:
     return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
 
 
+def _q_bm25_topk_incremental(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-20 served from an INCREMENTALLY built index: half the
+    corpus (even doc_ids) via build_index, the other half appended later
+    via update_index (index/build.py — append-only segments, distributed
+    manifest re-sum, termstats rebuild).  Must match the SAME SQL oracle
+    as bm25_topk_simple: incremental add is exactly equivalent to a
+    one-shot build by construction."""
+    from searchengines_ray.index.build import update_index
+
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|incr|v5".encode(), digest_size=6
+    ).hexdigest()
+    out = f"/tmp/seray_index/{tag}"
+    if not os.path.exists(os.path.join(out, "DONE")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        pages = pages_from_documents(sf_dir)
+
+        def _half(parity):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                return b.loc[b["doc_id"].to_numpy() % 2 == parity]
+
+            return f
+
+        build_index(
+            pages.map_batches(_half(0), batch_format="pandas"),
+            out,
+            config=SIMPLE_ANALYZER,
+            docs_per_segment=256,
+            dedup=False,
+        )
+        update_index(
+            pages.map_batches(_half(1), batch_format="pandas"),
+            out,
+            config=SIMPLE_ANALYZER,
+            docs_per_segment=256,
+        )
+        open(os.path.join(out, "DONE"), "w").close()
+    eng = SearchEngine(out, config=SIMPLE_ANALYZER, num_searchers=0)
+    return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
+
+
 def _q_bm25_wand_simple(sf_dir: str) -> pd.DataFrame:
     """Block-max WAND top-20 over the simple-analyzer index — must produce
     the SAME rows as bm25_topk_simple (and is checked against the same SQL
@@ -1264,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": _q_doc_lengths,
         "bm25_topk_simple": _q_bm25_topk_simple,
         "bm25_topk_merged": _q_bm25_topk_merged,
+        "bm25_topk_incremental": _q_bm25_topk_incremental,
         "bm25_wand_simple": _q_bm25_wand_simple,
         "indri_topk_simple": _q_indri_topk_simple,
         "boolean_topk_simple": _q_boolean_topk_simple,
@@ -2069,6 +2114,8 @@ def oracle_sql() -> dict[str, str]:
     # compaction is bit-identical by contract: same oracle as the
     # small-segment index (the entry builds 64-doc segments, then merges)
     sqls["bm25_topk_merged"] = sqls["bm25_topk_simple"]
+    # incremental half+half build is exactly a one-shot build by contract
+    sqls["bm25_topk_incremental"] = sqls["bm25_topk_simple"]
     sqls["ltr_norm"] = _ltr_norm_sql(sqls["ltr_features_simple"])
     sqls["ltr_rerank"] = _ltr_rerank_sql(sqls["ltr_features_simple"])
     # IVF probing ALL buckets must equal exact brute force

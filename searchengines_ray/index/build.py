@@ -458,6 +458,133 @@ def build_index(
     return stats
 
 
+def recompute_stats(out_dir: str) -> dict:
+    """Recompute global stats from EVERY committed segment's MANIFEST.json
+    (distributed map over the segment listing + one small sum — the driver
+    never holds per-segment rows).  The incremental-update path: after new
+    segments land, global N / docCount / sumFieldLen must cover old + new."""
+    import ray.data
+
+    from .shard import list_segments
+
+    segs = list_segments(out_dir)
+
+    def read_manifests(batch: pa.Table) -> pa.Table:
+        rows = []
+        for name in batch.column("seg").to_pylist():
+            with open(
+                os.path.join(out_dir, SEGMENT_DIR, name, "MANIFEST.json")
+            ) as f:
+                rows.append(json.load(f))
+        out = {
+            "n_docs": [m["n_docs"] for m in rows],
+            "n_postings": [m["n_postings"] for m in rows],
+            "wall_s": [m.get("wall_s", 0.0) for m in rows],
+        }
+        for fld in FIELDS:
+            out[f"doc_count_{fld}"] = [m["doc_count"][fld] for m in rows]
+            out[f"sum_len_{fld}"] = [m["sum_field_len"][fld] for m in rows]
+        return pa.table(out)
+
+    sum_cols = (
+        ["n_docs", "n_postings", "wall_s"]
+        + [f"doc_count_{f}" for f in FIELDS]
+        + [f"sum_len_{f}" for f in FIELDS]
+    )
+    sums = (
+        ray.data.from_items([{"seg": s} for s in segs])
+        .map_batches(read_manifests, batch_format="pyarrow")
+        .sum(sum_cols)
+        if segs
+        else {}
+    )
+
+    def _s(col):
+        return (sums or {}).get(f"sum({col})", 0) or 0
+
+    with open(os.path.join(out_dir, STATS_FILE)) as f:
+        stats = json.load(f)
+    stats.update(
+        {
+            "n_docs": int(_s("n_docs")),
+            "doc_count": {f: int(_s(f"doc_count_{f}")) for f in FIELDS},
+            "sum_field_len": {f: int(_s(f"sum_len_{f}")) for f in FIELDS},
+            "n_segments": len(segs),
+            "n_postings": int(_s("n_postings")),
+            "build_wall_s_sum": float(_s("wall_s")),
+        }
+    )
+    with open(os.path.join(out_dir, STATS_FILE), "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats
+
+
+def update_index(
+    pages,
+    out_dir: str,
+    config: AnalyzerConfig = DEFAULT_ANALYZER,
+    docs_per_segment: int = 2000,
+    dedup: bool = False,
+    keep_forward: bool = False,
+    termstats: bool = True,
+) -> dict:
+    """Incrementally add pages to an EXISTING index: new docs land as new
+    segments (the SPIMI layout is append-only — nothing existing is
+    rewritten), then global stats are recomputed over all manifests and
+    the vocabulary-sized termstats table is rebuilt.  Re-adding a batch
+    whose segment already exists is a no-op (content-hash resume), so
+    updates are idempotent.  The analyzer config must match the original
+    build (stats.json records it; a mismatch raises)."""
+    from .shard import list_segments
+
+    with open(os.path.join(out_dir, STATS_FILE)) as f:
+        prev = json.load(f)
+    want = {
+        "lowercase": config.lowercase,
+        "stop": config.stop,
+        "stem": config.stem,
+    }
+    if prev.get("analyzer") != want:
+        raise ValueError(
+            f"analyzer mismatch: index built with {prev.get('analyzer')}, "
+            f"update called with {want}"
+        )
+
+    import ray.data
+
+    if isinstance(pages, str):
+        import pyarrow.dataset as pads
+
+        avail = pads.dataset(pages).schema.names
+        cols = [
+            c
+            for c in ("url", "warc_ts", "text", "doc_id", "keywords", "inlink")
+            if c in avail
+        ]
+        pages = ray.data.read_parquet(pages, columns=cols)
+    if dedup:
+        pages = dedup_pages(pages)
+
+    fn = partial(
+        write_segment,
+        out_dir=out_dir,
+        config=config,
+        keep_forward=keep_forward,
+    )
+    pages.map_batches(
+        fn, batch_format="pyarrow", batch_size=docs_per_segment
+    ).materialize()
+
+    stats = recompute_stats(out_dir)
+    if termstats:
+        import shutil
+
+        ts_dir = os.path.join(out_dir, TERMSTATS_DIR)
+        shutil.rmtree(ts_dir, ignore_errors=True)
+        _build_termstats(out_dir, list_segments(out_dir))
+    return stats
+
+
 def _build_termstats(out_dir: str, segments: list[str]) -> None:
     """Global (field,term) -> (df,ctf): vocabulary-sized groupby over
     per-segment partials (pre-aggregated; the shuffle never touches

@@ -335,3 +335,58 @@ def test_merge_segments_bit_identical(corpus, tmp_path, ray_session):
     shutil.copytree(f"{seg_root}/{after[0]}", ghost)
     assert repair_merges(merged_dir) == 1
     assert not __import__("os").path.exists(ghost)
+
+
+def test_update_index_incremental(tmp_path_factory, ray_session):
+    """Incremental add: half-then-half must equal a one-shot full build
+    EXACTLY (same stats, bit-equal ranked output incl. global df/ctf via
+    the rebuilt termstats), and must reject an analyzer mismatch."""
+    import ray.data
+
+    from searchengines_ray.analysis import AnalyzerConfig
+    from searchengines_ray.index.build import update_index
+
+    tbl = synth_pages(n=200, seed=17, vocab=300)
+    half_a, half_b = tbl.slice(0, 120), tbl.slice(120)
+
+    full_dir = str(tmp_path_factory.mktemp("idx_full"))
+    stats_full = build_index(
+        ray.data.from_arrow(tbl.drop_columns(["html"])),
+        full_dir, docs_per_segment=30, dedup=False,
+    )
+    inc_dir = str(tmp_path_factory.mktemp("idx_inc"))
+    build_index(
+        ray.data.from_arrow(half_a.drop_columns(["html"])),
+        inc_dir, docs_per_segment=30, dedup=False,
+    )
+    stats_inc = update_index(
+        ray.data.from_arrow(half_b.drop_columns(["html"])),
+        inc_dir, docs_per_segment=30,
+    )
+    assert stats_inc["n_docs"] == stats_full["n_docs"] == tbl.num_rows
+    assert stats_inc["doc_count"] == stats_full["doc_count"]
+    assert stats_inc["sum_field_len"] == stats_full["sum_field_len"]
+    assert stats_inc["n_postings"] == stats_full["n_postings"]
+
+    qs = [(str(i), q) for i, q in enumerate(QUERIES)]
+    for m in (MODELS[0], MODELS[2]):
+        a = SearchEngine(full_dir, num_searchers=0).search_batch(qs, m, k=15)
+        b = SearchEngine(inc_dir, num_searchers=0).search_batch(qs, m, k=15)
+        assert a.url.tolist() == b.url.tolist()
+        assert a.score.tolist() == b.score.tolist()
+
+    # idempotent: re-adding the same batch is a no-op
+    stats_again = update_index(
+        ray.data.from_arrow(half_b.drop_columns(["html"])),
+        inc_dir, docs_per_segment=30, termstats=False,
+    )
+    assert stats_again["n_docs"] == tbl.num_rows
+    assert stats_again["n_segments"] == stats_inc["n_segments"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="analyzer mismatch"):
+        update_index(
+            ray.data.from_arrow(half_b.drop_columns(["html"])), inc_dir,
+            config=AnalyzerConfig(lowercase=True, stop=False, stem=False),
+        )
