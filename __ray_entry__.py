@@ -726,6 +726,87 @@ def _q_asof_attribution(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_grouped_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact top-3 documents per language by (char count desc, doc_id
+    asc) — the combiner-first grouped top-k stage (stages/rank.py): each
+    batch ships at most k rows per key through the single key-hash
+    shuffle.  SQL oracle is the ROW_NUMBER window."""
+    import ray.data
+
+    from searchengines_ray.stages.rank import grouped_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def measure(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "lang": b["lang"],
+                "n_chars": b["text"].str.len().to_numpy().astype(np.int64),
+            }
+        )
+
+    out = grouped_topk(
+        docs.map_batches(measure, batch_format="pandas"),
+        by="lang",
+        val_col="n_chars",
+        k=3,
+        tie_col="doc_id",
+    ).to_pandas()
+    return (
+        out.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+    )
+
+
+def _q_interval_attribution(sf_dir: str) -> pd.DataFrame:
+    """Inner 1:N range join (stages/joins.py interval_join): every
+    click/view matched with every purchase window [purchase_ts - 1h,
+    purchase_ts] of the same user containing it — one key-hash shuffle +
+    per-bucket vectorized searchsorted candidate ranges (rank-packed
+    (key, ts) order), exact inclusive bounds in int64 microseconds."""
+    import ray.data
+
+    from searchengines_ray.stages.joins import interval_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def clicks(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[
+            b["event_type"].isin({"click", "view"}),
+            ["event_id", "user_id", "ts"],
+        ]
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.loc[b["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy(),
+                "user_id": p["user_id"].to_numpy(),
+                "start_ts": p["ts"] - pd.Timedelta(hours=1),
+                "end_ts": p["ts"],
+            }
+        )
+
+    left = ev.map_batches(clicks, batch_format="pandas")
+    right = ev.map_batches(windows, batch_format="pandas")
+    out = interval_join(left, right).to_pandas()
+    return (
+        out[["event_id", "user_id", "iv_event_id"]]
+        .sort_values(["event_id", "iv_event_id"])
+        .reset_index(drop=True)
+        .astype({"event_id": "int64", "user_id": "int64", "iv_event_id": "int64"})
+    )
+
+
 def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """IVF with nprobe == nlist (probe every bucket): the partitioned
     assign/probe/merge machinery must be LOSSLESS and reproduce the exact
@@ -1349,6 +1430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "unigram_lm": _q_unigram_lm,
         "asof_attribution": _q_asof_attribution,
+        "interval_attribution": _q_interval_attribution,
+        "grouped_topk": _q_grouped_topk,
         "ivf_topk": _q_ivf_topk,
         "similarity_join": _q_similarity_join,
         "sessionize": _q_sessionize,
@@ -3559,6 +3642,37 @@ def _oracle_sql_impl() -> dict[str, str]:
               ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
             ) m ON TRUE
             ORDER BY l.event_id
+        """,
+        "grouped_topk": """
+            -- exact per-key top-k with the frozen (val desc, tie asc) rule
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY length(text) DESC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+            ORDER BY lang, n_chars DESC, doc_id
+        """,
+        "interval_attribution": """
+            -- inner 1:N range join; inclusive bounds match the engine's
+            -- start <= t <= end contract exactly (us-precision timestamps)
+            WITH l AS MATERIALIZED (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type IN ('click', 'view')
+            ),
+            r AS MATERIALIZED (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, l.user_id,
+                   CAST(r.event_id AS BIGINT) AS iv_event_id
+            FROM l
+            JOIN r ON l.user_id = r.user_id
+               AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
+            ORDER BY l.event_id, iv_event_id
         """,
         "multimodal_decode": """
             -- the deterministic fake decoder: sha256(payload) with

@@ -21,13 +21,14 @@ from .dedup import (  # noqa: F401
     simhash_dup_pairs,
 )
 from .graph import connected_components, nonroot_ids  # noqa: F401
-from .joins import asof_join  # noqa: F401
+from .joins import asof_join, interval_join  # noqa: F401
 from .multimodal import decode_images, sample_frames  # noqa: F401
 from .similarity import (  # noqa: F401
     IVFIndex,
     cosine_similarity_join,
     cosine_topk,
 )
+from .rank import grouped_topk  # noqa: F401
 from .sample import hash_sample, sample_mask  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,

@@ -33,6 +33,161 @@ def _kbucket(x: np.ndarray, n: int) -> np.ndarray:
     return ((x.astype(np.uint64) * _KNUTH) % np.uint64(n)).astype(np.int64)
 
 
+def _placeholder(arrow_type, n: int) -> pd.Series:
+    """A length-n pandas column that round-trips to the given Arrow type —
+    schema filler so both union sides produce identical block schemas."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(arrow_type):
+        return pd.Series(
+            [pd.NaT] * n, dtype=f"datetime64[{arrow_type.unit}]"
+        )
+    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
+        return pd.Series([""] * n, dtype=object)
+    dt = arrow_type.to_pandas_dtype()
+    if np.issubdtype(dt, np.integer):
+        return pd.Series(np.full(n, -1, dtype=dt))
+    if np.issubdtype(dt, np.floating):
+        return pd.Series(np.full(n, np.nan, dtype=dt))
+    return pd.Series([None] * n, dtype=object)
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    by: str = "user_id",
+    on: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    tie_col: str = "event_id",
+    right_cols: tuple = ("event_id",),
+    coarse_buckets: int = 256,
+):
+    """Inner 1:N range join: every left row matched with EVERY right
+    interval of the same ``by`` key that contains its timestamp
+    (``start <= on <= end``, both ends inclusive, exact int64
+    microseconds).  Returns the left columns plus ``iv_<col>`` for each of
+    ``right_cols``.
+
+    Plan: same single key-hash shuffle as :func:`asof_join`; inside each
+    bucket the candidate window per point is found with two vectorized
+    ``searchsorted`` calls on the (key-major, start-minor) sorted interval
+    array — candidates are intervals whose start lies in
+    ``[t - max_len, t]`` (max_len = the bucket's longest interval), then
+    the exact ``end >= t`` filter is applied after a vectorized range
+    expansion.  Per-bucket cost is O(points x overlap), never all-pairs.
+
+    Determinism: output order within a bucket is (left row order, then
+    interval (start, tie_col) ascending) — but callers should treat row
+    order as unspecified (the entry sorts); the MATCH SET is exact.
+    """
+
+    lschema = left_ds.schema()
+    left_schema = list(lschema.names)
+    left_types = dict(zip(lschema.names, lschema.types))
+    rpayload = list(dict.fromkeys((tie_col,) + tuple(right_cols)))
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        for c in rpayload:  # right payload placeholders (int64 contract)
+            b[f"_r_{c}"] = np.int64(-1)
+        b["_side"] = np.int8(0)
+        b["_cb"] = _kbucket(b[by].to_numpy(np.int64), coarse_buckets)
+        b["_ts_us"] = b[on].astype("datetime64[us]").astype("int64")
+        b["_s_us"] = np.int64(0)
+        b["_e_us"] = np.int64(0)
+        return b
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        # schema-align with the left blocks: real value for the join key,
+        # typed placeholders for every other left column
+        b = pd.DataFrame(
+            {
+                c: (
+                    batch[c].reset_index(drop=True)
+                    if c == by
+                    else _placeholder(left_types[c], n)
+                )
+                for c in left_schema
+            }
+        )
+        for c in rpayload:
+            b[f"_r_{c}"] = batch[c].to_numpy().astype(np.int64)
+        b["_side"] = np.int8(1)
+        b["_cb"] = _kbucket(batch[by].to_numpy(np.int64), coarse_buckets)
+        b["_ts_us"] = np.int64(0)
+        b["_s_us"] = (
+            batch[start].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        b["_e_us"] = (
+            batch[end].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        return b
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group.loc[group["_side"] == 0]
+        right = group.loc[group["_side"] == 1]
+        def _empty() -> pd.DataFrame:
+            out = group.iloc[0:0][left_schema].copy()
+            for c in right_cols:
+                out[f"iv_{c}"] = pd.array([], dtype="int64")
+            return out
+
+        if left.empty or right.empty:
+            return _empty()
+        right = right.sort_values(
+            [by, "_s_us", f"_r_{tie_col}"], kind="mergesort"
+        )
+        rkey = right[by].to_numpy(np.int64)
+        rs = right["_s_us"].to_numpy(np.int64)
+        re_ = right["_e_us"].to_numpy(np.int64)
+        max_len = int(np.maximum(re_ - rs, 0).max())
+        lkey = left[by].to_numpy(np.int64)
+        lt = left["_ts_us"].to_numpy(np.int64)
+        # candidate range per point: same key, start in [t - max_len, t].
+        # (key, ts) lexicographic order packed into one int64 via DENSE
+        # RANKS over the pooled values (order-isomorphic, no overflow —
+        # a direct key*C+ts pack would overflow int64 for us timestamps)
+        pool = np.unique(np.concatenate([rs, lt, lt - max_len]))
+        ukeys = np.unique(np.concatenate([rkey, lkey]))
+        M = np.int64(len(pool) + 1)
+        rpack = np.searchsorted(ukeys, rkey) * M + np.searchsorted(pool, rs)
+        lk_r = np.searchsorted(ukeys, lkey) * M
+        lo = np.searchsorted(
+            rpack, lk_r + np.searchsorted(pool, lt - max_len), "left"
+        )
+        hi = np.searchsorted(
+            rpack, lk_r + np.searchsorted(pool, lt), "right"
+        )
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return _empty()
+        lrep = np.repeat(np.arange(len(left), dtype=np.int64), cnt)
+        cum = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=cum[1:])
+        ridx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum, cnt)
+            + np.repeat(lo, cnt)
+        )
+        ok = re_[ridx] >= lt[lrep]
+        lrep, ridx = lrep[ok], ridx[ok]
+        out = left.iloc[lrep][left_schema].reset_index(drop=True)
+        rr = right.iloc[ridx].reset_index(drop=True)
+        for c in right_cols:
+            out[f"iv_{c}"] = rr[f"_r_{c}"].to_numpy().astype(np.int64)
+        return out
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
+        right_ds.map_batches(tag_right, batch_format="pandas")
+    )
+    return tagged.groupby("_cb").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
 def asof_join(
     left_ds,
     right_ds,

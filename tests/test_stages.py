@@ -647,3 +647,84 @@ def test_asof_join(ray_session):
     # user 2: right row is later -> no match; user 3: no right rows
     assert out.loc[12, "attr_event_id"] == -1 and out.loc[12, "lag_us"] == -1
     assert out.loc[13, "attr_event_id"] == -1
+
+
+def test_interval_join(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.joins import interval_join
+
+    def ts(s):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {
+            "event_id": pd.array([10, 11, 12, 13, 14], dtype="int64"),
+            "user_id": pd.array([1, 1, 1, 2, 3], dtype="int64"),
+            "ts": [ts(5), ts(15), ts(30), ts(7), ts(9)],
+        }
+    ))
+    # user 1: [0,10] (id 1), [5,20] (id 2: overlaps), [25,25] (id 3: point)
+    # user 2: [8,9] (id 4: starts after left ts 7 -> no match)
+    right = ray.data.from_pandas(pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "user_id": pd.array([1, 1, 1, 2], dtype="int64"),
+            "start_ts": [ts(0), ts(5), ts(25), ts(8)],
+            "end_ts": [ts(10), ts(20), ts(25), ts(9)],
+        }
+    ))
+    out = (
+        interval_join(left, right)
+        .to_pandas()
+        .sort_values(["event_id", "iv_event_id"])
+        .reset_index(drop=True)
+    )
+    got = set(zip(out["event_id"], out["iv_event_id"]))
+    # t=5: inside [0,10] and [5,20] (inclusive start); t=15: only [5,20];
+    # t=30: nothing ([25,25] is a point before it); users 2,3: nothing
+    assert got == {(10, 1), (10, 2), (11, 2)}
+    assert list(out.columns) == ["event_id", "user_id", "ts", "iv_event_id"]
+
+    # boundary: point interval matches exactly at its instant
+    left2 = ray.data.from_pandas(pd.DataFrame(
+        {
+            "event_id": pd.array([20], dtype="int64"),
+            "user_id": pd.array([1], dtype="int64"),
+            "ts": [ts(25)],
+        }
+    ))
+    out2 = interval_join(left2, right).to_pandas()
+    assert set(out2["iv_event_id"]) == {3}
+
+
+def test_grouped_topk(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.rank import grouped_topk
+
+    rows = []
+    for key in ("a", "b"):
+        for i in range(10):
+            # ties: vals repeat; tie breaks by doc_id asc
+            rows.append({"doc_id": i + (0 if key == "a" else 100),
+                         "key": key, "val": i // 2})
+    ds = ray.data.from_items(rows).repartition(5)
+    out = (
+        grouped_topk(ds, by="key", val_col="val", k=3, tie_col="doc_id")
+        .to_pandas()
+        .sort_values(["key", "val", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # top-3 per key: val 4 (ids 8,9) then val 3 (id 6 first by tie)
+    assert out.loc[out.key == "a", "doc_id"].tolist() == [8, 9, 6]
+    assert out.loc[out.key == "b", "doc_id"].tolist() == [108, 109, 106]
+
+    asc = (
+        grouped_topk(ds, by="key", val_col="val", k=2, ascending=True,
+                     tie_col="doc_id")
+        .to_pandas()
+        .sort_values(["key", "val", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert asc.loc[asc.key == "a", "doc_id"].tolist() == [0, 1]
