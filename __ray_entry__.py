@@ -726,6 +726,22 @@ def _q_asof_attribution(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_ngram_counts(sf_dir: str) -> pd.DataFrame:
+    """Global top-50 bigrams by count (stages/text.py ngram_counts):
+    per-batch unique-gram combiner, gram-hash bucketed sum + local top-k,
+    exact global (count desc, ngram asc) sort+limit over the bounded
+    survivors.  SQL oracle: list_zip bigrams + GROUP BY + LIMIT."""
+    import ray.data
+
+    from searchengines_ray.stages.text import ngram_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    out = ngram_counts(docs, n=2, top_k=50).to_pandas()
+    return out.reset_index(drop=True).astype({"cnt": "int64"})
+
+
 def _q_grouped_topk(sf_dir: str) -> pd.DataFrame:
     """Exact top-3 documents per language by (char count desc, doc_id
     asc) — the combiner-first grouped top-k stage (stages/rank.py): each
@@ -1432,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": _q_asof_attribution,
         "interval_attribution": _q_interval_attribution,
         "grouped_topk": _q_grouped_topk,
+        "ngram_counts": _q_ngram_counts,
         "ivf_topk": _q_ivf_topk,
         "similarity_join": _q_similarity_join,
         "sessionize": _q_sessionize,
@@ -3642,6 +3659,23 @@ def _oracle_sql_impl() -> dict[str, str]:
               ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
             ) m ON TRUE
             ORDER BY l.event_id
+        """,
+        "ngram_counts": """
+            -- top-50 bigrams, (count desc, ngram asc) tie rule; the
+            -- [0-9a-z]+ extract is the frozen simple-tokenizer contract
+            WITH t AS (
+              SELECT regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+              FROM documents
+            ),
+            z AS (
+              SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS s
+              FROM t WHERE len(l) >= 2
+            )
+            SELECT s[1] || ' ' || s[2] AS ngram,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM z GROUP BY 1
+            ORDER BY cnt DESC, ngram ASC
+            LIMIT 50
         """,
         "grouped_topk": """
             -- exact per-key top-k with the frozen (val desc, tie asc) rule

@@ -33,6 +33,7 @@ from .sample import hash_sample, sample_mask  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,
     lang_id,
+    ngram_counts,
     pii_redact,
     quality_scores,
     repetition_signals,

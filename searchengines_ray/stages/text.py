@@ -488,3 +488,70 @@ def unigram_lm_scores(ds):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
+    """Global top-k word n-grams by count — the LM-prep vocabulary op.
+
+    Combiner-first: each batch counts its UNIQUE n-grams (flat token
+    stream + one np.unique over the (m, n) id matrix — per-unique-gram
+    string building only), so the shuffle moves per-batch distinct grams,
+    never the token stream.  One gram-hash bucketed groupby sums the
+    partials and keeps its local top-k; the final exact global top-k is a
+    sort+limit over the bounded buckets x top_k survivors.  Tie rule
+    (count desc, ngram asc) — SQL-replicable with list_zip + ROW window.
+    """
+    import zlib
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ngram": pd.array([], dtype="object"),
+                "cnt": pd.array([], dtype="int64"),
+                "_b": pd.array([], dtype="int32"),
+            }
+        )
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        m = len(vids) - n + 1
+        if m <= 0:
+            return empty
+        valid = parent[: m] == parent[n - 1 :]
+        if not valid.any():
+            return empty
+        arr = np.stack(
+            [vids[i : m + i][valid] for i in range(n)], axis=1
+        )
+        uniq, cnt = np.unique(arr, axis=0, return_counts=True)
+        voc = np.asarray(vocab, dtype=object)
+        s = pd.Series(voc[uniq[:, 0]], dtype=object)
+        for i in range(1, n):
+            s = s + " " + pd.Series(voc[uniq[:, i]], dtype=object)
+        return pd.DataFrame(
+            {
+                "ngram": s,
+                "cnt": pd.array(cnt.astype(np.int64), dtype="int64"),
+                "_b": pd.array(
+                    np.fromiter(
+                        (zlib.crc32(g.encode()) % buckets for g in s),
+                        np.int32,
+                        len(s),
+                    ),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("ngram", as_index=False)["cnt"].sum()
+        agg = agg.sort_values(
+            ["cnt", "ngram"], ascending=[False, True], kind="mergesort"
+        ).head(top_k)
+        return agg[["ngram", "cnt"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .sort(["cnt", "ngram"], descending=[True, False])
+        .limit(top_k)
+    )

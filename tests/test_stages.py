@@ -728,3 +728,36 @@ def test_grouped_topk(ray_session):
         .reset_index(drop=True)
     )
     assert asc.loc[asc.key == "a", "doc_id"].tolist() == [0, 1]
+
+
+def test_ngram_counts(ray_session):
+    import collections
+    import re
+
+    import ray.data
+
+    from searchengines_ray.stages.text import ngram_counts
+
+    rows = [
+        {"doc_id": 0, "text": "the cat sat on the cat mat"},
+        {"doc_id": 1, "text": "The Cat sat!  on the-cat"},
+        {"doc_id": 2, "text": "cat"},          # too short for a bigram
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "zz zz zz zz"},
+    ]
+
+    def expected(n, k):
+        c = collections.Counter()
+        for r in rows:
+            toks = re.findall(r"[0-9a-z]+", r["text"].lower())
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i : i + n])] += 1
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for n, k in [(2, 5), (2, 100), (3, 4)]:
+        ds = ray.data.from_items(rows).repartition(3)
+        got = [
+            (r["ngram"], r["cnt"])
+            for r in ngram_counts(ds, n=n, top_k=k).take_all()
+        ]
+        assert got == expected(n, k), (n, k)
