@@ -742,6 +742,34 @@ def _q_ngram_counts(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True).astype({"cnt": "int64"})
 
 
+def _q_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language doc-length percentiles (p25/p50/p90/p99/max of
+    n_chars) via the count-by-value histogram combiner
+    (stages/rank.py grouped_quantiles): the shuffle moves distinct
+    (lang, value) counts, never rows, and no global sort happens.  The
+    percentile_disc threshold ceil(p*n) is computed in IEEE double on
+    both sides (SQL CASTs p to DOUBLE) so the rounding regime agrees."""
+    import ray.data
+
+    from searchengines_ray.stages.rank import grouped_quantiles
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    out = grouped_quantiles(
+        docs,
+        by="lang",
+        val_col="n_chars",
+        ps=[0.25, 0.5, 0.9, 0.99, 1.0],
+        labels=["p25", "p50", "p90", "p99", "max"],
+    ).to_pandas()
+    return (
+        out.sort_values(["lang", "p"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"value": "int64"})
+    )
+
+
 def _q_grouped_topk(sf_dir: str) -> pd.DataFrame:
     """Exact top-3 documents per language by (char count desc, doc_id
     asc) — the combiner-first grouped top-k stage (stages/rank.py): each
@@ -1448,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": _q_asof_attribution,
         "interval_attribution": _q_interval_attribution,
         "grouped_topk": _q_grouped_topk,
+        "length_quantiles": _q_length_quantiles,
         "ngram_counts": _q_ngram_counts,
         "ivf_topk": _q_ivf_topk,
         "similarity_join": _q_similarity_join,
@@ -3676,6 +3705,35 @@ def _oracle_sql_impl() -> dict[str, str]:
             FROM z GROUP BY 1
             ORDER BY cnt DESC, ngram ASC
             LIMIT 50
+        """,
+        "length_quantiles": """
+            -- exact per-lang percentile_disc over the value histogram;
+            -- p is CAST to DOUBLE so ceil(p*n) shares the engine's IEEE
+            -- double rounding regime (DuckDB parses 0.9 as DECIMAL)
+            WITH h AS (
+              SELECT lang, n_chars AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT lang, value, cnt,
+                     SUM(cnt) OVER (
+                       PARTITION BY lang ORDER BY value
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum,
+                     SUM(cnt) OVER (PARTITION BY lang) AS n
+              FROM h
+            ),
+            p AS (
+              SELECT * FROM (VALUES
+                ('p25', 0.25), ('p50', 0.5), ('p90', 0.9),
+                ('p99', 0.99), ('max', 1.0)) t(lab, pv)
+            )
+            SELECT c.lang, p.lab AS p, CAST(MIN(c.value) AS BIGINT) AS value
+            FROM c JOIN p
+              ON CAST(c.cum AS DOUBLE)
+                 >= CEIL(CAST(p.pv AS DOUBLE) * CAST(c.n AS DOUBLE))
+            GROUP BY c.lang, p.lab
+            ORDER BY c.lang, p.lab
         """,
         "grouped_topk": """
             -- exact per-key top-k with the frozen (val desc, tie asc) rule

@@ -28,7 +28,7 @@ from .similarity import (  # noqa: F401
     cosine_similarity_join,
     cosine_topk,
 )
-from .rank import grouped_topk  # noqa: F401
+from .rank import grouped_quantiles, grouped_topk  # noqa: F401
 from .sample import hash_sample, sample_mask  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,

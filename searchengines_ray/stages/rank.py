@@ -34,6 +34,73 @@ def _key_bucket(col: pd.Series, n: int) -> np.ndarray:
     )
 
 
+def grouped_quantiles(
+    ds,
+    by: str,
+    val_col: str,
+    ps: list[float],
+    labels: list[str],
+    coarse_buckets: int = 64,
+):
+    """Exact per-key percentiles of an integer-valued column.
+
+    Count-by-value combiner — the right order-statistics plan when the
+    metric has bounded distinct values (doc lengths, token counts): each
+    batch collapses to its distinct (key, value) counts, so the single
+    key-bucketed shuffle moves the HISTOGRAM, never the corpus rows, and
+    no global sort is needed.  Each bucket sums its partials and selects,
+    per key and per p, the smallest value whose cumulative count >=
+    ceil(p * n) — the percentile_disc rule.  The threshold is computed in
+    IEEE double (np.float64(p) * n) and the SQL oracle CASTs p to DOUBLE
+    before the same ceil, so both sides share one rounding regime by
+    construction (DuckDB would otherwise parse 0.9 as DECIMAL).
+
+    Returns columns (by, p: string label, value: int64).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby([by, val_col], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype("int64")
+        g["_cb"] = _key_bucket(g[by], coarse_buckets)
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby([by, val_col], as_index=False)["cnt"].sum()
+        agg = agg.sort_values([by, val_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        agg["_cum"] = agg.groupby(by, sort=False)["cnt"].cumsum()
+        n = (
+            agg.groupby(by, sort=False)["cnt"]
+            .transform("sum")
+            .to_numpy()
+            .astype(np.float64)
+        )
+        cum = agg["_cum"].to_numpy().astype(np.float64)
+        outs = []
+        for p, lab in zip(ps, labels):
+            thr = np.ceil(np.float64(p) * n)
+            ok = agg.loc[cum >= thr]
+            first = ok.groupby(by, sort=False, as_index=False).first()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        by: first[by],
+                        "p": lab,
+                        "value": first[val_col].astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def grouped_topk(
     ds,
     by: str,

@@ -761,3 +761,34 @@ def test_ngram_counts(ray_session):
             for r in ngram_counts(ds, n=n, top_k=k).take_all()
         ]
         assert got == expected(n, k), (n, k)
+
+
+def test_grouped_quantiles(ray_session):
+    import numpy as np
+    import ray.data
+
+    from searchengines_ray.stages.rank import grouped_quantiles
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for key, n in [("a", 500), ("b", 10), ("c", 1)]:
+        for i in range(n):
+            rows.append({"k": key, "v": int(rng.randint(0, 40))})
+    ds = ray.data.from_items(rows).repartition(4)
+    ps, labs = [0.25, 0.5, 0.9, 0.99, 1.0], ["p25", "p50", "p90", "p99", "max"]
+    out = (
+        grouped_quantiles(ds, by="k", val_col="v", ps=ps, labels=labs)
+        .to_pandas()
+        .set_index(["k", "p"])["value"]
+    )
+
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for key, sub in df.groupby("k"):
+        vals = np.sort(sub["v"].to_numpy())
+        n = np.float64(len(vals))
+        for p, lab in zip(ps, labs):
+            # smallest value with cum count >= ceil(p*n), IEEE double
+            thr = int(np.ceil(np.float64(p) * n))
+            assert out.loc[(key, lab)] == vals[thr - 1], (key, lab)
