@@ -770,6 +770,24 @@ def _q_length_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_pmi_collocations(sf_dir: str) -> pd.DataFrame:
+    """Top-30 bigram collocations by PMI (min count 5) — fully
+    distributed two-shuffle plan (stages/text.py pmi_collocations): no
+    model broadcast, survivors bounded by the count floor, scalar libm
+    ln in micro-units (the frozen DuckDB ln contract)."""
+    import ray.data
+
+    from searchengines_ray.stages.text import pmi_collocations
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    out = pmi_collocations(docs, top_k=30, min_count=5).to_pandas()
+    return out.reset_index(drop=True).astype(
+        {"cab": "int64", "pmi_micro": "int64"}
+    )
+
+
 def _q_grouped_topk(sf_dir: str) -> pd.DataFrame:
     """Exact top-3 documents per language by (char count desc, doc_id
     asc) — the combiner-first grouped top-k stage (stages/rank.py): each
@@ -1478,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         "length_quantiles": _q_length_quantiles,
         "ngram_counts": _q_ngram_counts,
+        "pmi_collocations": _q_pmi_collocations,
         "ivf_topk": _q_ivf_topk,
         "similarity_join": _q_similarity_join,
         "sessionize": _q_sessionize,
@@ -3734,6 +3753,43 @@ def _oracle_sql_impl() -> dict[str, str]:
                  >= CEIL(CAST(p.pv AS DOUBLE) * CAST(c.n AS DOUBLE))
             GROUP BY c.lang, p.lab
             ORDER BY c.lang, p.lab
+        """,
+        "pmi_collocations": """
+            -- top-30 bigrams by pmi_micro = floor(ln(cab*T*T/(B*ca*cb))
+            -- * 1e6); all factors CAST to DOUBLE in the engine's frozen
+            -- left-assoc expression order, libm ln contract
+            WITH t AS MATERIALIZED (
+              SELECT regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+              FROM documents
+            ),
+            u AS MATERIALIZED (SELECT unnest(l) AS w FROM t),
+            uc AS MATERIALIZED (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1
+            ),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM u),
+            z AS MATERIALIZED (
+              SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS s
+              FROM t WHERE len(l) >= 2
+            ),
+            bc AS (
+              SELECT s[1] AS w1, s[2] AS w2,
+                     CAST(COUNT(*) AS BIGINT) AS cab
+              FROM z GROUP BY 1, 2
+            ),
+            btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM z)
+            SELECT bc.w1 || ' ' || bc.w2 AS ngram,
+                   bc.cab,
+                   CAST(FLOOR(ln(
+                     (CAST(bc.cab AS DOUBLE) * tot.t * tot.t)
+                     / (CAST(btot.b AS DOUBLE) * ca.c * cb.c)
+                   ) * 1000000.0) AS BIGINT) AS pmi_micro
+            FROM bc
+            JOIN uc ca ON ca.w = bc.w1
+            JOIN uc cb ON cb.w = bc.w2
+            CROSS JOIN tot CROSS JOIN btot
+            WHERE bc.cab >= 5
+            ORDER BY pmi_micro DESC, ngram ASC
+            LIMIT 30
         """,
         "grouped_topk": """
             -- exact per-key top-k with the frozen (val desc, tie asc) rule

@@ -555,3 +555,181 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
         .sort(["cnt", "ngram"], descending=[True, False])
         .limit(top_k)
     )
+
+
+def pmi_collocations(ds, top_k: int = 30, min_count: int = 5,
+                     buckets: int = 64):
+    """Top-k bigram collocations by pointwise mutual information — the
+    LM-prep phrase-discovery op (pmi = ln(c_ab*T^2 / (B*c_a*c_b))).
+
+    Fully distributed, two bucketed shuffles, no model broadcast:
+
+    1. One corpus pass emits per-batch partial UNIGRAM and BIGRAM counts
+       into one union table (bigram keys contain a space, so the key
+       spaces are disjoint), bucketed by crc32(first word) — every
+       partial of a key lands in one bucket, and a bigram lands with the
+       unigram row of its first word.  The materialized partials also
+       yield T (total tokens) and B (total bigrams) by two column sums.
+    2. Bucket groupby #1 sums partials, drops bigrams below
+       ``min_count`` (the survivors bound all later stages), and attaches
+       c(w1) by a local merge.  Rows re-bucket by crc32(w2).
+    3. Bucket groupby #2 attaches c(w2), computes
+       ``pmi_micro = floor(ln((cab*T*T)/(B*ca*cb)) * 1e6)`` with scalar
+       libm ``math.log`` over the bounded survivors (the repo's frozen
+       ln contract with DuckDB), and keeps its local top-k; the global
+       (pmi_micro desc, ngram asc) sort+limit runs over buckets x top_k
+       rows only.
+    """
+    import math
+    import zlib
+
+    def _wbucket(words) -> np.ndarray:
+        return np.fromiter(
+            (zlib.crc32(w.encode()) % buckets for w in words),
+            np.int32,
+            len(words),
+        )
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        voc = np.asarray(vocab, dtype=object)
+        cnt = np.bincount(vids, minlength=len(vocab)).astype(np.int64)
+        mask = (cnt > 0) & (voc != "")
+        frames = [
+            pd.DataFrame(
+                {
+                    "key": pd.Series(voc[mask], dtype=object),
+                    "cnt": pd.array(cnt[mask], dtype="int64"),
+                    "_b": pd.array(_wbucket(voc[mask]), dtype="int32"),
+                }
+            )
+        ]
+        m = len(vids) - 1
+        if m > 0:
+            valid = parent[:m] == parent[1:]
+            if valid.any():
+                arr = np.stack(
+                    [vids[:m][valid], vids[1:][valid]], axis=1
+                )
+                uniq, c2 = np.unique(arr, axis=0, return_counts=True)
+                w1 = pd.Series(voc[uniq[:, 0]], dtype=object)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": w1
+                            + " "
+                            + pd.Series(voc[uniq[:, 1]], dtype=object),
+                            "cnt": pd.array(
+                                c2.astype(np.int64), dtype="int64"
+                            ),
+                            "_b": pd.array(
+                                _wbucket(w1), dtype="int32"
+                            ),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    part = ds.map_batches(partials, batch_format="pandas").materialize()
+
+    def tb_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        is_b = batch["key"].str.contains(" ", regex=False)
+        return pd.DataFrame(
+            {
+                "t": [int(batch.loc[~is_b, "cnt"].sum())],
+                "b": [int(batch.loc[is_b, "cnt"].sum())],
+            }
+        )
+
+    tb = part.map_batches(tb_sums, batch_format="pandas").sum(["t", "b"])
+    T = float(tb["sum(t)"])
+    B = float(tb["sum(b)"])
+
+    def attach_ca(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("key", as_index=False)["cnt"].sum()
+        is_b = agg["key"].str.contains(" ", regex=False)
+        uni = agg.loc[~is_b].rename(columns={"key": "w", "cnt": "c"})
+        big = agg.loc[is_b & (agg["cnt"] >= min_count)]
+        out_u = pd.DataFrame(
+            {
+                "gram": pd.Series(uni["w"], dtype=object),
+                "w2": uni["w"],
+                "cab": pd.array(
+                    np.zeros(len(uni), dtype=np.int64), dtype="int64"
+                ),
+                "ca": uni["c"].astype("int64"),
+                "is_gram": False,
+                "_b2": pd.array(_wbucket(uni["w"]), dtype="int32"),
+            }
+        )
+        if big.empty:
+            return out_u
+        sp = big["key"].str.split(" ", n=1, expand=True)
+        m = pd.DataFrame(
+            {"gram": big["key"], "w1": sp[0], "w2": sp[1],
+             "cab": big["cnt"].astype("int64")}
+        ).merge(uni[["w", "c"]], left_on="w1", right_on="w")
+        out_b = pd.DataFrame(
+            {
+                "gram": m["gram"],
+                "w2": m["w2"],
+                "cab": m["cab"],
+                "ca": m["c"].astype("int64"),
+                "is_gram": True,
+                "_b2": pd.array(_wbucket(m["w2"]), dtype="int32"),
+            }
+        )
+        return pd.concat([out_u, out_b], ignore_index=True)
+
+    def attach_cb_pmi(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ngram": pd.array([], dtype="object"),
+                "cab": pd.array([], dtype="int64"),
+                "pmi_micro": pd.array([], dtype="int64"),
+            }
+        )
+        big = group.loc[group["is_gram"]]
+        if big.empty:
+            return empty
+        uni = group.loc[~group["is_gram"], ["w2", "ca"]].rename(
+            columns={"w2": "w", "ca": "cb"}
+        )
+        m = big.merge(uni, left_on="w2", right_on="w")
+        # frozen float expression tree: ((cab*T)*T) / (((B*ca)*cb))
+        pmi = np.asarray(
+            [
+                int(
+                    math.floor(
+                        math.log(
+                            ((float(cab) * T) * T)
+                            / ((B * float(ca)) * float(cb))
+                        )
+                        * 1e6
+                    )
+                )
+                for cab, ca, cb in zip(m["cab"], m["ca"], m["cb"])
+            ],
+            dtype=np.int64,
+        )
+        out = pd.DataFrame(
+            {
+                "ngram": m["gram"],
+                "cab": m["cab"].astype("int64"),
+                "pmi_micro": pd.array(pmi, dtype="int64"),
+            }
+        )
+        return out.sort_values(
+            ["pmi_micro", "ngram"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(top_k)
+
+    return (
+        part.groupby("_b")
+        .map_groups(attach_ca, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(attach_cb_pmi, batch_format="pandas")
+        .sort(["pmi_micro", "ngram"], descending=[True, False])
+        .limit(top_k)
+    )

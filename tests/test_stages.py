@@ -792,3 +792,55 @@ def test_grouped_quantiles(ray_session):
             # smallest value with cum count >= ceil(p*n), IEEE double
             thr = int(np.ceil(np.float64(p) * n))
             assert out.loc[(key, lab)] == vals[thr - 1], (key, lab)
+
+
+def test_pmi_collocations(ray_session):
+    import collections
+    import math
+    import re
+
+    import ray.data
+
+    from searchengines_ray.stages.text import pmi_collocations
+
+    rows = [
+        {"doc_id": i, "text": t}
+        for i, t in enumerate(
+            ["big data big data big", "data lake big data", "lake big data",
+             "big lake", "", "x"]
+        )
+    ]
+
+    uni = collections.Counter()
+    big = collections.Counter()
+    for r in rows:
+        toks = re.findall(r"[0-9a-z]+", r["text"].lower())
+        uni.update(toks)
+        big.update(
+            (a + " " + b) for a, b in zip(toks, toks[1:])
+        )
+    T = float(sum(uni.values()))
+    B = float(sum(big.values()))
+    exp = []
+    for g, cab in big.items():
+        if cab < 2:
+            continue
+        w1, w2 = g.split(" ")
+        pmi = int(
+            math.floor(
+                math.log(
+                    ((float(cab) * T) * T)
+                    / ((B * float(uni[w1])) * float(uni[w2]))
+                )
+                * 1e6
+            )
+        )
+        exp.append((g, cab, pmi))
+    exp.sort(key=lambda x: (-x[2], x[0]))
+
+    ds = ray.data.from_items(rows).repartition(3)
+    got = [
+        (r["ngram"], r["cab"], r["pmi_micro"])
+        for r in pmi_collocations(ds, top_k=10, min_count=2).take_all()
+    ]
+    assert got == exp[:10]
