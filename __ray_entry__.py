@@ -678,6 +678,113 @@ def _q_hash_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split (stages/sample.py hash_split —
+    pure per-batch hash-bucket assignment, no shuffle, disjoint-complete
+    by construction) summarized as per-(lang, split) counts via a
+    combiner-first groupby."""
+    import ray.data
+
+    from searchengines_ray.stages.sample import hash_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["lang", "split"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    out = (
+        hash_split(docs)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.groupby(["lang", "split"], as_index=False)[
+                "cnt"
+            ].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["lang", "split"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"cnt": "int64"})
+    )
+
+
+def _q_doc_embedding_join(sf_dir: str) -> pd.DataFrame:
+    """Distributed inner equi-join documents x embeddings on
+    doc_id = vec_id (stages/joins.py hash_equijoin — tag-union, one
+    key-hash shuffle, vectorized per-bucket merge), aggregated to
+    per-(lang, label) row counts and char sums with a combiner-first
+    groupby."""
+    import ray.data
+
+    from searchengines_ray.stages.joins import hash_equijoin
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    joined = hash_equijoin(
+        docs, emb, left_on="doc_id", right_on="vec_id",
+        right_cols=("label",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["lang", "r_label"], as_index=False).agg(
+            cnt=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.groupby(["lang", "r_label"], as_index=False)[
+                ["cnt", "sum_chars"]
+            ].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = out.rename(columns={"r_label": "label"})
+    return (
+        out.sort_values(["lang", "label"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"label": "int32", "cnt": "int64", "sum_chars": "int64"})
+    )
+
+
+def _q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
+    """Top-3 tf-idf keywords per document (stages/text.py
+    tfidf_keywords): two bucketed shuffles (df by term, top-k by doc),
+    no vocabulary broadcast, scalar libm ln micro-units, tie rule
+    (score desc, term asc)."""
+    import ray.data
+
+    from searchengines_ray.stages.text import tfidf_keywords
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tfidf_keywords(docs, k=3).to_pandas()
+    return (
+        out.sort_values(
+            ["doc_id", "score_micro", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .reset_index(drop=True)
+        .astype({"tf": "int64", "score_micro": "int64"})
+    )
+
+
 def _q_unigram_lm(sf_dir: str) -> pd.DataFrame:
     """Corpus-fit unigram LM doc scoring (CCNet-style quality signal):
     vocabulary-bounded model via map-combined groupby, broadcast via
@@ -1490,6 +1597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "pii_redact": _q_pii_redact,
         "hash_sample": _q_hash_sample,
+        "split_counts": _q_split_counts,
+        "doc_embedding_join": _q_doc_embedding_join,
+        "tfidf_keywords": _q_tfidf_keywords,
         "unigram_lm": _q_unigram_lm,
         "asof_attribution": _q_asof_attribution,
         "interval_attribution": _q_interval_attribution,
@@ -3650,6 +3760,70 @@ def _oracle_sql_impl() -> dict[str, str]:
             WHERE ((((doc_id % 2147483648) * 2654435761) % 4294967296)
                    % 1000) < 100
             ORDER BY doc_id
+        """,
+        "split_counts": """
+            -- deterministic hash split: bucket = knuth(doc_id) % 1000,
+            -- train < 900 <= val < 950 <= test (stages/sample.py bounds)
+            SELECT lang,
+                   CASE WHEN b < 900 THEN 'train'
+                        WHEN b < 950 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+              SELECT lang,
+                     ((((doc_id % 2147483648) * 2654435761)
+                       % 4294967296) % 1000) AS b
+              FROM documents
+            )
+            GROUP BY 1, 2
+            ORDER BY lang, split
+        """,
+        "doc_embedding_join": """
+            -- inner equi-join documents x embeddings, per-(lang,label)
+            -- counts and char sums
+            SELECT d.lang,
+                   e.label,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+            FROM documents d
+            JOIN embeddings e ON e.vec_id = d.doc_id
+            GROUP BY 1, 2
+            ORDER BY d.lang, e.label
+        """,
+        "tfidf_keywords": """
+            -- top-3 tf-idf terms per doc; score_micro =
+            -- floor((tf * ln(N/df)) * 1e6), libm ln contract, tie rule
+            -- (score desc, term asc)
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[0-9a-z]+'))
+                       AS term
+              FROM documents
+            ),
+            tfs AS MATERIALIZED (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2
+            ),
+            dfs AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tfs GROUP BY 1
+            ),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf,
+                     CAST(FLOOR(
+                       (CAST(t.tf AS DOUBLE)
+                        * ln(CAST(nd.n AS DOUBLE) / d.df))
+                       * 1000000.0) AS BIGINT) AS score_micro
+              FROM tfs t JOIN dfs d USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, tf, score_micro FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_micro DESC, term ASC) AS rn
+              FROM scored
+            ) WHERE rn <= 3
+            ORDER BY doc_id, score_micro DESC, term
         """,
         "unigram_lm": """
             -- add-one-smoothed corpus unigram LM; per-token

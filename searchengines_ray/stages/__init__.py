@@ -29,7 +29,7 @@ from .similarity import (  # noqa: F401
     cosine_topk,
 )
 from .rank import grouped_quantiles, grouped_topk  # noqa: F401
-from .sample import hash_sample, sample_mask  # noqa: F401
+from .sample import hash_sample, hash_split, sample_mask  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,
     lang_id,

@@ -33,18 +33,29 @@ def _kbucket(x: np.ndarray, n: int) -> np.ndarray:
     return ((x.astype(np.uint64) * _KNUTH) % np.uint64(n)).astype(np.int64)
 
 
-def _placeholder(arrow_type, n: int) -> pd.Series:
-    """A length-n pandas column that round-trips to the given Arrow type —
-    schema filler so both union sides produce identical block schemas."""
+def _placeholder(col_type, n: int) -> pd.Series:
+    """A length-n pandas column that round-trips to the given column type —
+    schema filler so both union sides produce identical block schemas.
+    Accepts a pyarrow DataType (arrow-backed blocks) or a numpy dtype
+    (pandas-backed blocks, e.g. ``from_pandas`` inputs)."""
     import pyarrow as pa
 
-    if pa.types.is_timestamp(arrow_type):
-        return pd.Series(
-            [pd.NaT] * n, dtype=f"datetime64[{arrow_type.unit}]"
-        )
-    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
-        return pd.Series([""] * n, dtype=object)
-    dt = arrow_type.to_pandas_dtype()
+    if isinstance(col_type, pa.DataType):
+        if pa.types.is_timestamp(col_type):
+            return pd.Series(
+                [pd.NaT] * n, dtype=f"datetime64[{col_type.unit}]"
+            )
+        if pa.types.is_string(col_type) or pa.types.is_large_string(
+            col_type
+        ):
+            return pd.Series([""] * n, dtype=object)
+        dt = col_type.to_pandas_dtype()
+    else:
+        dt = np.dtype(col_type)
+        if dt.kind == "M":
+            return pd.Series([pd.NaT] * n, dtype=dt)
+        if dt.kind in ("O", "U", "S"):
+            return pd.Series([""] * n, dtype=object)
     if np.issubdtype(dt, np.integer):
         return pd.Series(np.full(n, -1, dtype=dt))
     if np.issubdtype(dt, np.floating):
@@ -253,6 +264,94 @@ def asof_join(
 
     tagged = left_ds.map_batches(tag(0), batch_format="pandas").union(
         right_ds.map_batches(tag(1), batch_format="pandas")
+    )
+    return tagged.groupby("_cb").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def hash_equijoin(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    right_cols: tuple,
+    coarse_buckets: int = 256,
+):
+    """Generic distributed inner equi-join (1:N) — the plain relational
+    join Ray Data's Dataset API lacks.
+
+    Plan: tag-union both sides into ONE block schema (typed placeholders
+    from :func:`_placeholder`, so union blocks concat without dtype
+    drift), a single key-hash shuffle on coarse buckets, then one
+    vectorized ``pandas.merge`` per bucket.  All rows of a key land in
+    one bucket; the hot-key contract is the caller's (salt the key or
+    broadcast the small side via ``ray.put`` instead — the pattern the
+    query engine uses for corpus stats).  Output: the left columns plus
+    ``r_<col>`` for each of ``right_cols``.  Join keys must share an
+    integer or string type; rows with no match are dropped (inner).
+    """
+    import zlib
+
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    left_schema = list(lschema.names)
+    left_types = dict(zip(lschema.names, lschema.types))
+    right_types = dict(zip(rschema.names, rschema.types))
+    rpayload = list(right_cols)
+
+    def _bucket(col: pd.Series) -> np.ndarray:
+        vals = col.to_numpy()
+        if np.issubdtype(vals.dtype, np.integer):
+            return _kbucket(vals.astype(np.int64), coarse_buckets)
+        return np.fromiter(
+            (zlib.crc32(str(x).encode()) % coarse_buckets for x in vals),
+            np.int64,
+            len(vals),
+        )
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        n = len(b)
+        for c in rpayload:
+            b[f"_r_{c}"] = _placeholder(right_types[c], n).set_axis(
+                b.index
+            )
+        b["_side"] = np.int8(0)
+        b["_cb"] = _bucket(b[left_on])
+        return b
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        b = pd.DataFrame(
+            {
+                c: (
+                    batch[right_on].reset_index(drop=True)
+                    if c == left_on
+                    else _placeholder(left_types[c], n)
+                )
+                for c in left_schema
+            }
+        )
+        for c in rpayload:
+            b[f"_r_{c}"] = batch[c].reset_index(drop=True)
+        b["_side"] = np.int8(1)
+        b["_cb"] = _bucket(batch[right_on])
+        return b
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group.loc[group["_side"] == 0, left_schema]
+        right = group.loc[
+            group["_side"] == 1,
+            [left_on] + [f"_r_{c}" for c in rpayload],
+        ]
+        out = left.merge(right, on=left_on)
+        return out.rename(
+            columns={f"_r_{c}": f"r_{c}" for c in rpayload}
+        )
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
+        right_ds.map_batches(tag_right, batch_format="pandas")
     )
     return tagged.groupby("_cb").map_groups(
         join_bucket, batch_format="pandas"

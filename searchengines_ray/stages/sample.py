@@ -42,3 +42,34 @@ def hash_sample(ds, permille: int, key: str = "doc_id"):
         return batch.loc[m]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def hash_split(ds, splits=None, key: str = "doc_id",
+               label_col: str = "split"):
+    """Assign every row a deterministic train/val/test label by key hash.
+
+    ``splits`` is an ordered list of (label, permille) summing to <= 1000
+    (default train/900, val/50, test/50; any remainder falls into the
+    LAST split).  The hash bucket ``h % 1000`` is cut at the cumulative
+    permille bounds, so the assignment is a pure per-batch map — no
+    shuffle, no coordination, stable under repartitioning/resume, and
+    disjoint-complete by construction.  SQL mirror: the same Knuth
+    arithmetic + a CASE over the bounds.
+    """
+    if splits is None:
+        splits = [("train", 900), ("val", 50), ("test", 50)]
+    labels = np.asarray([s for s, _ in splits], dtype=object)
+    bounds = np.cumsum([p for _, p in splits]).astype(np.int64)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy()
+        h = ((ids.astype(np.int64) % _M31P1) * _KNUTH) % _M32
+        idx = np.minimum(
+            np.searchsorted(bounds, h % 1000, side="right"),
+            len(labels) - 1,
+        )
+        out = batch.copy()
+        out[label_col] = pd.Series(labels[idx], index=batch.index)
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -733,3 +733,115 @@ def pmi_collocations(ds, top_k: int = 30, min_count: int = 5,
         .sort(["pmi_micro", "ngram"], descending=[True, False])
         .limit(top_k)
     )
+
+
+def tfidf_keywords(ds, k: int = 3, buckets: int = 64):
+    """Top-k tf-idf keywords per document — distributed keyword
+    extraction with no vocabulary broadcast.
+
+    Two bucketed shuffles: (1) per-batch unique (doc, term, tf) partials
+    group by crc32(term) so each bucket computes df per term locally
+    (rows are unique per (doc, term), so df = the term's row count) and
+    re-emits rows keyed by doc; (2) a doc-hash groupby computes
+    ``score_micro = floor((tf * ln(N/df)) * 1e6)`` (scalar libm ln per
+    unique (term, df) — the frozen DuckDB ln contract) and keeps each
+    doc's top-k by (score_micro desc, term asc).  N = total document
+    count (metadata count, no scan).
+    """
+    import math
+    import zlib
+
+    n_docs = float(ds.count())
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        if not len(vids):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "term": pd.array([], dtype="object"),
+                    "tf": pd.array([], dtype="int64"),
+                    "_b": pd.array([], dtype="int32"),
+                }
+            )
+        doc_ids = batch["doc_id"].to_numpy()
+        pair = parent.astype(np.int64) * np.int64(len(vocab)) + vids
+        uniq, cnt = np.unique(pair, return_counts=True)
+        pi = (uniq // len(vocab)).astype(np.int64)
+        vi = (uniq % len(vocab)).astype(np.int64)
+        voc = np.asarray(vocab, dtype=object)
+        terms = voc[vi]
+        keep = terms != ""
+        terms = terms[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(
+                    doc_ids[pi[keep]].astype(np.int64), dtype="int64"
+                ),
+                "term": pd.Series(terms, dtype=object),
+                "tf": pd.array(
+                    cnt[keep].astype(np.int64), dtype="int64"
+                ),
+                "_b": pd.array(
+                    np.fromiter(
+                        (
+                            zlib.crc32(t.encode()) % buckets
+                            for t in terms
+                        ),
+                        np.int32,
+                        len(terms),
+                    ),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["df"] = g.groupby("term")["tf"].transform("size").astype(
+            "int64"
+        )
+        g["_b2"] = pd.array(
+            (
+                (g["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(buckets)
+            ).astype(np.int32),
+            dtype="int32",
+        )
+        return g[["doc_id", "term", "tf", "df", "_b2"]]
+
+    def doc_topk(group: pd.DataFrame) -> pd.DataFrame:
+        # libm ln once per unique (tf, df) pair, not per row
+        key = group[["tf", "df"]].drop_duplicates()
+        micro = {
+            (int(t), int(d)): int(
+                math.floor(
+                    (float(t) * math.log(n_docs / float(d))) * 1e6
+                )
+            )
+            for t, d in zip(key["tf"], key["df"])
+        }
+        g = group.copy()
+        g["score_micro"] = pd.array(
+            [
+                micro[(int(t), int(d))]
+                for t, d in zip(g["tf"], g["df"])
+            ],
+            dtype="int64",
+        )
+        g = g.sort_values(
+            ["doc_id", "score_micro", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("doc_id", sort=False).head(k)[
+            ["doc_id", "term", "tf", "score_micro"]
+        ]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(doc_topk, batch_format="pandas")
+    )

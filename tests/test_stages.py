@@ -844,3 +844,159 @@ def test_pmi_collocations(ray_session):
         for r in pmi_collocations(ds, top_k=10, min_count=2).take_all()
     ]
     assert got == exp[:10]
+
+
+def test_hash_split(ray_session):
+    import numpy as np
+    import ray.data
+
+    from searchengines_ray.stages.sample import _KNUTH, _M31P1, _M32, hash_split
+
+    rows = [{"doc_id": i, "lang": "en"} for i in range(2000)]
+    ds = ray.data.from_items(rows).repartition(5)
+    out = hash_split(ds).to_pandas().set_index("doc_id")["split"]
+    assert len(out) == 2000  # disjoint-complete: every row, exactly once
+
+    ids = np.arange(2000, dtype=np.int64)
+    b = (((ids % _M31P1) * _KNUTH) % _M32) % 1000
+    want = np.where(b < 900, "train", np.where(b < 950, "val", "test"))
+    assert (out.sort_index().to_numpy() == want).all()
+
+    # custom bounds + remainder falls into the last split
+    out2 = (
+        hash_split(ds, splits=[("a", 100), ("b", 100)])
+        .to_pandas()
+        .set_index("doc_id")["split"]
+        .sort_index()
+    )
+    want2 = np.where(b < 100, "a", "b")
+    assert (out2.to_numpy() == want2).all()
+
+    # stable under different partitioning
+    out3 = hash_split(ds.repartition(11)).to_pandas().set_index("doc_id")[
+        "split"
+    ]
+    assert out3.sort_index().equals(out.sort_index())
+
+
+def test_hash_equijoin(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.joins import hash_equijoin
+
+    left = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "lang": ["en" if i % 2 else "de" for i in range(50)],
+            "val": np.arange(50, dtype=np.int64) * 10,
+        }
+    )
+    # right: 1:N (two rows for some keys), some keys unmatched both ways
+    right = pd.DataFrame(
+        {
+            "vec_id": np.array(
+                [0, 0, 3, 7, 7, 7, 49, 60, 61], dtype=np.int64
+            ),
+            "label": np.array(
+                [1, 2, 3, 4, 5, 6, 7, 8, 9], dtype=np.int32
+            ),
+            "name": list("abcdefghi"),
+        }
+    )
+    got = (
+        hash_equijoin(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            left_on="doc_id",
+            right_on="vec_id",
+            right_cols=("label", "name"),
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "r_label"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="doc_id", right_on="vec_id")
+        .rename(columns={"label": "r_label", "name": "r_name"})[
+            ["doc_id", "lang", "val", "r_label", "r_name"]
+        ]
+        .sort_values(["doc_id", "r_label"])
+        .reset_index(drop=True)
+    )
+    assert got["r_label"].dtype == want["r_label"].dtype
+    pd.testing.assert_frame_equal(got, want)
+
+    # string-key join
+    gl = pd.DataFrame({"k": ["x", "y", "z"], "a": [1, 2, 3]})
+    gr = pd.DataFrame({"kk": ["y", "z", "z", "w"], "b": [10, 20, 30, 40]})
+    got2 = (
+        hash_equijoin(
+            ray.data.from_pandas(gl),
+            ray.data.from_pandas(gr),
+            left_on="k",
+            right_on="kk",
+            right_cols=("b",),
+        )
+        .to_pandas()
+        .sort_values(["k", "r_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got2["k"], got2["r_b"])) == [
+        ("y", 10), ("z", 20), ("z", 30)
+    ]
+
+
+def test_tfidf_keywords(ray_session):
+    import collections
+    import math
+    import re
+
+    import ray.data
+
+    from searchengines_ray.stages.text import tfidf_keywords
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana apple cherry"},
+        {"doc_id": 1, "text": "banana cherry cherry date"},
+        {"doc_id": 2, "text": "apple date date date elderberry"},
+        {"doc_id": 3, "text": ""},
+    ]
+    tfs = {}
+    dfc = collections.Counter()
+    for r in rows:
+        c = collections.Counter(
+            re.findall(r"[0-9a-z]+", r["text"].lower())
+        )
+        tfs[r["doc_id"]] = c
+        dfc.update(c.keys())
+    n = float(len(rows))
+    exp = []
+    for did, c in tfs.items():
+        scored = sorted(
+            (
+                (
+                    -int(
+                        math.floor(
+                            (float(tf) * math.log(n / float(dfc[t])))
+                            * 1e6
+                        )
+                    ),
+                    t,
+                    tf,
+                )
+                for t, tf in c.items()
+            )
+        )[:2]
+        exp.extend(
+            (did, t, tf, -ms) for ms, t, tf in scored
+        )
+
+    ds = ray.data.from_items(rows).repartition(3)
+    got = [
+        (r["doc_id"], r["term"], r["tf"], r["score_micro"])
+        for r in tfidf_keywords(ds, k=2)
+        .sort(["doc_id", "score_micro", "term"],
+              descending=[False, True, False])
+        .take_all()
+    ]
+    assert got == exp
