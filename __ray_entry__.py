@@ -761,6 +761,32 @@ def _q_doc_embedding_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_anti_join_blocklist(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANTI join (stages/joins.py hash_equijoin how='anti'):
+    subtract a deterministic 20% hash-sampled blocklist from the corpus
+    — the blocklist-filter primitive of dedup/PII pipelines.  The
+    blocklist rides as a Dataset through the same tag-union shuffle as
+    the inner join (no driver-side id set)."""
+    import ray.data
+
+    from searchengines_ray.stages.joins import hash_equijoin
+    from searchengines_ray.stages.sample import hash_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    block = hash_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ),
+        permille=200,
+    )
+    out = hash_equijoin(
+        docs, block, left_on="doc_id", right_on="doc_id", how="anti"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
     """Top-3 tf-idf keywords per document (stages/text.py
     tfidf_keywords): two bucketed shuffles (df by term, top-k by doc),
@@ -1599,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "split_counts": _q_split_counts,
         "doc_embedding_join": _q_doc_embedding_join,
+        "anti_join_blocklist": _q_anti_join_blocklist,
         "tfidf_keywords": _q_tfidf_keywords,
         "unigram_lm": _q_unigram_lm,
         "asof_attribution": _q_asof_attribution,
@@ -3789,6 +3816,18 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "anti_join_blocklist": """
+            -- anti join vs the Knuth-hash 20% blocklist
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents b
+              WHERE b.doc_id = d.doc_id
+                AND ((((b.doc_id % 2147483648) * 2654435761)
+                      % 4294967296) % 1000) < 200
+            )
+            ORDER BY d.doc_id
         """,
         "tfidf_keywords": """
             -- top-3 tf-idf terms per doc; score_micro =

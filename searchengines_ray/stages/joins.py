@@ -275,11 +275,15 @@ def hash_equijoin(
     right_ds,
     left_on: str,
     right_on: str,
-    right_cols: tuple,
+    right_cols: tuple = (),
     coarse_buckets: int = 256,
+    how: str = "inner",
 ):
-    """Generic distributed inner equi-join (1:N) — the plain relational
-    join Ray Data's Dataset API lacks.
+    """Generic distributed equi-join — the plain relational join Ray
+    Data's Dataset API lacks.  ``how``: ``inner`` (1:N, left columns +
+    ``r_<col>`` payload), ``semi`` (left rows WITH a match, each once,
+    left columns only), or ``anti`` (left rows WITHOUT a match — the
+    blocklist-subtract primitive used by dedup survivor filtering).
 
     Plan: tag-union both sides into ONE block schema (typed placeholders
     from :func:`_placeholder`, so union blocks concat without dtype
@@ -293,6 +297,8 @@ def hash_equijoin(
     """
     import zlib
 
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     left_schema = list(lschema.names)
@@ -341,6 +347,10 @@ def hash_equijoin(
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         left = group.loc[group["_side"] == 0, left_schema]
+        if how in ("semi", "anti"):
+            keys = group.loc[group["_side"] == 1, left_on]
+            m = left[left_on].isin(set(keys))
+            return left.loc[m if how == "semi" else ~m]
         right = group.loc[
             group["_side"] == 1,
             [left_on] + [f"_r_{c}" for c in rpayload],

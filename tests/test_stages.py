@@ -1000,3 +1000,32 @@ def test_tfidf_keywords(ray_session):
         .take_all()
     ]
     assert got == exp
+
+
+def test_hash_equijoin_semi_anti(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.joins import hash_equijoin
+
+    left = pd.DataFrame(
+        {"doc_id": np.arange(20, dtype=np.int64), "lang": ["en"] * 20}
+    )
+    right = pd.DataFrame(
+        {"k": np.array([3, 3, 5, 17, 99], dtype=np.int64)}
+    )
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+    semi = (
+        hash_equijoin(lds, rds, "doc_id", "k", how="semi")
+        .to_pandas()["doc_id"].sort_values().tolist()
+    )
+    anti = (
+        hash_equijoin(lds, rds, "doc_id", "k", how="anti")
+        .to_pandas()["doc_id"].sort_values().tolist()
+    )
+    assert semi == [3, 5, 17]  # semi: each matching left row ONCE
+    assert anti == [i for i in range(20) if i not in (3, 5, 17)]
+    assert sorted(semi + anti) == list(range(20))
+
+    with pytest.raises(ValueError):
+        hash_equijoin(lds, rds, "doc_id", "k", how="outer")
