@@ -787,6 +787,77 @@ def _q_anti_join_blocklist(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_window_top_events(sf_dir: str) -> pd.DataFrame:
+    """Composition of two tested stages — hourly tumbling window counts
+    (stages/windows.py) piped into the combiner-first grouped top-k
+    (stages/rank.py): top-2 event types per hour by
+    (n_events desc, event_type asc)."""
+    import ray.data
+
+    from searchengines_ray.stages.rank import grouped_topk
+    from searchengines_ray.stages.windows import tumbling_window_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+    )
+    win = tumbling_window_agg(ev, minutes=60)
+    out = (
+        grouped_topk(
+            win,
+            by="window_start",
+            val_col="n_events",
+            k=2,
+            tie_col="event_type",
+        )
+        .to_pandas()[["window_start", "event_type", "n_events"]]
+    )
+    return (
+        out.sort_values(
+            ["window_start", "n_events", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .reset_index(drop=True)
+        .astype({"n_events": "int64"})
+    )
+
+
+def _q_pagerank_events(sf_dir: str) -> pd.DataFrame:
+    """Integer-deterministic PageRank (stages/graph.py pagerank) over
+    the bipartite user -> item graph from events (item = 1e6 + props.k):
+    5 rounds, damping 0.85 as exact int64 ops (order-free sums, so the
+    distributed result is bit-identical to the SQL recursion)."""
+    import ray.data
+
+    from searchengines_ray.stages.graph import pagerank
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .str.extract(r'"k": (\d+)', expand=False)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "src": b["user_id"].to_numpy().astype(np.int64),
+                "dst": (1_000_000 + k).to_numpy().astype(np.int64),
+            }
+        )
+
+    edges = ev.map_batches(to_edges, batch_format="pandas")
+    out = pagerank(edges, iters=5).to_pandas()
+    return (
+        out.sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "r": "int64"})
+    )
+
+
 def _q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
     """Top-3 tf-idf keywords per document (stages/text.py
     tfidf_keywords): two bucketed shuffles (df by term, top-k by doc),
@@ -1626,6 +1697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": _q_split_counts,
         "doc_embedding_join": _q_doc_embedding_join,
         "anti_join_blocklist": _q_anti_join_blocklist,
+        "pagerank_events": _q_pagerank_events,
+        "window_top_events": _q_window_top_events,
         "tfidf_keywords": _q_tfidf_keywords,
         "unigram_lm": _q_unigram_lm,
         "asof_attribution": _q_asof_attribution,
@@ -3816,6 +3889,119 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "window_top_events": """
+            -- top-2 event types per hourly window, tie rule
+            -- (n_events desc, event_type asc)
+            SELECT window_start, event_type, n_events FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY window_start
+                ORDER BY n_events DESC, event_type ASC) AS rn
+              FROM (
+                SELECT time_bucket(INTERVAL '60 minutes', ts)
+                         AS window_start,
+                       event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+              )
+            ) WHERE rn <= 2
+            ORDER BY window_start, n_events DESC, event_type
+        """,
+        "pagerank_events": """
+            -- 5-round integer PageRank, damping 0.85 as exact int64 //
+            -- ops (order-free sums == the engine's distributed plan);
+            -- dangling mass leaks identically on both sides
+            WITH ed AS MATERIALIZED (
+              SELECT DISTINCT user_id AS src,
+                     1000000 + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT) AS dst
+              FROM events
+            ),
+            nodes AS MATERIALIZED (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM ed
+                UNION SELECT dst FROM ed)
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+            od AS MATERIALIZED (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ed GROUP BY 1
+            ),
+            r0 AS (
+              SELECT node, 1000000000000 // nn.n AS r
+              FROM nodes CROSS JOIN nn
+            ),
+            r1 AS MATERIALIZED (
+              SELECT n.node,
+                     ((15 * 1000000000000) // (100 * nn.n))
+                     + (85 * COALESCE(s.s, 0)) // 100 AS r
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.r // d.c) AS BIGINT) AS s
+                FROM ed e
+                JOIN r0 p ON p.node = e.src
+                JOIN od d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            ),
+            r2 AS MATERIALIZED (
+              SELECT n.node,
+                     ((15 * 1000000000000) // (100 * nn.n))
+                     + (85 * COALESCE(s.s, 0)) // 100 AS r
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.r // d.c) AS BIGINT) AS s
+                FROM ed e
+                JOIN r1 p ON p.node = e.src
+                JOIN od d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            ),
+            r3 AS MATERIALIZED (
+              SELECT n.node,
+                     ((15 * 1000000000000) // (100 * nn.n))
+                     + (85 * COALESCE(s.s, 0)) // 100 AS r
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.r // d.c) AS BIGINT) AS s
+                FROM ed e
+                JOIN r2 p ON p.node = e.src
+                JOIN od d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            ),
+            r4 AS MATERIALIZED (
+              SELECT n.node,
+                     ((15 * 1000000000000) // (100 * nn.n))
+                     + (85 * COALESCE(s.s, 0)) // 100 AS r
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.r // d.c) AS BIGINT) AS s
+                FROM ed e
+                JOIN r3 p ON p.node = e.src
+                JOIN od d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            ),
+            r5 AS MATERIALIZED (
+              SELECT n.node,
+                     ((15 * 1000000000000) // (100 * nn.n))
+                     + (85 * COALESCE(s.s, 0)) // 100 AS r
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.r // d.c) AS BIGINT) AS s
+                FROM ed e
+                JOIN r4 p ON p.node = e.src
+                JOIN od d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            )
+            SELECT node, CAST(r AS BIGINT) AS r FROM r5 ORDER BY node
         """,
         "anti_join_blocklist": """
             -- anti join vs the Knuth-hash 20% blocklist

@@ -239,3 +239,164 @@ def nonroot_ids(labels_ds) -> np.ndarray:
     if part.empty:
         return np.empty(0, dtype=np.int64)
     return np.unique(part["node"].to_numpy().astype(np.int64))
+
+
+def pagerank(
+    edges_ds,
+    iters: int = 5,
+    scale: int = 10**12,
+    coarse_buckets: int = 64,
+    nblocks: int = 16,
+):
+    """Integer-deterministic PageRank over a directed edge Dataset
+    ``(src, dst)`` — the second graph op beside connected components.
+
+    Damping 0.85 is exact int64 arithmetic so ranks are bit-identical
+    across partitionings and SQL-replicable (order-free integer sums,
+    the same determinism contract as the micro-unit LM scores)::
+
+        r0(v)    = scale // N
+        share(u) = r(u) // outdeg(u)
+        r'(v)    = (15*scale) // (100*N) + (85 * sum_in share(u)) // 100
+
+    Dangling-node mass leaks each round (the standard simplification;
+    the SQL oracle replicates it).  Duplicate edges are collapsed first.
+
+    Plan — classic edge-partitioned PR, nothing driver-side but N:
+    distinct edges get their outdegree attached by one src-keyed
+    shuffle (materialized once); each iteration is (a) one src-keyed
+    equi-join shuffling current ranks to edges, (b) one dst-keyed
+    groupby summing shares over every node (zero rows union-ed in so
+    rank-less nodes keep the base term).  Ranks repartition to a fixed
+    block count per round (the CC lesson: unbounded union+groupby
+    chains double block counts).
+    """
+    import ray.data
+
+    from .joins import hash_equijoin
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["src", "dst"]].drop_duplicates()
+        s = b["src"].to_numpy().astype(np.int64)
+        d = b["dst"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": s,
+                "dst": d,
+                "_cb": _nbucket(s * np.int64(1000003) + d, coarse_buckets),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(edge_partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(
+            lambda g: g[["src", "dst"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy().astype(np.int64),
+                    batch["dst"].to_numpy().astype(np.int64),
+                ]
+            )
+        )
+        return pd.DataFrame(
+            {"node": n, "_cb": _nbucket(n, coarse_buckets)}
+        )
+
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(
+            lambda g: g[["node"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes
+    base = (15 * scale) // (100 * n_nodes)
+    r0 = scale // n_nodes
+
+    def with_deg(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["od"] = g.groupby("src")["dst"].transform("size").astype(
+            "int64"
+        )
+        return g[["src", "dst", "od"]]
+
+    def src_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["_sb"] = _nbucket(
+            b["src"].to_numpy().astype(np.int64), coarse_buckets
+        )
+        return b
+
+    ewd = (
+        edges.map_batches(src_bucket, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(with_deg, batch_format="pandas")
+        .materialize()
+    )
+
+    ranks = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].to_numpy().astype(np.int64),
+                "r": np.full(len(b), r0, dtype=np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["dst"].to_numpy().astype(np.int64)
+        s = batch["r_r"].to_numpy().astype(np.int64) // batch[
+            "od"
+        ].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"node": d, "s": s, "_cb": _nbucket(d, coarse_buckets)}
+        )
+
+    def zeros(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["node"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "node": n,
+                "s": np.zeros(len(n), dtype=np.int64),
+                "_cb": _nbucket(n, coarse_buckets),
+            }
+        )
+
+    def next_rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("node", as_index=False)["s"].sum()
+        return pd.DataFrame(
+            {
+                "node": g["node"].astype("int64"),
+                "r": (
+                    base
+                    + (85 * g["s"].to_numpy().astype(np.int64)) // 100
+                ).astype("int64"),
+            }
+        )
+
+    for _ in range(iters):
+        joined = hash_equijoin(
+            ewd, ranks, left_on="src", right_on="node",
+            right_cols=("r",), coarse_buckets=coarse_buckets,
+        )
+        ranks = (
+            joined.map_batches(contrib, batch_format="pandas")
+            .union(nodes.map_batches(zeros, batch_format="pandas"))
+            .groupby("_cb")
+            .map_groups(next_rank, batch_format="pandas")
+            .repartition(nblocks)
+        )
+    return ranks

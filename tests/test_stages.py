@@ -1029,3 +1029,37 @@ def test_hash_equijoin_semi_anti(ray_session):
 
     with pytest.raises(ValueError):
         hash_equijoin(lds, rds, "doc_id", "k", how="outer")
+
+
+def test_pagerank_integer_exact(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.graph import pagerank
+
+    # star into 0, a 2-cycle, a dangling sink, duplicate edges collapse
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (1, 2), (2, 1), (1, 0),
+             (3, 9)]
+    ds = ray.data.from_items(
+        [{"src": np.int64(a), "dst": np.int64(b)} for a, b in edges]
+    ).repartition(3)
+    got = (
+        pagerank(ds, iters=3, scale=10**9)
+        .to_pandas()
+        .sort_values("node")
+        .set_index("node")["r"]
+    )
+
+    ded = sorted(set(edges))
+    nodes = sorted({x for e in ded for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in ded:
+        out[s] = out.get(s, 0) + 1
+    r = {v: 10**9 // n for v in nodes}
+    base = (15 * 10**9) // (100 * n)
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for a, b in ded:
+            s[b] += r[a] // out[a]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    assert got.to_dict() == r
