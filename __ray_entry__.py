@@ -514,6 +514,33 @@ def _q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_a", "doc_b", "jaccard_r"]]
 
 
+def _q_cross_corpus_pairs(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus contamination check (stages/dedup.py
+    minhash_cross_pairs_ds): the 'incoming batch' is every doc with
+    doc_id % 17 == 0 re-keyed to +1e6 (identical text -> jaccard 1.0
+    planted positives, plus any true near-dups straddling the sides);
+    only cross-side pairs are reported.  SQL oracle: exact all-pairs
+    3-gram Jaccard over the augmented corpus, cross-filtered."""
+    from searchengines_ray.stages.dedup import minhash_cross_pairs_ds
+
+    docs = _docs(sf_dir)
+    incoming = docs.map_batches(
+        lambda b: b.loc[b["doc_id"] % 17 == 0, ["doc_id", "text"]],
+        batch_format="pandas",
+    )
+    out = (
+        minhash_cross_pairs_ds(
+            docs, incoming, id_offset=1_000_000, threshold=0.5
+        )
+        .to_pandas()
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    out["jaccard_r"] = np.floor(out.pop("jaccard").to_numpy() * 1e6) / 1e6
+    return out
+
+
 def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.dedup import (
         minhash_dedup_pairs,
@@ -1684,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_agg": _q_hopping_window,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "cross_corpus_pairs": _q_cross_corpus_pairs,
         "minhash_dedup": _q_minhash_dedup,
         "curate_corpus": _q_curate,
         "line_dedup": _q_line_dedup,
@@ -1907,6 +1935,8 @@ _SHINGLE_PAIRS = r"""
   )
 """
 
+
+_SHINGLE_PAIRS_AUG = _SHINGLE_PAIRS.replace("FROM documents", "FROM aug")
 
 _URL_EXPR = (
     "'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
@@ -3545,6 +3575,23 @@ def _oracle_sql_impl() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r
             FROM dup_pairs ORDER BY doc_a, doc_b
+        """,
+        "cross_corpus_pairs": f"""
+            -- exact all-pairs 3-gram jaccard over the corpus augmented
+            -- with the re-keyed incoming batch (doc_id % 17 == 0 ->
+            -- +1e6), keeping only cross-side pairs
+            WITH aug AS MATERIALIZED (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 17 = 0
+            ),
+            {_SHINGLE_PAIRS_AUG}
+            SELECT doc_a, doc_b,
+                   FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r
+            FROM dup_pairs
+            WHERE doc_a < 1000000 AND doc_b >= 1000000
+            ORDER BY doc_a, doc_b
         """,
         "minhash_dedup": f"""
             -- survivors after connected-component dedup over the exact

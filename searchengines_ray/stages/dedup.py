@@ -1347,3 +1347,52 @@ def embedding_neardup_pairs(
     return _pairs_pandas(
         df, {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
     )
+
+
+def minhash_cross_pairs_ds(
+    left_ds,
+    right_ds,
+    id_offset: int = 1_000_000,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+):
+    """Cross-corpus contamination check: verified near-dup pairs
+    ``(left doc, right doc)`` between an existing corpus and an incoming
+    batch — the dedup-against-training-set primitive.
+
+    The right side is re-keyed to ``doc_id + id_offset`` (the caller
+    guarantees every left id < ``id_offset``), the union then rides the
+    full single-corpus LSH + exact-Jaccard-verify pipeline unchanged
+    (pairs stay a Dataset end-to-end), and a pure per-batch filter keeps
+    only cross-side pairs (``doc_a < id_offset <= doc_b`` — pair order
+    is always a < b).  Intra-side duplicates are discarded by the same
+    filter; recall characteristics are exactly those of
+    :func:`minhash_dedup_pairs_ds`.
+    """
+
+    def rekey(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["doc_id", "text"]].copy()
+        b["doc_id"] = b["doc_id"].to_numpy().astype(np.int64) + np.int64(
+            id_offset
+        )
+        return b
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "text"]]
+
+    aug = left_ds.map_batches(pick, batch_format="pandas").union(
+        right_ds.map_batches(rekey, batch_format="pandas")
+    )
+    pairs = minhash_dedup_pairs_ds(
+        aug, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle=shingle,
+    )
+
+    def cross_only(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        return batch.loc[(a < id_offset) & (b >= id_offset)]
+
+    return pairs.map_batches(cross_only, batch_format="pandas")
