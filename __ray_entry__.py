@@ -514,6 +514,33 @@ def _q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_a", "doc_b", "jaccard_r"]]
 
 
+def _q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroids as exact integer micro-unit sums
+    (stages/similarity.py label_centroids): component-wise
+    floor(v*1e6) BEFORE summing makes the distributed sum order-free
+    and SQL-exact; vectors shuffle as bytes."""
+    from searchengines_ray.stages.similarity import label_centroids
+
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    out = label_centroids(emb).to_pandas()
+    return (
+        out.sort_values(["label", "dim"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "label": "int32",
+                "dim": "int64",
+                "sum_micro": "int64",
+                "n": "int64",
+            }
+        )
+    )
+
+
 def _q_cross_corpus_pairs(sf_dir: str) -> pd.DataFrame:
     """Cross-corpus contamination check (stages/dedup.py
     minhash_cross_pairs_ds): the 'incoming batch' is every doc with
@@ -1711,6 +1738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_agg": _q_hopping_window,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "label_centroids": _q_label_centroids,
         "cross_corpus_pairs": _q_cross_corpus_pairs,
         "minhash_dedup": _q_minhash_dedup,
         "curate_corpus": _q_curate,
@@ -3575,6 +3603,23 @@ def _oracle_sql_impl() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r
             FROM dup_pairs ORDER BY doc_a, doc_b
+        """,
+        "label_centroids": """
+            -- per-(label, dim) exact integer micro-unit sums; floor in
+            -- DOUBLE before summing = the engine's order-free contract
+            SELECT label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS sum_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+              SELECT label,
+                     unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            )
+            GROUP BY 1, 2
+            ORDER BY label, dim
         """,
         "cross_corpus_pairs": f"""
             -- exact all-pairs 3-gram jaccard over the corpus augmented

@@ -311,3 +311,65 @@ class IVFIndex:
         return _merge_topk(
             self._assigned.map_batches(batch_topk, batch_format="pandas"), k
         )
+
+
+def label_centroids(emb_ds, label_col: str = "label",
+                    vec_col: str = "embedding", scale: int = 10**6):
+    """Grouped vector aggregation — per-label embedding sums, the
+    k-means/IVF centroid building block.
+
+    Exact and order-free: each component is floored to integer
+    micro-units (``floor(v * scale)`` in float64) BEFORE summing, so the
+    distributed sum is bit-identical under any partitioning and a SQL
+    engine reproduces it (float sums would be order-dependent).  Returns
+    one row per (label, dim): ``(label, dim [1-based], sum_micro, n)``
+    — callers divide themselves (DuckDB ``//`` truncates negatives
+    toward zero, Python floors, so no division crosses the contract).
+
+    Plan: per-batch partial sums per label (vectorized np.add.at over
+    the (rows, dims) matrix), vectors shuffled as BYTES (a shuffled
+    variable-length array column silently densifies to a TensorArray
+    otherwise — repo lesson), one tiny label groupby.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        labs = batch[label_col].to_numpy()
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+        )
+        micro = np.floor(mat * float(scale)).astype(np.int64)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), micro.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": uniq,
+                "sums": [s.tobytes() for s in sums],
+                "n": cnt,
+            }
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        mats = np.stack(
+            [np.frombuffer(b, dtype=np.int64) for b in group["sums"]]
+        )
+        # all rows in this group share one label (groupby key)
+        lab = group["label"].iloc[0]
+        tot = mats.sum(axis=0)
+        n = int(group["n"].sum())
+        d = len(tot)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(lab, d),
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "sum_micro": tot,
+                "n": np.full(d, n, dtype=np.int64),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(partial, batch_format="pandas")
+        .groupby("label")
+        .map_groups(combine, batch_format="pandas")
+    )

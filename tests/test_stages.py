@@ -1104,3 +1104,29 @@ def test_minhash_cross_pairs(ray_session):
     assert (3, 1002) in got and (50, 1000) in got
     assert all(a < 1000 <= b for a, b in got)
     assert (out["jaccard"] >= 0.5).all()
+
+
+def test_label_centroids(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import label_centroids
+
+    rng = np.random.RandomState(3)
+    rows = [
+        {"label": int(i % 3), "embedding": rng.randn(8).astype(np.float32)}
+        for i in range(100)
+    ]
+    out = (
+        label_centroids(ray.data.from_items(rows).repartition(5))
+        .to_pandas()
+        .set_index(["label", "dim"])
+        .sort_index()
+    )
+    for lab in range(3):
+        mat = np.stack(
+            [r["embedding"] for r in rows if r["label"] == lab]
+        ).astype(np.float64)
+        micro = np.floor(mat * 1e6).astype(np.int64).sum(axis=0)
+        for d in range(8):
+            assert out.loc[(lab, d + 1), "sum_micro"] == micro[d]
+            assert out.loc[(lab, d + 1), "n"] == len(mat)
