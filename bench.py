@@ -176,6 +176,16 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     sj = cosine_similarity_join(emb, threshold=0.4, partitions=8).to_pandas()
     timings["similarity_join"] = time.perf_counter() - t0
 
+    from searchengines_ray.stages.text import ngram_counts, tfidf_keywords
+
+    t0 = time.perf_counter()
+    tfidf_keywords(docs, k=3).materialize()
+    timings["tfidf_keywords"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ngram_counts(docs, n=2, top_k=50).materialize()
+    timings["ngram_counts"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "SPIMI index build + BM25 query batch + data pipelines",
