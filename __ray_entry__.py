@@ -514,6 +514,32 @@ def _q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_a", "doc_b", "jaccard_r"]]
 
 
+def _q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
+    """Int8 max-abs embedding quantization (stages/similarity.py
+    quantize_embeddings) — shuffle-free per-batch map; the float64
+    expression tree (v/amax*127, floor) is mirrored verbatim in SQL."""
+    import ray.data
+
+    from searchengines_ray.stages.similarity import quantize_embeddings
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = quantize_embeddings(emb).to_pandas()
+    return (
+        out.sort_values(["vec_id", "dim"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "vec_id": "int64",
+                "dim": "int64",
+                "q": "int64",
+                "amax_micro": "int64",
+            }
+        )
+    )
+
+
 def _q_label_centroids(sf_dir: str) -> pd.DataFrame:
     """Per-label embedding centroids as exact integer micro-unit sums
     (stages/similarity.py label_centroids): component-wise
@@ -1738,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_agg": _q_hopping_window,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "embedding_quantize": _q_embedding_quantize,
         "label_centroids": _q_label_centroids,
         "cross_corpus_pairs": _q_cross_corpus_pairs,
         "minhash_dedup": _q_minhash_dedup,
@@ -3603,6 +3630,27 @@ def _oracle_sql_impl() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r
             FROM dup_pairs ORDER BY doc_a, doc_b
+        """,
+        "embedding_quantize": """
+            -- int8 max-abs quantization, float64 expression order
+            -- mirrored from the engine (v / amax * 127.0, floor)
+            WITH e AS (
+              SELECT vec_id,
+                     unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS amax
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CAST(dim AS BIGINT) AS dim,
+                   CASE WHEN amax = 0 THEN 0
+                        ELSE CAST(FLOOR((CAST(v AS DOUBLE) / amax)
+                                        * 127.0) AS BIGINT)
+                   END AS q,
+                   CAST(FLOOR(amax * 1000000.0) AS BIGINT) AS amax_micro
+            FROM e
+            ORDER BY vec_id, dim
         """,
         "label_centroids": """
             -- per-(label, dim) exact integer micro-unit sums; floor in

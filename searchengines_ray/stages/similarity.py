@@ -373,3 +373,43 @@ def label_centroids(emb_ds, label_col: str = "label",
         .groupby("label")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def quantize_embeddings(emb_ds, bits: int = 8,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Per-vector max-abs int quantization — the embedding-store
+    compression step (float32 -> int8 cuts a 100-TB vector corpus 4x
+    before ANN serving).
+
+    ``q_i = floor((v_i / amax) * qmax)`` with amax = max(|v_i|) and
+    qmax = 2^(bits-1) - 1, all in float64, so the SQL mirror (CAST to
+    DOUBLE + the same expression order) is bit-exact; an all-zero
+    vector quantizes to zeros.  Embarrassingly parallel per-batch map —
+    no shuffle.  Returns exploded rows ``(vec_id, dim [1-based], q)``
+    plus ``amax_micro = floor(amax * 1e6)`` for dequantization audit.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+
+    def quant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+        )
+        n, d = mat.shape
+        amax = np.abs(mat).max(axis=1)
+        safe = np.where(amax == 0.0, 1.0, amax)
+        q = np.floor((mat / safe[:, None]) * qmax).astype(np.int64)
+        q[amax == 0.0, :] = 0
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+                "q": q.ravel(),
+                "amax_micro": np.repeat(
+                    np.floor(amax * 1e6).astype(np.int64), d
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(quant, batch_format="pandas")

@@ -1130,3 +1130,34 @@ def test_label_centroids(ray_session):
         for d in range(8):
             assert out.loc[(lab, d + 1), "sum_micro"] == micro[d]
             assert out.loc[(lab, d + 1), "n"] == len(mat)
+
+
+def test_quantize_embeddings(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import quantize_embeddings
+
+    rows = [
+        {"vec_id": 0, "embedding": np.array([1.0, -0.5, 0.25],
+                                            dtype=np.float32)},
+        {"vec_id": 1, "embedding": np.zeros(3, dtype=np.float32)},
+        {"vec_id": 2, "embedding": np.array([-2.0, 2.0, 1.0],
+                                            dtype=np.float32)},
+    ]
+    out = (
+        quantize_embeddings(ray.data.from_items(rows).repartition(2))
+        .to_pandas()
+        .set_index(["vec_id", "dim"])
+        .sort_index()
+    )
+    # vec 0: amax 1.0 -> q = floor(v*127)
+    assert out.loc[(0, 1), "q"] == 127
+    assert out.loc[(0, 2), "q"] == int(np.floor(-0.5 * 127))  # -64
+    assert out.loc[(0, 3), "q"] == int(np.floor(0.25 * 127))
+    # zero vector -> zeros, amax_micro 0
+    assert (out.loc[1]["q"] == 0).all()
+    assert (out.loc[1]["amax_micro"] == 0).all()
+    # vec 2: amax 2.0
+    assert out.loc[(2, 1), "q"] == -127
+    assert out.loc[(2, 3), "q"] == int(np.floor(0.5 * 127))
+    assert out.loc[(2, 2), "amax_micro"] == 2_000_000
