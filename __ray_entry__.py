@@ -903,6 +903,27 @@ def _q_window_top_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered view -> click -> purchase funnel per user
+    (stages/windows.py funnel_stages): one user-hash shuffle, stage
+    transitions as vectorized merge + groupby-min chains; strictly-after
+    semantics on exact int64 microseconds."""
+    import ray.data
+
+    from searchengines_ray.stages.windows import funnel_stages
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    out = funnel_stages(ev).to_pandas()
+    return (
+        out.sort_values("user_id")
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "reached": "int64"})
+    )
+
+
 def _q_pagerank_events(sf_dir: str) -> pd.DataFrame:
     """Integer-deterministic PageRank (stages/graph.py pagerank) over
     the bipartite user -> item graph from events (item = 1e6 + props.k):
@@ -1781,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_join": _q_doc_embedding_join,
         "anti_join_blocklist": _q_anti_join_blocklist,
         "pagerank_events": _q_pagerank_events,
+        "funnel": _q_funnel,
         "window_top_events": _q_window_top_events,
         "tfidf_keywords": _q_tfidf_keywords,
         "unigram_lm": _q_unigram_lm,
@@ -4029,6 +4051,36 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "funnel": """
+            -- ordered funnel: stage k+1 strictly after the EARLIEST
+            -- stage-k time (MIN(ts) ... ts > prev join chain)
+            WITH v AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+              SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+              GROUP BY 1
+            ),
+            p AS (
+              SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             WHEN v.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS reached
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
+            ORDER BY u.user_id
         """,
         "window_top_events": """
             -- top-2 event types per hourly window, tie rule

@@ -10,6 +10,7 @@ watermarks needed).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -163,4 +164,77 @@ def sessionize(events_ds, gap_minutes: int = 30, salt_hours: int | None = 24):
     )
     return pass1.groupby("user_id").map_groups(
         stitch, batch_format="pandas"
+    )
+
+
+def funnel_stages(events_ds, stages=("view", "click", "purchase"),
+                  coarse_buckets: int = 256):
+    """Ordered funnel analysis: how far down ``stages`` each user got,
+    where stage k+1 must occur STRICTLY after the earliest time stage k
+    was reached (exact int64 microseconds; the SQL mirror is a chain of
+    ``MIN(ts) ... WHERE ts > prev`` joins).
+
+    Returns ``(user_id, reached)`` for every user with >= 1 event,
+    ``reached`` in 0..len(stages).
+
+    Plan: events shuffle ONCE on a user-hash coarse bucket; inside each
+    bucket every stage transition is a vectorized merge + groupby-min
+    over that stage's rows only (no per-user Python, no per-event
+    scan per stage).  Users never span buckets, so the fold is exact.
+    """
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "ts_us": batch["ts"]
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "event_type": batch["event_type"],
+                "_cb": (
+                    (u.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(coarse_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame(
+            {"user_id": group["user_id"].unique().astype(np.int64)}
+        )
+        reached = pd.Series(
+            np.zeros(len(users), dtype=np.int64),
+            index=users["user_id"].to_numpy(),
+        )
+        # prev: per-user time the previous stage was first reached
+        prev = None
+        for depth, ev in enumerate(stages, start=1):
+            rows = group.loc[
+                group["event_type"] == ev, ["user_id", "ts_us"]
+            ]
+            if prev is not None:
+                rows = rows.merge(prev, on="user_id")
+                rows = rows.loc[rows["ts_us"] > rows["prev_us"]]
+            if rows.empty:
+                break
+            cur = (
+                rows.groupby("user_id", as_index=False)["ts_us"]
+                .min()
+                .rename(columns={"ts_us": "prev_us"})
+            )
+            reached.loc[cur["user_id"].to_numpy()] = depth
+            prev = cur
+            rows = None
+        return pd.DataFrame(
+            {
+                "user_id": reached.index.to_numpy(),
+                "reached": reached.to_numpy(),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(fold, batch_format="pandas")
     )

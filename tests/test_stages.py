@@ -1161,3 +1161,43 @@ def test_quantize_embeddings(ray_session):
     assert out.loc[(2, 1), "q"] == -127
     assert out.loc[(2, 3), "q"] == int(np.floor(0.5 * 127))
     assert out.loc[(2, 2), "amax_micro"] == 2_000_000
+
+
+def test_funnel_stages(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import funnel_stages
+
+    T = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = []
+    # user 1: full funnel in order
+    for i, ev in enumerate(["view", "click", "purchase"]):
+        rows.append({"user_id": 1, "ts": T + i * s, "event_type": ev})
+    # user 2: click BEFORE first view -> stuck at view (reached 1);
+    # later click advances it only if after first view... it's before.
+    rows += [
+        {"user_id": 2, "ts": T, "event_type": "click"},
+        {"user_id": 2, "ts": T + s, "event_type": "view"},
+    ]
+    # user 3: view then click at SAME timestamp as view -> strictly-after
+    # fails, reached 1
+    rows += [
+        {"user_id": 3, "ts": T, "event_type": "view"},
+        {"user_id": 3, "ts": T, "event_type": "click"},
+    ]
+    # user 4: purchase only -> 0
+    rows += [{"user_id": 4, "ts": T, "event_type": "purchase"}]
+    # user 5: view, click after, purchase BETWEEN view and click -> 2
+    rows += [
+        {"user_id": 5, "ts": T, "event_type": "view"},
+        {"user_id": 5, "ts": T + 1 * s, "event_type": "purchase"},
+        {"user_id": 5, "ts": T + 2 * s, "event_type": "click"},
+    ]
+    out = (
+        funnel_stages(ray.data.from_items(rows).repartition(3))
+        .to_pandas()
+        .set_index("user_id")["reached"]
+        .sort_index()
+    )
+    assert out.to_dict() == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
