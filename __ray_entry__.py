@@ -903,6 +903,32 @@ def _q_window_top_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix (stages/windows.py cohort_retention):
+    users bucketed by first-active epoch day, distinct-active-day
+    offsets counted — one user shuffle plus a tiny (cohort, offset)
+    partial-sum groupby; exact integer day arithmetic."""
+    import ray.data
+
+    from searchengines_ray.stages.windows import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = cohort_retention(ev).to_pandas()
+    return (
+        out.sort_values(["cohort_day", "offset_days"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "cohort_day": "int64",
+                "offset_days": "int64",
+                "n_users": "int64",
+            }
+        )
+    )
+
+
 def _q_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered view -> click -> purchase funnel per user
     (stages/windows.py funnel_stages): one user-hash shuffle, stage
@@ -1803,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_blocklist": _q_anti_join_blocklist,
         "pagerank_events": _q_pagerank_events,
         "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         "window_top_events": _q_window_top_events,
         "tfidf_keywords": _q_tfidf_keywords,
         "unigram_lm": _q_unigram_lm,
@@ -4051,6 +4078,24 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "cohort_retention": """
+            -- retention matrix over exact epoch days (// truncation ==
+            -- floor for positive epochs)
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            c AS (
+              SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1
+            )
+            SELECT c.cohort_day,
+                   d.day - c.cohort_day AS offset_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY cohort_day, offset_days
         """,
         "funnel": """
             -- ordered funnel: stage k+1 strictly after the EARLIEST

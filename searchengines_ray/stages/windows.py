@@ -238,3 +238,74 @@ def funnel_stages(events_ds, stages=("view", "click", "purchase"),
         .groupby("_cb")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def cohort_retention(events_ds, coarse_buckets: int = 256):
+    """Cohort retention matrix: users grouped by first-active day
+    (cohort), counted on each later active day offset.
+
+    Returns ``(cohort_day, offset_days, n_users)`` — n_users = number
+    of cohort members active exactly ``offset_days`` after their first
+    day (offset 0 = the cohort size itself, since day 0 is active by
+    definition).  Exact integer day arithmetic (epoch days).
+
+    Plan: one user-hash shuffle; each bucket reduces every user to its
+    distinct (cohort, offset) day set (vectorized groupby-min + merge),
+    emits per-bucket partial counts, and one tiny (cohort, offset)
+    groupby sums them — the shuffle moves day-set-sized partials, never
+    events.
+    """
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        day = (
+            batch["ts"].astype("datetime64[us]").astype("int64")
+            // np.int64(86_400_000_000)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "day": day,
+                "_cb": (
+                    (u.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(coarse_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["user_id", "day"]].drop_duplicates()
+        g = g.merge(
+            g.groupby("user_id", as_index=False)["day"]
+            .min()
+            .rename(columns={"day": "cohort_day"}),
+            on="user_id",
+        )
+        g["offset_days"] = g["day"] - g["cohort_day"]
+        out = g.groupby(["cohort_day", "offset_days"], as_index=False).size()
+        out = out.rename(columns={"size": "n_users"})
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    def partial_key(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["_k"] = (
+            (b["cohort_day"].to_numpy().astype(np.uint64) * np.uint64(1000003)
+             + b["offset_days"].to_numpy().astype(np.uint64))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return b
+
+    return (
+        events_ds.map_batches(tag, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(per_user, batch_format="pandas")
+        .map_batches(partial_key, batch_format="pandas")
+        .groupby("_k")
+        .map_groups(
+            lambda g: g.groupby(["cohort_day", "offset_days"], as_index=False)[
+                "n_users"
+            ].sum(),
+            batch_format="pandas",
+        )
+    )

@@ -1201,3 +1201,41 @@ def test_funnel_stages(ray_session):
         .sort_index()
     )
     assert out.to_dict() == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+
+def test_cohort_retention(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import cohort_retention
+
+    D = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    hrs = pd.Timedelta(hours=3)
+    rows = []
+    # cohort day0: users 1,2; user 1 active d0,d1,d3 (twice on d1);
+    # user 2 only d0
+    rows += [
+        {"user_id": 1, "ts": D},
+        {"user_id": 1, "ts": D + day},
+        {"user_id": 1, "ts": D + day + hrs},
+        {"user_id": 1, "ts": D + 3 * day},
+        {"user_id": 2, "ts": D + hrs},
+    ]
+    # cohort day1: user 3 active d1,d2
+    rows += [
+        {"user_id": 3, "ts": D + day},
+        {"user_id": 3, "ts": D + 2 * day},
+    ]
+    out = (
+        cohort_retention(ray.data.from_items(rows).repartition(3))
+        .to_pandas()
+        .set_index(["cohort_day", "offset_days"])["n_users"]
+        .sort_index()
+    )
+    d0 = int(
+        (D - pd.Timestamp("1970-01-01")).total_seconds() // 86400
+    )
+    assert out.to_dict() == {
+        (d0, 0): 2, (d0, 1): 1, (d0, 3): 1,
+        (d0 + 1, 0): 1, (d0 + 1, 1): 1,
+    }
