@@ -696,18 +696,27 @@ def pmi_collocations(ds, top_k: int = 30, min_count: int = 5,
             columns={"w2": "w", "ca": "cb"}
         )
         m = big.merge(uni, left_on="w2", right_on="w")
-        # frozen float expression tree: ((cab*T)*T) / (((B*ca)*cb))
+        # frozen float expression tree: ((cab*T)*T) / (((B*ca)*cb));
+        # scalar libm ln once per UNIQUE (cab, ca, cb) triple (small
+        # counts repeat heavily), not per surviving bigram
+        trip = m[["cab", "ca", "cb"]].drop_duplicates()
+        memo = {
+            (int(cab), int(ca), int(cb)): int(
+                math.floor(
+                    math.log(
+                        ((float(cab) * T) * T)
+                        / ((B * float(ca)) * float(cb))
+                    )
+                    * 1e6
+                )
+            )
+            for cab, ca, cb in zip(
+                trip["cab"], trip["ca"], trip["cb"]
+            )
+        }
         pmi = np.asarray(
             [
-                int(
-                    math.floor(
-                        math.log(
-                            ((float(cab) * T) * T)
-                            / ((B * float(ca)) * float(cb))
-                        )
-                        * 1e6
-                    )
-                )
+                memo[(int(cab), int(ca), int(cb))]
                 for cab, ca, cb in zip(m["cab"], m["ca"], m["cb"])
             ],
             dtype=np.int64,
