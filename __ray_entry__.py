@@ -567,6 +567,24 @@ def _q_label_centroids(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_allpairs_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact AllPairs prefix-filter similarity self-join
+    (stages/dedup.py allpairs_jaccard_ds): guaranteed recall with no
+    LSH probabilism — must reproduce the exact all-pairs SQL answer
+    (the same ground truth the minhash_pairs entry matches)."""
+    from searchengines_ray.stages.dedup import allpairs_jaccard_ds
+
+    out = (
+        allpairs_jaccard_ds(_docs(sf_dir), threshold=0.5)
+        .to_pandas()
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    out["jaccard_r"] = np.floor(out.pop("jaccard").to_numpy() * 1e6) / 1e6
+    return out
+
+
 def _q_cross_corpus_pairs(sf_dir: str) -> pd.DataFrame:
     """Cross-corpus contamination check (stages/dedup.py
     minhash_cross_pairs_ds): the 'incoming batch' is every doc with
@@ -1811,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_agg": _q_hopping_window,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "allpairs_jaccard": _q_allpairs_jaccard,
         "embedding_quantize": _q_embedding_quantize,
         "label_centroids": _q_label_centroids,
         "cross_corpus_pairs": _q_cross_corpus_pairs,
@@ -3675,6 +3694,15 @@ def _oracle_sql_impl() -> dict[str, str]:
             -- pairs this corpus contains (verified: both sides emit the same
             -- 25 pairs at sf0.01), so candidate generation + verification
             -- must reproduce the exact all-pairs answer.
+            WITH {_SHINGLE_PAIRS}
+            SELECT doc_a, doc_b,
+                   FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r
+            FROM dup_pairs ORDER BY doc_a, doc_b
+        """,
+        "allpairs_jaccard": f"""
+            -- the SAME exact all-pairs ground truth as minhash_pairs;
+            -- AllPairs prefix filtering must reproduce it with
+            -- guaranteed (non-probabilistic) recall
             WITH {_SHINGLE_PAIRS}
             SELECT doc_a, doc_b,
                    FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r

@@ -1396,3 +1396,115 @@ def minhash_cross_pairs_ds(
         return batch.loc[(a < id_offset) & (b >= id_offset)]
 
     return pairs.map_batches(cross_only, batch_format="pandas")
+
+
+def allpairs_jaccard_ds(
+    ds,
+    threshold: float = 0.5,
+    shingle: int = 3,
+    coarse_buckets: int = 1024,
+):
+    """EXACT set-similarity self-join via AllPairs prefix filtering —
+    the deterministic-recall alternative to MinHash-LSH (Bayardo et al.
+    WWW'07 scheme, re-derived): every pair with n-gram Jaccard >=
+    threshold is guaranteed found; no probabilistic band misses.
+
+    Prefix rule: order each doc's shingles by GLOBAL rarity (df asc,
+    shingle asc — one consistent total order); a doc of n shingles
+    emits only its first ``n - floor(t*n) + 1`` as candidate keys.  If
+    J(A,B) >= t, the globally-smallest common shingle provably lies in
+    BOTH prefixes, so the pair forms in that shingle's group.  Prefix
+    tokens are the rarest by construction, which is what bounds
+    candidate fan-out (a frequent shingle is almost never a prefix).
+
+    Plan: shingle rows (doc, sh, n) -> df attach (shingle-hash
+    shuffle) -> per-doc prefix cut (doc-hash shuffle) -> candidate
+    pairs per exact shingle (shingle-hash shuffle) -> exact-Jaccard
+    verification (:func:`minhash_verify_pairs_ds`, which also collapses
+    duplicate candidates).  Pairs stay a Dataset end-to-end; nothing is
+    capped or dropped.  ``threshold`` should be exactly representable
+    in binary (0.5, 0.25, ...) so ``floor(t*n)`` cannot round up past
+    an exact integer product and shorten a prefix.
+    """
+    kn = np.uint64(2654435761)
+    cb = np.uint64(coarse_buckets)
+
+    def sh_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        sets = _batch_shingle_sets(list(batch["text"]), shingle)
+        lens = np.asarray([len(s) for s in sets], dtype=np.int64)
+        doc = np.repeat(ids, lens)
+        n = np.repeat(lens, lens)
+        sh = (
+            np.concatenate(sets).astype(np.uint64)
+            if lens.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "sh": sh.astype(np.int64),
+                "n": n,
+                "_sb": ((sh * kn) % cb).astype(np.int64),
+            }
+        )
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["df"] = (
+            g.groupby("sh")["doc_id"].transform("size").astype("int64")
+        )
+        g["_db"] = (
+            (g["doc_id"].to_numpy().astype(np.uint64) * kn) % cb
+        ).astype(np.int64)
+        return g[["doc_id", "sh", "n", "df", "_db"]]
+
+    def prefixes(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "df", "sh"], kind="mergesort")
+        rank = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+        n = g["n"].to_numpy().astype(np.float64)
+        p = (
+            g["n"].to_numpy().astype(np.int64)
+            - np.floor(threshold * n).astype(np.int64)
+            + 1
+        )
+        out = g.loc[rank < p, ["doc_id", "sh"]].copy()
+        out["_sb2"] = (
+            (out["sh"].to_numpy().astype(np.uint64) * kn) % cb
+        ).astype(np.int64)
+        return out
+
+    def cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sh", "doc_id"], kind="mergesort")
+        sizes = g.groupby("sh", sort=False)["doc_id"].transform("size")
+        multi = g.loc[sizes.to_numpy() > 1]
+        frames = []
+        for _, sub in multi.groupby("sh", sort=False):
+            ids = np.unique(sub["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), 1)
+            frames.append(
+                pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = (
+        ds.map_batches(sh_rows, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(prefixes, batch_format="pandas")
+        .groupby("_sb2")
+        .map_groups(cand_pairs, batch_format="pandas")
+    )
+    # verify collapses duplicate candidates (groups by pair) and applies
+    # the exact n-gram Jaccard >= threshold filter
+    return minhash_verify_pairs_ds(ds, pairs, threshold, shingle)

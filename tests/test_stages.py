@@ -1239,3 +1239,42 @@ def test_cohort_retention(ray_session):
         (d0, 0): 2, (d0, 1): 1, (d0, 3): 1,
         (d0 + 1, 0): 1, (d0 + 1, 1): 1,
     }
+
+
+def test_allpairs_exact_recall(ray_session):
+    """AllPairs prefix filtering must find the borderline-jaccard pair
+    (j~0.56) that the MinHash-LSH pipeline provably misses with this
+    hash choice — exact recall is the whole point of the operator."""
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        allpairs_jaccard_ds,
+        minhash_dedup_pairs,
+        ngram_jaccard,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(f"u{i}_{j}" for j in range(60))}
+        for i in range(10)
+    ]
+    rows.append({"doc_id": 50, "text": base + " tiny suffix"})
+    rows.append({"doc_id": 60, "text": base + " slight change at the end"})
+    assert 0.5 < ngram_jaccard(rows[-2]["text"], rows[-1]["text"], 3) < 0.6
+
+    ds = ray.data.from_items(rows).repartition(3)
+    lsh = minhash_dedup_pairs(ds, threshold=0.5)
+    assert (50, 60) not in set(zip(lsh["doc_a"], lsh["doc_b"]))  # the miss
+
+    ap = (
+        allpairs_jaccard_ds(ds, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    got = list(zip(ap["doc_a"], ap["doc_b"]))
+    assert got == [(50, 60)]
+    assert abs(
+        ap["jaccard"].iloc[0]
+        - ngram_jaccard(rows[-2]["text"], rows[-1]["text"], 3)
+    ) < 1e-12
