@@ -1003,6 +1003,34 @@ def _q_pagerank_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """Text normalization (stages/text.py normalize_text) over a corpus
+    with PLANTED whitespace noise (the synthetic text is already clean,
+    so the entry injects '  ' prefix, one ' \\t ' mid-doc, ' \\n'
+    suffix — first-occurrence replace, SQL-reproducible) and checks the
+    cleaned bytes."""
+    from searchengines_ray.stages.text import normalize_text
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        noisy = (
+            "  "
+            + b["text"].fillna("").str.replace(
+                " ", " \t ", n=1, regex=False
+            )
+            + " \n"
+        )
+        return pd.DataFrame({"doc_id": b["doc_id"], "text": noisy})
+
+    out = normalize_text(
+        _docs(sf_dir).map_batches(plant, batch_format="pandas")
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chars_norm": "int64"})
+    )
+
+
 def _q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
     """Top-3 tf-idf keywords per document (stages/text.py
     tfidf_keywords): two bucketed shuffles (df by term, top-k by doc),
@@ -1846,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": _q_split_counts,
         "doc_embedding_join": _q_doc_embedding_join,
         "anti_join_blocklist": _q_anti_join_blocklist,
+        "normalize_text": _q_normalize_text,
         "pagerank_events": _q_pagerank_events,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
@@ -4279,6 +4308,33 @@ def _oracle_sql_impl() -> dict[str, str]:
                       % 4294967296) % 1000) < 200
             )
             ORDER BY d.doc_id
+        """,
+        "normalize_text": """
+            -- plant noise (first-occurrence replace), then the FIXED
+            -- RE2 regexp_replace chain mirroring normalize_text
+            WITH noisy AS (
+              SELECT doc_id,
+                     '  ' || regexp_replace(text, ' ',
+                       ' ' || chr(9) || ' ') || ' ' || chr(10) AS t
+              FROM documents
+            ),
+            s1 AS (SELECT doc_id, regexp_replace(t,
+                     '[\\x00-\\x09\\x0b-\\x1f\\x7f]', ' ', 'g') AS t
+                   FROM noisy),
+            s2 AS (SELECT doc_id,
+                     regexp_replace(t, '[ ' || chr(9) || ']+', ' ', 'g')
+                       AS t FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t,
+                     ' ?' || chr(10) || ' ?', chr(10), 'g') AS t
+                   FROM s2),
+            s4 AS (SELECT doc_id, regexp_replace(t,
+                     chr(10) || '+', chr(10), 'g') AS t FROM s3),
+            s5 AS (SELECT doc_id, regexp_replace(t,
+                     '^[ ' || chr(10) || ']+|[ ' || chr(10) || ']+$',
+                     '', 'g') AS t FROM s4)
+            SELECT doc_id, t AS text_norm,
+                   CAST(length(t) AS BIGINT) AS n_chars_norm
+            FROM s5 ORDER BY doc_id
         """,
         "tfidf_keywords": """
             -- top-3 tf-idf terms per doc; score_micro =

@@ -854,3 +854,37 @@ def tfidf_keywords(ds, k: int = 3, buckets: int = 64):
         .groupby("_b2")
         .map_groups(doc_topk, batch_format="pandas")
     )
+
+
+def normalize_text(ds):
+    """Canonical text cleanup before tokenize/dedup: strip ASCII control
+    characters (keep \\n), collapse space/tab runs to one space, trim
+    line edges, drop blank lines, trim the document.  Shuffle-free
+    per-batch map.
+
+    Patterns are RE2-compatible and applied in a FIXED order so a DuckDB
+    ``regexp_replace(..., 'g')`` chain reproduces the output
+    byte-for-byte (the PIIRedactor contract).  Returns
+    ``(doc_id, text_norm, n_chars_norm)``.
+    """
+    steps = [
+        (re.compile(r"[\x00-\x09\x0b-\x1f\x7f]"), " "),  # controls -> sp
+        (re.compile(r"[ \t]+"), " "),            # collapse runs
+        (re.compile(r" ?\n ?"), "\n"),           # trim line edges
+        (re.compile(r"\n+"), "\n"),              # drop blank lines
+        (re.compile(r"^[ \n]+|[ \n]+$"), ""),    # trim document
+    ]
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        cur = batch["text"].fillna("")
+        for rx, repl in steps:
+            cur = cur.str.replace(rx, repl, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "text_norm": cur,
+                "n_chars_norm": cur.str.len().astype("int64"),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pandas")

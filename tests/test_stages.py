@@ -1278,3 +1278,26 @@ def test_allpairs_exact_recall(ray_session):
         ap["jaccard"].iloc[0]
         - ngram_jaccard(rows[-2]["text"], rows[-1]["text"], 3)
     ) < 1e-12
+
+
+def test_normalize_text(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import normalize_text
+
+    rows = [
+        {"doc_id": 0, "text": "  a\tb   c  \n\n  d e \x00\x07f  \n"},
+        {"doc_id": 1, "text": "\n\n\n"},
+        {"doc_id": 2, "text": "clean text"},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = (
+        normalize_text(ray.data.from_items(rows).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")["text_norm"]
+        .sort_index()
+    )
+    assert out[0] == "a b c\nd e f"
+    assert out[1] == ""
+    assert out[2] == "clean text"
+    assert out[3] == ""
