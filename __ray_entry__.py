@@ -567,6 +567,41 @@ def _q_label_centroids(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_incremental_ingest(sf_dir: str) -> pd.DataFrame:
+    """Incremental ingest dedup — the composition an append-only corpus
+    runs per batch: incoming docs (hash bucket >= 800) are ANTI-joined
+    against the already-ingested registry (bucket < 800) on exact
+    content, then exact-deduped within the batch (keep min doc_id).
+    Pure composition of hash_equijoin(how='anti') + exact_dedup."""
+    import ray.data
+
+    from searchengines_ray.stages.dedup import exact_dedup
+    from searchengines_ray.stages.joins import hash_equijoin
+    from searchengines_ray.stages.sample import sample_mask
+
+    def split_part(keep_low: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            m = sample_mask(b["doc_id"].to_numpy(), 800)
+            return b.loc[m if keep_low else ~m, ["doc_id", "text"]]
+
+        return f
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    registry = docs.map_batches(split_part(True), batch_format="pandas")
+    incoming = docs.map_batches(split_part(False), batch_format="pandas")
+    fresh = hash_equijoin(
+        incoming, registry, left_on="text", right_on="text", how="anti"
+    )
+    out = exact_dedup(fresh).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def _q_allpairs_jaccard(sf_dir: str) -> pd.DataFrame:
     """Exact AllPairs prefix-filter similarity self-join
     (stages/dedup.py allpairs_jaccard_ds): guaranteed recall with no
@@ -1858,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "allpairs_jaccard": _q_allpairs_jaccard,
+        "incremental_ingest": _q_incremental_ingest,
         "embedding_quantize": _q_embedding_quantize,
         "label_centroids": _q_label_centroids,
         "cross_corpus_pairs": _q_cross_corpus_pairs,
@@ -3727,6 +3763,25 @@ def _oracle_sql_impl() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r
             FROM dup_pairs ORDER BY doc_a, doc_b
+        """,
+        "incremental_ingest": """
+            -- incoming batch (Knuth bucket >= 800) minus exact-content
+            -- matches in the registry (bucket < 800), keep-first within
+            -- the batch
+            WITH b AS (
+              SELECT doc_id, text,
+                     ((((doc_id % 2147483648) * 2654435761)
+                       % 4294967296) % 1000) AS bk
+              FROM documents
+            ),
+            reg AS (SELECT text FROM b WHERE bk < 800),
+            inc AS (SELECT doc_id, text FROM b WHERE bk >= 800)
+            SELECT i.doc_id FROM inc i
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM reg r WHERE r.text = i.text)
+              AND i.doc_id = (SELECT MIN(j.doc_id) FROM inc j
+                              WHERE j.text = i.text)
+            ORDER BY i.doc_id
         """,
         "allpairs_jaccard": f"""
             -- the SAME exact all-pairs ground truth as minhash_pairs;
