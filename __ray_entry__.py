@@ -567,6 +567,19 @@ def _q_label_centroids(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_dup_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the near-dup pair graph (jaccard >= 0.5)
+    — degree-ordered wedge join (stages/graph.py triangle_count) over
+    the exact AllPairs pair set (guaranteed-recall input, so the SQL
+    3-way self-join is the precise ground truth)."""
+    from searchengines_ray.stages.dedup import allpairs_jaccard_ds
+    from searchengines_ray.stages.graph import triangle_count
+
+    pairs = allpairs_jaccard_ds(_docs(sf_dir), threshold=0.5)
+    n = triangle_count(pairs)
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
 def _q_incremental_ingest(sf_dir: str) -> pd.DataFrame:
     """Incremental ingest dedup — the composition an append-only corpus
     runs per batch: incoming docs (hash bucket >= 800) are ANTI-joined
@@ -1893,6 +1906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "allpairs_jaccard": _q_allpairs_jaccard,
+        "dup_triangles": _q_dup_triangles,
         "incremental_ingest": _q_incremental_ingest,
         "embedding_quantize": _q_embedding_quantize,
         "label_centroids": _q_label_centroids,
@@ -3763,6 +3777,16 @@ def _oracle_sql_impl() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    FLOOR(jaccard * 1000000) / 1000000 AS jaccard_r
             FROM dup_pairs ORDER BY doc_a, doc_b
+        """,
+        "dup_triangles": f"""
+            -- triangles of the exact jaccard>=0.5 pair graph: pairs are
+            -- (a < b), so each triangle x<y<z matches exactly once
+            WITH {_SHINGLE_PAIRS},
+            e AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         "incremental_ingest": """
             -- incoming batch (Knuth bucket >= 800) minus exact-content

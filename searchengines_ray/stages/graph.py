@@ -400,3 +400,175 @@ def pagerank(
             .repartition(nblocks)
         )
     return ranks
+
+
+def triangle_count(pairs_ds, coarse_buckets: int = 256) -> int:
+    """Exact triangle count of an undirected pair Dataset ``(doc_a,
+    doc_b)`` (doc_a < doc_b, duplicates tolerated) — the third graph op
+    beside connected components and PageRank.
+
+    Degree-ordered wedge join (the classic MR scheme): edges orient
+    low -> high by the total order (degree, node), so every wedge is
+    generated at its LOWEST-degree apex — per-node wedge fan-out is
+    bounded by out-degree^2 <= O(E) total instead of hub-degree^2 —
+    and each triangle is counted exactly once as (apex wedge) x
+    (closing oriented edge).
+
+    Plan: degree table (endpoint-partial counts + one node groupby),
+    two equi-joins attach endpoint degrees, wedges form per apex inside
+    a src-bucketed groupby (vectorized triu pairs), and a final
+    (v, w)-hash groupby matches wedges against oriented edges; the
+    count is a distributed sum.  Only the scalar total reaches the
+    driver.
+    """
+    import ray.data
+
+    from .joins import hash_equijoin
+
+    def dedup_edges(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["doc_a", "doc_b"]].drop_duplicates()
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["doc_a", "doc_b"]].drop_duplicates()
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        c = b["doc_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": a,
+                "doc_b": c,
+                "_cb": _nbucket(
+                    a * np.int64(1000003) + c, coarse_buckets
+                ),
+            }
+        )
+
+    edges = (
+        pairs_ds.map_batches(edge_partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(dedup_edges, batch_format="pandas")
+        .materialize()
+    )
+
+    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.concatenate(
+            [
+                batch["doc_a"].to_numpy().astype(np.int64),
+                batch["doc_b"].to_numpy().astype(np.int64),
+            ]
+        )
+        u, c = np.unique(n, return_counts=True)
+        return pd.DataFrame(
+            {
+                "node": u,
+                "deg": c.astype(np.int64),
+                "_cb": _nbucket(u, coarse_buckets),
+            }
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(
+            lambda g: g.groupby("node", as_index=False)["deg"].sum(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    ewd = hash_equijoin(
+        hash_equijoin(
+            edges, deg, left_on="doc_a", right_on="node",
+            right_cols=("deg",), coarse_buckets=coarse_buckets,
+        ).map_batches(
+            lambda b: b.rename(columns={"r_deg": "deg_a"}),
+            batch_format="pandas",
+        ),
+        deg,
+        left_on="doc_b",
+        right_on="node",
+        right_cols=("deg",),
+        coarse_buckets=coarse_buckets,
+    ).map_batches(
+        lambda b: b.rename(columns={"r_deg": "deg_b"}),
+        batch_format="pandas",
+    )
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        da = batch["deg_a"].to_numpy().astype(np.int64)
+        db = batch["deg_b"].to_numpy().astype(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        sd = np.where(a_first, da, db)
+        dd = np.where(a_first, db, da)
+        return pd.DataFrame(
+            {
+                "src": src,
+                "dst": dst,
+                "sdeg": sd,
+                "ddeg": dd,
+                "_sb": _nbucket(src, coarse_buckets),
+            }
+        )
+
+    oriented = ewd.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedge_rows(group: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in group.groupby("src", sort=False):
+            if len(sub) < 2:
+                continue
+            # order out-neighbors by the global (deg, node) order so the
+            # wedge key matches the closing edge's orientation
+            s = sub.sort_values(["ddeg", "dst"], kind="mergesort")
+            d = s["dst"].to_numpy()
+            ii, jj = np.triu_indices(len(d), 1)
+            frames.append(pd.DataFrame({"v": d[ii], "w": d[jj]}))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "v": pd.array([], dtype="int64"),
+                    "w": pd.array([], dtype="int64"),
+                    "kind": pd.array([], dtype="int8"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["kind"] = np.int8(0)
+        return out
+
+    def edge_key_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "v": batch["src"].to_numpy().astype(np.int64),
+                "w": batch["dst"].to_numpy().astype(np.int64),
+                "kind": np.full(len(batch), 1, dtype=np.int8),
+            }
+        )
+
+    def add_wb(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["_wb"] = _nbucket(
+            b["v"].to_numpy().astype(np.int64) * np.int64(1000003)
+            + b["w"].to_numpy().astype(np.int64),
+            coarse_buckets,
+        )
+        return b
+
+    def close_count(group: pd.DataFrame) -> pd.DataFrame:
+        is_edge = group["kind"].to_numpy() == 1
+        e = group.loc[is_edge, ["v", "w"]].drop_duplicates()
+        wedges = group.loc[~is_edge, ["v", "w"]]
+        return pd.DataFrame({"n": [int(len(wedges.merge(e, on=["v", "w"])))]})
+
+    tagged = (
+        oriented.groupby("_sb")
+        .map_groups(wedge_rows, batch_format="pandas")
+        .union(oriented.map_batches(edge_key_rows, batch_format="pandas"))
+        .map_batches(add_wb, batch_format="pandas")
+    )
+    total = tagged.groupby("_wb").map_groups(
+        close_count, batch_format="pandas"
+    ).sum("n")
+    return int(total or 0)

@@ -1301,3 +1301,39 @@ def test_normalize_text(ray_session):
     assert out[1] == ""
     assert out[2] == "clean text"
     assert out[3] == ""
+
+
+def test_triangle_count(ray_session):
+    import itertools
+
+    import ray.data
+
+    from searchengines_ray.stages.graph import triangle_count
+
+    # K4 (4 triangles... C(4,3)=4), plus a square (0 triangles), plus a
+    # pendant edge and a duplicate edge
+    k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    square = [(20, 21), (21, 22), (22, 23), (20, 23)]
+    extra = [(30, 31), (10, 11)]
+    pairs = k4 + square + extra
+    ds = ray.data.from_items(
+        [{"doc_a": a, "doc_b": b} for a, b in pairs]
+    ).repartition(3)
+    assert triangle_count(ds) == 4
+
+    # brute-force cross-check on a pseudo-random graph
+    rng = np.random.RandomState(11)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randint(0, 25, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(range(25), 3)
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges
+    )
+    ds2 = ray.data.from_items(
+        [{"doc_a": int(a), "doc_b": int(b)} for a, b in sorted(edges)]
+    ).repartition(4)
+    assert triangle_count(ds2) == want
