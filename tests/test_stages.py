@@ -1337,3 +1337,76 @@ def test_triangle_count(ray_session):
         [{"doc_a": int(a), "doc_b": int(b)} for a, b in sorted(edges)]
     ).repartition(4)
     assert triangle_count(ds2) == want
+
+
+def test_funnel_and_cohort_random_cross_check(ray_session):
+    """Seeded random event streams: the distributed funnel and cohort
+    pipelines must equal a pure-pandas reference computation."""
+    import ray.data
+
+    from searchengines_ray.stages.windows import (
+        cohort_retention,
+        funnel_stages,
+    )
+
+    rng = np.random.RandomState(42)
+    T0 = pd.Timestamp("2024-01-01")
+    types = ["view", "click", "purchase", "error", "scroll"]
+    rows = [
+        {
+            "user_id": int(rng.randint(0, 40)),
+            "ts": T0
+            + pd.Timedelta(seconds=int(rng.randint(0, 86400 * 7))),
+            "event_type": types[rng.randint(0, len(types))],
+        }
+        for _ in range(3000)
+    ]
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_items(rows).repartition(7)
+
+    # funnel reference
+    want_f = {}
+    for u, sub in df.groupby("user_id"):
+        prev, reached = None, 0
+        for depth, ev in enumerate(["view", "click", "purchase"], 1):
+            cand = sub.loc[sub["event_type"] == ev, "ts"]
+            if prev is not None:
+                cand = cand[cand > prev]
+            if cand.empty:
+                break
+            prev = cand.min()
+            reached = depth
+        want_f[u] = reached
+    got_f = (
+        funnel_stages(ds)
+        .to_pandas()
+        .set_index("user_id")["reached"]
+        .sort_index()
+        .to_dict()
+    )
+    assert got_f == want_f
+
+    # cohort reference
+    d = df.assign(
+        day=(df["ts"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000)
+    )[["user_id", "day"]].drop_duplicates()
+    d = d.merge(
+        d.groupby("user_id", as_index=False)["day"].min()
+        .rename(columns={"day": "cohort_day"}),
+        on="user_id",
+    )
+    d["offset_days"] = d["day"] - d["cohort_day"]
+    want_c = (
+        d.groupby(["cohort_day", "offset_days"])
+        .size()
+        .astype("int64")
+        .to_dict()
+    )
+    got_c = (
+        cohort_retention(ds)
+        .to_pandas()
+        .set_index(["cohort_day", "offset_days"])["n_users"]
+        .to_dict()
+    )
+    assert got_c == want_c
