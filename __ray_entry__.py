@@ -1213,6 +1213,43 @@ def _q_pmi_collocations(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type latency-style percentiles of a FLOAT metric:
+    value floored to integer milli-units first (the histogram-combiner
+    quantile op is exact over bounded integer domains), then the same
+    grouped_quantiles plan as length_quantiles."""
+    import ray.data
+
+    from searchengines_ray.stages.rank import grouped_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def milli(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "value_milli": np.floor(
+                    b["value"].to_numpy().astype(np.float64) * 1000.0
+                ).astype(np.int64),
+            }
+        )
+
+    out = grouped_quantiles(
+        ev.map_batches(milli, batch_format="pandas"),
+        by="event_type",
+        val_col="value_milli",
+        ps=[0.5, 0.9, 0.99, 1.0],
+        labels=["p50", "p90", "p99", "max"],
+    ).to_pandas()
+    return (
+        out.sort_values(["event_type", "p"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"value": "int64"})
+    )
+
+
 def _q_grouped_topk(sf_dir: str) -> pd.DataFrame:
     """Exact top-3 documents per language by (char count desc, doc_id
     asc) — the combiner-first grouped top-k stage (stages/rank.py): each
@@ -1935,6 +1972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_attribution": _q_interval_attribution,
         "grouped_topk": _q_grouped_topk,
         "length_quantiles": _q_length_quantiles,
+        "value_quantiles": _q_value_quantiles,
         "ngram_counts": _q_ngram_counts,
         "pmi_collocations": _q_pmi_collocations,
         "ivf_topk": _q_ivf_topk,
@@ -4589,6 +4627,39 @@ def _oracle_sql_impl() -> dict[str, str]:
             WHERE bc.cab >= 5
             ORDER BY pmi_micro DESC, ngram ASC
             LIMIT 30
+        """,
+        "value_quantiles": """
+            -- percentile_disc over the milli-unit value histogram per
+            -- event_type (same IEEE double threshold contract as
+            -- length_quantiles)
+            WITH h AS (
+              SELECT event_type,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 1000.0)
+                          AS BIGINT) AS value,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT event_type, value, cnt,
+                     SUM(cnt) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum,
+                     SUM(cnt) OVER (PARTITION BY event_type) AS n
+              FROM h
+            ),
+            p AS (
+              SELECT * FROM (VALUES
+                ('p50', 0.5), ('p90', 0.9),
+                ('p99', 0.99), ('max', 1.0)) t(lab, pv)
+            )
+            SELECT c.event_type, p.lab AS p,
+                   CAST(MIN(c.value) AS BIGINT) AS value
+            FROM c JOIN p
+              ON CAST(c.cum AS DOUBLE)
+                 >= CEIL(CAST(p.pv AS DOUBLE) * CAST(c.n AS DOUBLE))
+            GROUP BY c.event_type, p.lab
+            ORDER BY c.event_type, p.lab
         """,
         "grouped_topk": """
             -- exact per-key top-k with the frozen (val desc, tie asc) rule
