@@ -6,6 +6,7 @@ design notes.
 """
 
 from .dedup import (  # noqa: F401
+    allpairs_jaccard_ds,
     dedup_drop_ids,
     exact_dedup,
     embedding_neardup_pairs,
@@ -15,18 +16,26 @@ from .dedup import (  # noqa: F401
     minhash_dedup_pairs,
     minhash_dedup_pairs_ds,
     minhash_dedup_survivors,
+    minhash_cross_pairs_ds,
     minhash_verify_pairs,
     minhash_verify_pairs_ds,
     ngram_jaccard,
     simhash_dup_pairs,
 )
-from .graph import connected_components, nonroot_ids  # noqa: F401
-from .joins import asof_join, interval_join  # noqa: F401
+from .graph import (  # noqa: F401
+    connected_components,
+    nonroot_ids,
+    pagerank,
+    triangle_count,
+)
+from .joins import asof_join, hash_equijoin, interval_join  # noqa: F401
 from .multimodal import decode_images, sample_frames  # noqa: F401
 from .similarity import (  # noqa: F401
     IVFIndex,
     cosine_similarity_join,
     cosine_topk,
+    label_centroids,
+    quantize_embeddings,
 )
 from .rank import grouped_quantiles, grouped_topk  # noqa: F401
 from .sample import hash_sample, hash_split, sample_mask  # noqa: F401
@@ -34,13 +43,18 @@ from .text import (  # noqa: F401
     fingerprints,
     lang_id,
     ngram_counts,
+    normalize_text,
+    pmi_collocations,
     pii_redact,
     quality_scores,
     repetition_signals,
+    tfidf_keywords,
     token_counts,
     unigram_lm_scores,
 )
 from .windows import (  # noqa: F401
+    cohort_retention,
+    funnel_stages,
     hopping_window_agg,
     sessionize,
     tumbling_window_agg,
