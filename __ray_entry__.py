@@ -969,6 +969,33 @@ def _q_window_top_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_rolling_user_agg(sf_dir: str) -> pd.DataFrame:
+    """Per-user 5-row moving value sum in (ts, event_id) order
+    (stages/windows.py rolling_user_agg): the ordered-window analytic,
+    exact via milli-unit integer sums; mirrors SQL ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW."""
+    import ray.data
+
+    from searchengines_ray.stages.windows import rolling_user_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    out = rolling_user_agg(ev, window_rows=5).to_pandas()
+    return (
+        out.sort_values("event_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "event_id": "int64",
+                "roll_sum_milli": "int64",
+                "roll_n": "int64",
+            }
+        )
+    )
+
+
 def _q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix (stages/windows.py cohort_retention):
     users bucketed by first-active epoch day, distinct-active-day
@@ -1965,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_events": _q_pagerank_events,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
+        "rolling_user_agg": _q_rolling_user_agg,
         "window_top_events": _q_window_top_events,
         "tfidf_keywords": _q_tfidf_keywords,
         "unigram_lm": _q_unigram_lm,
@@ -4252,6 +4280,24 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "rolling_user_agg": """
+            -- 5-row moving sum per user over milli-unit ints, frozen
+            -- (ts, event_id) order
+            SELECT event_id,
+                   CAST(SUM(v) OVER w AS BIGINT) AS roll_sum_milli,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 1000.0)
+                          AS BIGINT) AS v
+              FROM events
+            )
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY event_id
         """,
         "cohort_retention": """
             -- retention matrix over exact epoch days (// truncation ==

@@ -309,3 +309,64 @@ def cohort_retention(events_ds, coarse_buckets: int = 256):
             batch_format="pandas",
         )
     )
+
+
+def rolling_user_agg(events_ds, window_rows: int = 5,
+                     coarse_buckets: int = 256):
+    """Per-user moving aggregate over the last ``window_rows`` events
+    (current row + window_rows-1 preceding) in (ts, event_id) order —
+    the ordered-window analytic (``ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW``) that tumbling/hopping windows don't cover.
+
+    Values are floored to integer milli-units BEFORE summing, so the
+    moving sums are exact int64 and order-free within the frozen (ts,
+    event_id) sort — bit-identical to the SQL window function.  One
+    user-hash shuffle; the rolling sum runs vectorized per bucket
+    (pandas C rolling over user groups).  Returns
+    ``(event_id, roll_sum_milli, roll_n)``.
+    """
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": batch["event_id"].to_numpy().astype(
+                    np.int64
+                ),
+                "ts_us": batch["ts"]
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "v": np.floor(
+                    batch["value"].to_numpy().astype(np.float64)
+                    * 1000.0
+                ).astype(np.int64),
+                "_cb": (
+                    (u.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(coarse_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        r = g.groupby("user_id", sort=False)["v"].rolling(
+            window_rows, min_periods=1
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "roll_sum_milli": r.sum()
+                .to_numpy()
+                .astype(np.int64),
+                "roll_n": r.count().to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(roll, batch_format="pandas")
+    )

@@ -1410,3 +1410,33 @@ def test_funnel_and_cohort_random_cross_check(ray_session):
         .to_dict()
     )
     assert got_c == want_c
+
+
+def test_rolling_user_agg(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import rolling_user_agg
+
+    T = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = []
+    # user 1: values 1..7; ties on ts broken by event_id
+    for i in range(7):
+        rows.append({"user_id": 1, "event_id": i,
+                     "ts": T + (i // 2) * s, "value": float(i + 1)})
+    rows.append({"user_id": 2, "event_id": 100, "ts": T, "value": 0.5})
+    out = (
+        rolling_user_agg(
+            ray.data.from_items(rows).repartition(3), window_rows=3
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    vals = [1000 * (i + 1) for i in range(7)]
+    for i in range(7):
+        lo = max(0, i - 2)
+        assert out.loc[i, "roll_sum_milli"] == sum(vals[lo : i + 1]), i
+        assert out.loc[i, "roll_n"] == i + 1 - lo
+    assert out.loc[100, "roll_sum_milli"] == 500
+    assert out.loc[100, "roll_n"] == 1
