@@ -1222,6 +1222,21 @@ def _q_length_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_cooccurrence_counts(sf_dir: str) -> pd.DataFrame:
+    """Top-50 directional skip-gram co-occurrence pairs within a
+    2-position window (stages/text.py cooccurrence_counts) — the
+    word2vec context-pair combiner plan."""
+    import ray.data
+
+    from searchengines_ray.stages.text import cooccurrence_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    out = cooccurrence_counts(docs, window=2, top_k=50).to_pandas()
+    return out.reset_index(drop=True).astype({"cnt": "int64"})
+
+
 def _q_pmi_collocations(sf_dir: str) -> pd.DataFrame:
     """Top-30 bigram collocations by PMI (min count 5) — fully
     distributed two-shuffle plan (stages/text.py pmi_collocations): no
@@ -2002,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         "value_quantiles": _q_value_quantiles,
         "ngram_counts": _q_ngram_counts,
+        "cooccurrence_counts": _q_cooccurrence_counts,
         "pmi_collocations": _q_pmi_collocations,
         "ivf_topk": _q_ivf_topk,
         "similarity_join": _q_similarity_join,
@@ -4636,6 +4652,29 @@ def _oracle_sql_impl() -> dict[str, str]:
                  >= CEIL(CAST(p.pv AS DOUBLE) * CAST(c.n AS DOUBLE))
             GROUP BY c.lang, p.lab
             ORDER BY c.lang, p.lab
+        """,
+        "cooccurrence_counts": """
+            -- top-50 directional skip-gram pairs, window 2, tie rule
+            -- (cnt desc, pair asc)
+            WITH t AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+              FROM documents
+            ),
+            p AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(l) AS w,
+                     unnest(generate_series(1, len(l))) AS pos
+              FROM t
+            )
+            SELECT a.w || ' ' || b.w AS pair,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM p a
+            JOIN p b ON b.doc_id = a.doc_id
+                    AND b.pos - a.pos BETWEEN 1 AND 2
+            GROUP BY 1
+            ORDER BY cnt DESC, pair ASC
+            LIMIT 50
         """,
         "pmi_collocations": """
             -- top-30 bigrams by pmi_micro = floor(ln(cab*T*T/(B*ca*cb))

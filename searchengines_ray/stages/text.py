@@ -888,3 +888,78 @@ def normalize_text(ds):
         )
 
     return ds.map_batches(norm, batch_format="pandas")
+
+
+def cooccurrence_counts(ds, window: int = 2, top_k: int = 50,
+                        buckets: int = 64):
+    """Global top-k directional skip-gram co-occurrence counts: pairs
+    (a, b) where b occurs within ``window`` positions AFTER a in the
+    same document — the word2vec-style context-pair op (adjacent-only
+    is :func:`ngram_counts` with n=2).
+
+    Same combiner-first plan as ngram_counts: each batch counts its
+    UNIQUE pairs across all offsets in one np.unique, the shuffle moves
+    per-batch distinct pairs, one pair-hash bucketed groupby sums and
+    keeps local top-k, exact global (cnt desc, pair asc) sort+limit.
+    """
+    import zlib
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "pair": pd.array([], dtype="object"),
+                "cnt": pd.array([], dtype="int64"),
+                "_b": pd.array([], dtype="int32"),
+            }
+        )
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        chunks = []
+        for off in range(1, window + 1):
+            m = len(vids) - off
+            if m <= 0:
+                continue
+            valid = parent[:m] == parent[off:]
+            if valid.any():
+                chunks.append(
+                    np.stack(
+                        [vids[:m][valid], vids[off:][valid]], axis=1
+                    )
+                )
+        if not chunks:
+            return empty
+        arr = np.concatenate(chunks)
+        uniq, cnt = np.unique(arr, axis=0, return_counts=True)
+        voc = np.asarray(vocab, dtype=object)
+        s = (
+            pd.Series(voc[uniq[:, 0]], dtype=object)
+            + " "
+            + pd.Series(voc[uniq[:, 1]], dtype=object)
+        )
+        return pd.DataFrame(
+            {
+                "pair": s,
+                "cnt": pd.array(cnt.astype(np.int64), dtype="int64"),
+                "_b": pd.array(
+                    np.fromiter(
+                        (zlib.crc32(g.encode()) % buckets for g in s),
+                        np.int32,
+                        len(s),
+                    ),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("pair", as_index=False)["cnt"].sum()
+        return agg.sort_values(
+            ["cnt", "pair"], ascending=[False, True], kind="mergesort"
+        ).head(top_k)[["pair", "cnt"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .sort(["cnt", "pair"], descending=[True, False])
+        .limit(top_k)
+    )

@@ -1440,3 +1440,32 @@ def test_rolling_user_agg(ray_session):
         assert out.loc[i, "roll_n"] == i + 1 - lo
     assert out.loc[100, "roll_sum_milli"] == 500
     assert out.loc[100, "roll_n"] == 1
+
+
+def test_cooccurrence_counts(ray_session):
+    import collections
+    import re
+
+    import ray.data
+
+    from searchengines_ray.stages.text import cooccurrence_counts
+
+    rows = [
+        {"doc_id": 0, "text": "a b c a b"},
+        {"doc_id": 1, "text": "b a"},
+        {"doc_id": 2, "text": "x"},
+    ]
+    c = collections.Counter()
+    for r in rows:
+        toks = re.findall(r"[0-9a-z]+", r["text"].lower())
+        for i, a in enumerate(toks):
+            for b in toks[i + 1 : i + 3]:
+                c[a + " " + b] += 1
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["pair"], r["cnt"])
+        for r in cooccurrence_counts(
+            ray.data.from_items(rows).repartition(2), window=2, top_k=10
+        ).take_all()
+    ]
+    assert got == exp
