@@ -42,6 +42,7 @@ from .sample import hash_sample, hash_split, sample_mask  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,
     lang_id,
+    cooccurrence_counts,
     ngram_counts,
     normalize_text,
     pmi_collocations,
@@ -54,6 +55,7 @@ from .text import (  # noqa: F401
 )
 from .windows import (  # noqa: F401
     cohort_retention,
+    rolling_user_agg,
     funnel_stages,
     hopping_window_agg,
     sessionize,
