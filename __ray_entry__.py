@@ -996,6 +996,46 @@ def _q_rolling_user_agg(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_ranking_eval(sf_dir: str) -> pd.DataFrame:
+    """Per-query IR evaluation metrics (stages/rank.py ranking_eval) —
+    distributed trec_eval: each user_id is a "query", its events
+    ranked by (value desc, event_id asc) form the run, graded
+    relevance rel = event_id % 3 plays the qrels.  P@10 / MRR / AP /
+    nDCG@10 shipped as exact integer numerators (AP in lcm(1..10)
+    units, DCG/IDCG in per-term-floored micro-units) so the contract
+    is order-free; reference emits runs for external trec_eval
+    (QryEval/QryEval.java:214-260 trec output)."""
+    import ray.data
+
+    from searchengines_ray.stages.rank import ranking_eval
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    ).map_batches(
+        lambda b: b.assign(rel=(b["event_id"] % 3).astype("int64")),
+        batch_format="pandas",
+    )
+    out = ranking_eval(
+        ev, "user_id", "event_id", "value", "rel", k=10, max_rel=2
+    ).to_pandas()
+    cols = [
+        "user_id",
+        "n_ret",
+        "p_at_k_num",
+        "first_rel_rank",
+        "ap_num_lcm",
+        "n_rel",
+        "dcg_micro",
+        "idcg_micro",
+    ]
+    return (
+        out.sort_values("user_id")
+        .reset_index(drop=True)[cols]
+        .astype({c: "int64" for c in cols})
+    )
+
+
 def _q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix (stages/windows.py cohort_retention):
     users bucketed by first-active epoch day, distinct-active-day
@@ -2008,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "rolling_user_agg": _q_rolling_user_agg,
+        "ranking_eval": _q_ranking_eval,
         "window_top_events": _q_window_top_events,
         "tfidf_keywords": _q_tfidf_keywords,
         "unigram_lm": _q_unigram_lm,
@@ -4296,6 +4337,71 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "ranking_eval": """
+            -- distributed trec_eval: per-user top-10 run by (value
+            -- desc, event_id asc), graded rel = event_id % 3; all
+            -- metrics as exact integer numerators (AP in lcm(1..10)
+            -- = 2520 units; DCG/IDCG terms floored to micro-units
+            -- BEFORE summing so the sum is order-free; log2 is libm
+            -- on both sides)
+            WITH base AS (
+              SELECT user_id, event_id, value,
+                     CAST(event_id % 3 AS BIGINT) AS rel
+              FROM events
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY value DESC, event_id ASC) AS rank
+              FROM base
+            ),
+            tk AS (
+              SELECT *, SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY rank) AS cum_rel
+              FROM ranked WHERE rank <= 10
+            ),
+            tkm AS (
+              SELECT user_id,
+                CAST(COUNT(*) AS BIGINT) AS n_ret,
+                CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS p_at_k_num,
+                CAST(COALESCE(MIN(CASE WHEN rel > 0 THEN rank END), 0)
+                     AS BIGINT) AS first_rel_rank,
+                CAST(SUM(CASE WHEN rel > 0
+                          THEN cum_rel * (2520 // rank) ELSE 0 END)
+                     AS BIGINT) AS ap_num_lcm,
+                CAST(SUM(CAST(FLOOR((pow(2, rel) - 1)
+                                    / log2(rank + 1) * 1e6)
+                              AS BIGINT)) AS BIGINT) AS dcg_micro
+              FROM tk GROUP BY user_id
+            ),
+            cnt AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rel,
+                SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS c1,
+                SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS c2
+              FROM base GROUP BY user_id
+            ),
+            pos AS (SELECT i FROM generate_series(1, 10) t(i)),
+            idcg AS (
+              SELECT c.user_id, CAST(SUM(CAST(FLOOR(
+                  (CASE WHEN p.i <= LEAST(c.c2, 10) THEN 3.0
+                        WHEN p.i <= LEAST(c.c2 + c.c1, 10) THEN 1.0
+                        ELSE 0.0 END)
+                  / log2(p.i + 1) * 1e6) AS BIGINT)) AS BIGINT)
+                AS idcg_micro
+              FROM cnt c CROSS JOIN pos p GROUP BY c.user_id
+            )
+            SELECT t.user_id, t.n_ret, t.p_at_k_num,
+                   t.first_rel_rank, t.ap_num_lcm, c.n_rel,
+                   t.dcg_micro, i.idcg_micro
+            FROM tkm t
+            JOIN cnt c USING (user_id)
+            JOIN idcg i ON i.user_id = c.user_id
+            ORDER BY user_id
         """,
         "rolling_user_agg": """
             -- 5-row moving sum per user over milli-unit ints, frozen

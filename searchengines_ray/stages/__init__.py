@@ -37,7 +37,11 @@ from .similarity import (  # noqa: F401
     label_centroids,
     quantize_embeddings,
 )
-from .rank import grouped_quantiles, grouped_topk  # noqa: F401
+from .rank import (  # noqa: F401
+    grouped_quantiles,
+    grouped_topk,
+    ranking_eval,
+)
 from .sample import hash_sample, hash_split, sample_mask  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,

@@ -137,3 +137,190 @@ def grouped_topk(
         .groupby("_cb")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def ranking_eval(
+    ds,
+    qid_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    max_rel: int = 2,
+    coarse_buckets: int = 256,
+):
+    """Per-query IR evaluation metrics over a (query, doc, score,
+    graded-relevance) table — the distributed equivalent of trec_eval
+    over a run file + qrels (reference consumes such runs via
+    `QryEval/QryEval.java` trec output; evaluation itself is external
+    there).
+
+    Ranking rule (frozen): per ``qid_col``, rank by (``score_col``
+    desc, ``id_col`` asc), truncate at ``k``.  Output per qid — ALL
+    exact integers, so the contract is order-free and float-safe:
+
+    - ``n_ret``: rows in the top-k (== min(k, rows for qid)).
+    - ``p_at_k_num``: relevant (rel>0) rows in the top-k; P@k =
+      p_at_k_num / k.
+    - ``first_rel_rank``: rank of the first relevant row (0 if none);
+      MRR term = 1 / first_rel_rank.
+    - ``ap_num_lcm``: sum over relevant ranks i<=k of
+      cum_rel(i) * (L // i) with L = lcm(1..k); AP =
+      ap_num_lcm / (L * n_rel).
+    - ``n_rel``: corpus-wide relevant count for the qid (AP / recall
+      denominator).
+    - ``dcg_micro`` / ``idcg_micro``: sum of
+      floor((2^rel - 1) / log2(rank+1) * 1e6) over the actual /
+      ideal top-k (ideal = all the qid's docs sorted by rel desc);
+      nDCG@k ~= dcg_micro / idcg_micro.  Terms are floored to
+      integer micro-units BEFORE summing, so the distributed sum is
+      order-free; log2 is libm (bit-identical in DuckDB).
+
+    One shuffle: per-batch combiner keeps top-k rows per qid plus
+    per-(batch,qid) relevance-grade partial counts piggybacked on the
+    first kept row, then one coarse-bucket groupby finalizes both.
+    Grades must be integers in [0, max_rel].
+    """
+    import math
+
+    lcm = math.lcm(*range(1, k + 1))
+    pc_cols = [f"_pc{g}" for g in range(1, max_rel + 1)]
+    # Discount table: disc_micro[g][i-1] = floor((2^g-1)/log2(i+1)*1e6)
+    # for ranks i=1..k — the only float math in the op, precomputed once
+    # per grade/rank with scalar libm log2.
+    disc_micro = {
+        g: np.array(
+            [
+                math.floor(
+                    ((math.pow(2, g) - 1) / math.log2(i + 1)) * 1e6
+                )
+                for i in range(1, k + 1)
+            ],
+            np.int64,
+        )
+        for g in range(0, max_rel + 1)
+    }
+    # Prefix sums of the ideal-gain discounts per grade, for closed-form
+    # IDCG from grade counts: P[g][j] = sum of first j terms at grade g.
+    pfx = {
+        g: np.concatenate(([0], np.cumsum(disc_micro[g])))
+        for g in range(1, max_rel + 1)
+    }
+    disc_tab = np.stack([disc_micro[g] for g in range(0, max_rel + 1)])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[[qid_col, id_col, score_col, rel_col]].sort_values(
+            [qid_col, score_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        keep = b.groupby(qid_col, sort=False).head(k).copy()
+        first = np.zeros(len(keep), np.bool_)
+        first[np.unique(
+            keep[qid_col].to_numpy(), return_index=True)[1]] = True
+        # per-(batch,qid) grade counts, piggybacked on the first kept
+        # row of each qid so the shuffle carries no extra rows
+        cnts = (
+            b.assign(
+                **{
+                    col: (b[rel_col] == g).astype(np.int64)
+                    for g, col in zip(range(1, max_rel + 1), pc_cols)
+                }
+            )
+            .groupby(qid_col, sort=False)[pc_cols]
+            .sum()
+        )
+        for col in pc_cols:
+            vals = np.zeros(len(keep), np.int64)
+            vals[first] = cnts[col].loc[
+                keep[qid_col].to_numpy()[first]
+            ].to_numpy()
+            keep[col] = vals
+        keep["_cb"] = _key_bucket(keep[qid_col], coarse_buckets)
+        return keep
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            [qid_col, score_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        cnts = g.groupby(qid_col, sort=True)[pc_cols].sum()
+        topk = g.groupby(qid_col, sort=False).head(k)
+        q = topk[qid_col].to_numpy()
+        rel = topk[rel_col].to_numpy().astype(np.int64)
+        gb = topk.groupby(qid_col, sort=True)
+        rank = (gb.cumcount() + 1).to_numpy()
+        relevant = rel > 0
+        cum_rel = (
+            pd.Series(relevant.astype(np.int64))
+            .groupby(q, sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        s = pd.DataFrame(
+            {
+                qid_col: q,
+                "_one": 1,
+                "_prel": relevant.astype(np.int64),
+                "_frank": np.where(relevant, rank, np.iinfo(np.int64).max),
+                "_ap": np.where(relevant, cum_rel * (lcm // rank), 0),
+                "_dcg": disc_tab[rel, rank - 1],
+            }
+        )
+        agg = s.groupby(qid_col, sort=True).agg(
+            n_ret=("_one", "sum"),
+            p_at_k_num=("_prel", "sum"),
+            first_rel_rank=("_frank", "min"),
+            ap_num_lcm=("_ap", "sum"),
+            dcg_micro=("_dcg", "sum"),
+        )
+        agg["first_rel_rank"] = np.where(
+            agg["first_rel_rank"].to_numpy() == np.iinfo(np.int64).max,
+            0,
+            agg["first_rel_rank"].to_numpy(),
+        )
+        # IDCG closed-form from corpus-wide grade counts: fill ranks
+        # 1..k with the highest grades first.
+        used = np.zeros(len(cnts), np.int64)
+        idcg = np.zeros(len(cnts), np.int64)
+        n_rel = np.zeros(len(cnts), np.int64)
+        for grade in range(max_rel, 0, -1):
+            c = cnts[f"_pc{grade}"].to_numpy()
+            n_rel += c
+            take_hi = np.minimum(used + c, k)
+            idcg += pfx[grade][take_hi] - pfx[grade][np.minimum(used, k)]
+            used = used + c
+        out = agg.join(
+            pd.DataFrame(
+                {"n_rel": n_rel, "idcg_micro": idcg}, index=cnts.index
+            )
+        ).reset_index()
+        for col in (
+            "n_ret",
+            "p_at_k_num",
+            "first_rel_rank",
+            "ap_num_lcm",
+            "n_rel",
+            "dcg_micro",
+            "idcg_micro",
+        ):
+            out[col] = out[col].astype(np.int64)
+        return out[
+            [
+                qid_col,
+                "n_ret",
+                "p_at_k_num",
+                "first_rel_rank",
+                "ap_num_lcm",
+                "n_rel",
+                "dcg_micro",
+                "idcg_micro",
+            ]
+        ]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(final, batch_format="pandas")
+    )

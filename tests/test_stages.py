@@ -730,6 +730,101 @@ def test_grouped_topk(ray_session):
     assert asc.loc[asc.key == "a", "doc_id"].tolist() == [0, 1]
 
 
+def test_ranking_eval(ray_session):
+    import math
+
+    import ray.data
+
+    from searchengines_ray.stages.rank import ranking_eval
+
+    # qid 1: scores rank ids [5,4,3,2,1]; rel = id % 3 -> ids 5,4,2,1
+    # relevant (rel 2,1,2,1), id 3 rel 0.
+    df = pd.DataFrame(
+        {
+            "qid": pd.array([1] * 5 + [2] * 2, dtype="int64"),
+            "id": pd.array([1, 2, 3, 4, 5, 10, 11], dtype="int64"),
+            "score": [1.0, 2.0, 3.0, 4.0, 5.0, 7.0, 7.0],
+            "rel": pd.array([1, 2, 0, 1, 2, 0, 0], dtype="int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        ranking_eval(ds, "qid", "id", "score", "rel", k=3, max_rel=2)
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    lcm = math.lcm(1, 2, 3)  # 6
+
+    q1 = out.iloc[0]
+    assert q1["qid"] == 1 and q1["n_ret"] == 3
+    # top-3 by score desc: ids 5 (rel 2), 4 (rel 1), 3 (rel 0)
+    assert q1["p_at_k_num"] == 2
+    assert q1["first_rel_rank"] == 1
+    # AP num: rank1 cum1*(6//1)=6, rank2 cum2*(6//2)=6 -> 12
+    assert q1["ap_num_lcm"] == 1 * (lcm // 1) + 2 * (lcm // 2)
+    assert q1["n_rel"] == 4
+
+    def term(g, i):
+        return math.floor(((2**g - 1) / math.log2(i + 1)) * 1e6)
+
+    assert q1["dcg_micro"] == term(2, 1) + term(1, 2) + term(0, 3)
+    # ideal top-3 from corpus rels (2,2,1,1): grades 2,2,1
+    assert q1["idcg_micro"] == term(2, 1) + term(2, 2) + term(1, 3)
+
+    q2 = out.iloc[1]
+    # no relevant docs anywhere for qid 2
+    assert q2["n_ret"] == 2 and q2["p_at_k_num"] == 0
+    assert q2["first_rel_rank"] == 0 and q2["ap_num_lcm"] == 0
+    assert q2["n_rel"] == 0 and q2["idcg_micro"] == 0
+    # tie at score 7.0 broken by id asc: rank1 = id 10
+    assert q2["dcg_micro"] == 0
+
+    # randomized cross-check vs a plain-pandas reference
+    rng = np.random.RandomState(3)
+    n = 3000
+    rdf = pd.DataFrame(
+        {
+            "qid": rng.randint(0, 40, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "score": rng.randint(0, 50, n).astype(float),
+        }
+    )
+    rdf["rel"] = (rdf["id"] % 4 % 3).astype(np.int64)
+    got = (
+        ranking_eval(
+            ray.data.from_pandas(rdf).repartition(7),
+            "qid", "id", "score", "rel", k=10, max_rel=2,
+        )
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    lcm10 = math.lcm(*range(1, 11))
+    for qid, grp in rdf.groupby("qid"):
+        g = grp.sort_values(["score", "id"], ascending=[False, True])
+        top = g.head(10)
+        rel = top["rel"].to_numpy()
+        row = got[got.qid == qid].iloc[0]
+        assert row["n_ret"] == len(top)
+        assert row["p_at_k_num"] == int((rel > 0).sum())
+        ranks = np.arange(1, len(top) + 1)
+        rr = ranks[rel > 0]
+        assert row["first_rel_rank"] == (int(rr[0]) if len(rr) else 0)
+        cum = np.cumsum(rel > 0)
+        assert row["ap_num_lcm"] == int(
+            sum(c * (lcm10 // r) for c, r in zip(cum[rel > 0], rr))
+        )
+        assert row["n_rel"] == int((grp["rel"] > 0).sum())
+        assert row["dcg_micro"] == sum(
+            term(g_, i) for g_, i in zip(rel, ranks)
+        )
+        ideal = np.sort(grp["rel"].to_numpy())[::-1][:10]
+        assert row["idcg_micro"] == sum(
+            term(g_, i) for g_, i in zip(ideal, range(1, len(ideal) + 1))
+        )
+
+
 def test_ngram_counts(ray_session):
     import collections
     import re
