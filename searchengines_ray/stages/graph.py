@@ -262,14 +262,24 @@ def pagerank(
     Dangling-node mass leaks each round (the standard simplification;
     the SQL oracle replicates it).  Duplicate edges are collapsed first.
 
-    Plan — classic edge-partitioned PR, nothing driver-side but N:
-    distinct edges get their outdegree attached by one src-keyed
-    shuffle (materialized once); each iteration is (a) one src-keyed
-    equi-join shuffling current ranks to edges, (b) one dst-keyed
-    groupby summing shares over every node (zero rows union-ed in so
-    rank-less nodes keep the base term).  Ranks repartition to a fixed
-    block count per round (the CC lesson: unbounded union+groupby
-    chains double block counts).
+    Plan — classic edge-partitioned PR, nothing driver-side but N,
+    tuned to MINIMIZE SHUFFLE BARRIERS (each costs ~1-1.5 s wall
+    regardless of data size — the repo's measured constant):
+
+    - setup is TWO shuffles: one src-keyed pass dedups edges AND
+      attaches outdegree; one node-keyed pass distincts nodes AND
+      flags in-degree-0 nodes.
+    - each iteration is TWO shuffles: (a) a src-keyed equi-join
+      shipping current ranks to edges (schema hints spare the
+      ``.schema()`` probe, which on a lazy dataset partially executes
+      the whole upstream chain — O(iters^2) re-execution without
+      them), (b) a dst-keyed groupby summing shares.  Nodes with no
+      in-edges never receive contributions — their rank is the
+      constant base term from round 1 on — so instead of shuffling a
+      zero row per node every round, a small materialized
+      constant-rank dataset is lazily union-ed in after the groupby.
+    - ranks repartition back to ``nblocks`` every third round only
+      (the union grows block counts linearly now, not per-node).
     """
     import ray.data
 
@@ -278,71 +288,88 @@ def pagerank(
     def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[["src", "dst"]].drop_duplicates()
         s = b["src"].to_numpy().astype(np.int64)
-        d = b["dst"].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
                 "src": s,
-                "dst": d,
-                "_cb": _nbucket(s * np.int64(1000003) + d, coarse_buckets),
+                "dst": b["dst"].to_numpy().astype(np.int64),
+                "_sb": _nbucket(s, coarse_buckets),
             }
         )
 
-    edges = (
-        edges_ds.map_batches(edge_partial, batch_format="pandas")
-        .groupby("_cb")
-        .map_groups(
-            lambda g: g[["src", "dst"]].drop_duplicates(),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-
-    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        n = np.unique(
-            np.concatenate(
-                [
-                    batch["src"].to_numpy().astype(np.int64),
-                    batch["dst"].to_numpy().astype(np.int64),
-                ]
-            )
-        )
-        return pd.DataFrame(
-            {"node": n, "_cb": _nbucket(n, coarse_buckets)}
-        )
-
-    nodes = (
-        edges.map_batches(node_partial, batch_format="pandas")
-        .groupby("_cb")
-        .map_groups(
-            lambda g: g[["node"]].drop_duplicates(),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes
-    base = (15 * scale) // (100 * n_nodes)
-    r0 = scale // n_nodes
-
-    def with_deg(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.copy()
+    def dedup_with_deg(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["src", "dst"]].drop_duplicates().copy()
         g["od"] = g.groupby("src")["dst"].transform("size").astype(
             "int64"
         )
         return g[["src", "dst", "od"]]
 
-    def src_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.copy()
-        b["_sb"] = _nbucket(
-            b["src"].to_numpy().astype(np.int64), coarse_buckets
-        )
-        return b
-
+    # one src-keyed shuffle: exact (src,dst) dedup (duplicates share a
+    # src so they co-locate) + outdegree in the same map_groups
     ewd = (
-        edges.map_batches(src_bucket, batch_format="pandas")
+        edges_ds.map_batches(edge_partial, batch_format="pandas")
         .groupby("_sb")
-        .map_groups(with_deg, batch_format="pandas")
+        .map_groups(dedup_with_deg, batch_format="pandas")
+        .materialize()
+    )
+
+    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = np.unique(batch["src"].to_numpy().astype(np.int64))
+        d = np.unique(batch["dst"].to_numpy().astype(np.int64))
+        n = np.concatenate([s, d])
+        has_in = np.concatenate(
+            [np.zeros(len(s), np.int64), np.ones(len(d), np.int64)]
+        )
+        return pd.DataFrame(
+            {"node": n, "has_in": has_in, "_cb": _nbucket(n, coarse_buckets)}
+        )
+
+    def node_final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("node", as_index=False)["has_in"].max()
+        return pd.DataFrame(
+            {
+                "node": g["node"].astype("int64"),
+                "has_in": g["has_in"].astype("int64"),
+            }
+        )
+
+    # one node-keyed shuffle: distinct nodes + "has any in-edge" flag
+    nodes = (
+        ewd.map_batches(node_partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(node_final, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": np.zeros(0, np.int64),
+                    "r": np.zeros(0, np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+    base = (15 * scale) // (100 * n_nodes)
+    r0 = scale // n_nodes
+
+    # in-degree-0 nodes: rank == base from round 1 on (they receive no
+    # shares); coalesced + materialized ONCE, lazily union-ed each round
+    noin = (
+        nodes.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b.loc[b["has_in"] == 0, "node"]
+                    .to_numpy()
+                    .astype(np.int64),
+                    "r": np.full(
+                        int((b["has_in"] == 0).sum()), base, np.int64
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .repartition(max(1, nblocks // 4))
         .materialize()
     )
 
@@ -355,6 +382,12 @@ def pagerank(
         ),
         batch_format="pandas",
     )
+    rank_schema = {"node": np.dtype(np.int64), "r": np.dtype(np.int64)}
+    ewd_schema = {
+        "src": np.dtype(np.int64),
+        "dst": np.dtype(np.int64),
+        "od": np.dtype(np.int64),
+    }
 
     def contrib(batch: pd.DataFrame) -> pd.DataFrame:
         d = batch["dst"].to_numpy().astype(np.int64)
@@ -363,16 +396,6 @@ def pagerank(
         ].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {"node": d, "s": s, "_cb": _nbucket(d, coarse_buckets)}
-        )
-
-    def zeros(batch: pd.DataFrame) -> pd.DataFrame:
-        n = batch["node"].to_numpy().astype(np.int64)
-        return pd.DataFrame(
-            {
-                "node": n,
-                "s": np.zeros(len(n), dtype=np.int64),
-                "_cb": _nbucket(n, coarse_buckets),
-            }
         )
 
     def next_rank(group: pd.DataFrame) -> pd.DataFrame:
@@ -387,18 +410,20 @@ def pagerank(
             }
         )
 
-    for _ in range(iters):
+    for i in range(iters):
         joined = hash_equijoin(
             ewd, ranks, left_on="src", right_on="node",
             right_cols=("r",), coarse_buckets=coarse_buckets,
+            left_schema_hint=ewd_schema, right_schema_hint=rank_schema,
         )
         ranks = (
             joined.map_batches(contrib, batch_format="pandas")
-            .union(nodes.map_batches(zeros, batch_format="pandas"))
             .groupby("_cb")
             .map_groups(next_rank, batch_format="pandas")
-            .repartition(nblocks)
+            .union(noin)
         )
+        if (i + 1) % 3 == 0 and i + 1 < iters:
+            ranks = ranks.repartition(nblocks)
     return ranks
 
 

@@ -278,6 +278,8 @@ def hash_equijoin(
     right_cols: tuple = (),
     coarse_buckets: int = 256,
     how: str = "inner",
+    left_schema_hint: dict | None = None,
+    right_schema_hint: dict | None = None,
 ):
     """Generic distributed equi-join — the plain relational join Ray
     Data's Dataset API lacks.  ``how``: ``inner`` (1:N, left columns +
@@ -299,11 +301,22 @@ def hash_equijoin(
 
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"how must be inner|semi|anti, got {how!r}")
-    lschema = left_ds.schema()
-    rschema = right_ds.schema()
-    left_schema = list(lschema.names)
-    left_types = dict(zip(lschema.names, lschema.types))
-    right_types = dict(zip(rschema.names, rschema.types))
+    # Schema hints (name -> numpy/arrow dtype) spare a ``.schema()``
+    # call, which on a LAZY dataset partially executes its upstream
+    # chain — fatal in iterative loops (pagerank: O(iters^2)
+    # re-execution of earlier rounds without the hint).
+    if left_schema_hint is not None:
+        left_schema = list(left_schema_hint)
+        left_types = dict(left_schema_hint)
+    else:
+        lschema = left_ds.schema()
+        left_schema = list(lschema.names)
+        left_types = dict(zip(lschema.names, lschema.types))
+    if right_schema_hint is not None:
+        right_types = dict(right_schema_hint)
+    else:
+        rschema = right_ds.schema()
+        right_types = dict(zip(rschema.names, rschema.types))
     rpayload = list(right_cols)
 
     def _bucket(col: pd.Series) -> np.ndarray:
