@@ -604,8 +604,10 @@ def _q_incremental_ingest(sf_dir: str) -> pd.DataFrame:
     )
     registry = docs.map_batches(split_part(True), batch_format="pandas")
     incoming = docs.map_batches(split_part(False), batch_format="pandas")
+    hint = {"doc_id": np.dtype(np.int64), "text": np.dtype(object)}
     fresh = hash_equijoin(
-        incoming, registry, left_on="text", right_on="text", how="anti"
+        incoming, registry, left_on="text", right_on="text", how="anti",
+        left_schema_hint=hint, right_schema_hint=hint,
     )
     out = exact_dedup(fresh).to_pandas()
     return (
@@ -928,7 +930,8 @@ def _q_anti_join_blocklist(sf_dir: str) -> pd.DataFrame:
         permille=200,
     )
     out = hash_equijoin(
-        docs, block, left_on="doc_id", right_on="doc_id", how="anti"
+        docs, block, left_on="doc_id", right_on="doc_id", how="anti",
+        right_schema_hint={"doc_id": np.dtype(np.int64)},
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 

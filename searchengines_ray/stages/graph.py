@@ -500,6 +500,7 @@ def triangle_count(pairs_ds, coarse_buckets: int = 256) -> int:
         .materialize()
     )
 
+    i64 = np.dtype(np.int64)
     ewd = hash_equijoin(
         hash_equijoin(
             edges, deg, left_on="doc_a", right_on="node",
@@ -513,6 +514,10 @@ def triangle_count(pairs_ds, coarse_buckets: int = 256) -> int:
         right_on="node",
         right_cols=("deg",),
         coarse_buckets=coarse_buckets,
+        # the lazy inner-join output would otherwise be partially
+        # executed just to probe its schema
+        left_schema_hint={"doc_a": i64, "doc_b": i64, "deg_a": i64},
+        right_schema_hint={"node": i64, "deg": i64},
     ).map_batches(
         lambda b: b.rename(columns={"r_deg": "deg_b"}),
         batch_format="pandas",
