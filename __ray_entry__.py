@@ -999,6 +999,67 @@ def _q_rolling_user_agg(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_cms_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch (stages/sketch.py cms_counts) of the word-token
+    frequency distribution: 3 rows x 512 cells, nonzero cells only.
+    Mergeable combiner sketch — shuffle volume is O(batches x 1536)
+    regardless of corpus size; hashes are the frozen mod-(2^31-1)
+    char folds (bases 131/137/139) so DuckDB reproduces every cell."""
+    from searchengines_ray.stages.sketch import cms_counts
+
+    out = cms_counts(
+        _docs(sf_dir), width=512, depth=3
+    ).to_pandas()
+    return (
+        out.sort_values(["d", "cell"])
+        .reset_index(drop=True)
+        .astype({"d": "int64", "cell": "int64", "cnt": "int64"})
+    )
+
+
+def _q_hll_registers(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog register table (stages/sketch.py hll_registers) over
+    event_id: 256 registers, avalanche Knuth-xor-Knuth 32-bit hash,
+    rho = leading zeros of the 24-bit suffix + 1.  The occupied
+    registers ARE the sketch (mergeable by max); exact integer
+    contract, estimator accuracy pinned in pytest."""
+    import ray.data
+
+    from searchengines_ray.stages.sketch import hll_registers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    )
+    out = hll_registers(ev, key="event_id", p=8).to_pandas()
+    return (
+        out.sort_values("bucket")
+        .reset_index(drop=True)
+        .astype({"bucket": "int64", "max_rho": "int64"})
+    )
+
+
+def _q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling (stages/sample.py
+    stratified_sample): rebalance the language mix — keep 500 permille
+    of 'en' docs, 100 permille of everything else, by the frozen Knuth
+    keep-rule.  Pure per-batch filter; no shuffle."""
+    import ray.data
+
+    from searchengines_ray.stages.sample import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(
+        docs, "lang", {"en": 500}, default_permille=100
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def _q_ranking_eval(sf_dir: str) -> pd.DataFrame:
     """Per-query IR evaluation metrics (stages/rank.py ranking_eval) —
     distributed trec_eval: each user_id is a "query", its events
@@ -2052,6 +2113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "rolling_user_agg": _q_rolling_user_agg,
         "ranking_eval": _q_ranking_eval,
+        "cms_counts": _q_cms_counts,
+        "hll_registers": _q_hll_registers,
+        "stratified_sample": _q_stratified_sample,
         "window_top_events": _q_window_top_events,
         "tfidf_keywords": _q_tfidf_keywords,
         "unigram_lm": _q_unigram_lm,
@@ -4340,6 +4404,74 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "cms_counts": """
+            -- count-min sketch cells: 3 rows x 512 cells over the
+            -- [0-9a-z]+ token stream, mod-(2^31-1) char folds at
+            -- bases 131/137/139 (the frozen fingerprint contract)
+            WITH t AS MATERIALIZED (
+              SELECT
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(term, ''),
+                                 c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 131 + c) % 2147483647) AS h131,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(term, ''),
+                                 c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 137 + c) % 2147483647) AS h137,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(term, ''),
+                                 c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 139 + c) % 2147483647) AS h139
+              FROM (
+                SELECT unnest(
+                  regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+                FROM documents
+              )
+            ),
+            cells AS (
+              SELECT 0 AS d, h131 % 512 AS cell FROM t
+              UNION ALL SELECT 1, h137 % 512 FROM t
+              UNION ALL SELECT 2, h139 % 512 FROM t
+            )
+            SELECT CAST(d AS BIGINT) AS d,
+                   CAST(cell AS BIGINT) AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "hll_registers": """
+            -- HLL registers: avalanche Knuth-xor-Knuth 32-bit hash
+            -- (// == >> on non-negative), bucket = low 8 bits, rho =
+            -- leading zeros of the 24-bit suffix + 1 via exact bit
+            -- tests (no float log2)
+            WITH h AS (
+              SELECT (((xor(h1, h1 // 65536) % 2147483648)
+                       * 2654435761) % 4294967296) AS h
+              FROM (
+                SELECT (((event_id % 2147483648) * 2654435761)
+                        % 4294967296) AS h1
+                FROM events
+              )
+            ),
+            r AS (
+              SELECT h % 256 AS bucket,
+                     COALESCE(
+                       (SELECT MIN(j) FROM generate_series(1, 24) s(j)
+                        WHERE ((h // 256) >> (24 - j)) & 1 = 1),
+                       25) AS rho
+              FROM h
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(rho) AS BIGINT) AS max_rho
+            FROM r GROUP BY bucket ORDER BY bucket
+        """,
+        "stratified_sample": """
+            -- per-stratum Knuth keep-rule: en 500 permille, rest 100
+            SELECT doc_id, lang FROM documents
+            WHERE ((((doc_id % 2147483648) * 2654435761) % 4294967296)
+                   % 1000)
+                  < (CASE WHEN lang = 'en' THEN 500 ELSE 100 END)
+            ORDER BY doc_id
         """,
         "ranking_eval": """
             -- distributed trec_eval: per-user top-10 run by (value

@@ -42,7 +42,13 @@ from .rank import (  # noqa: F401
     grouped_topk,
     ranking_eval,
 )
-from .sample import hash_sample, hash_split, sample_mask  # noqa: F401
+from .sample import (  # noqa: F401
+    hash_sample,
+    hash_split,
+    sample_mask,
+    stratified_sample,
+)
+from .sketch import cms_counts, hll_estimate, hll_registers  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,
     lang_id,

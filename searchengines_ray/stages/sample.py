@@ -73,3 +73,43 @@ def hash_split(ds, splits=None, key: str = "doc_id",
         return out
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def stratified_sample(
+    ds,
+    strata_col: str,
+    rates: dict,
+    default_permille: int = 0,
+    key: str = "doc_id",
+):
+    """Deterministic per-stratum hash sampling: keep hash(key) in the
+    first ``rates[stratum]`` (else ``default_permille``) buckets of
+    1000 — the "rebalance the language / source mix" primitive of
+    corpus curation (downsample the dominant stratum, keep the tail).
+
+    Same Knuth-hash keep-rule as :func:`hash_sample`, so a row's fate
+    depends only on (key, its stratum's rate): pure per-batch filter,
+    no shuffle, stable under repartitioning/resume, and the SQL mirror
+    is the identical arithmetic under a CASE over strata.
+    """
+    items = sorted(rates.items())
+    strata = np.asarray([s for s, _ in items], dtype=object)
+    pm = np.asarray([p for _, p in items], dtype=np.int64)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            (batch[key].to_numpy().astype(np.int64) % _M31P1) * _KNUTH
+        ) % _M32
+        if len(strata):
+            vals = batch[strata_col].to_numpy()
+            idx = np.minimum(
+                np.searchsorted(strata, vals), len(strata) - 1
+            )
+            limit = np.where(
+                strata[idx] == vals, pm[idx], default_permille
+            )
+        else:
+            limit = np.full(len(batch), default_permille, np.int64)
+        return batch.loc[(h % 1000) < limit]
+
+    return ds.map_batches(keep, batch_format="pandas")

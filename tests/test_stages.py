@@ -730,6 +730,140 @@ def test_grouped_topk(ray_session):
     assert asc.loc[asc.key == "a", "doc_id"].tolist() == [0, 1]
 
 
+def test_cms_counts(ray_session):
+    import collections
+    import re
+
+    import ray.data
+
+    from searchengines_ray.stages.sketch import _CMS_BASES, cms_counts
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the cat food",
+        "a b c a b a",
+        "",
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        cms_counts(
+            ray.data.from_pandas(df).repartition(3), width=64, depth=3
+        )
+        .to_pandas()
+        .sort_values(["d", "cell"])
+        .reset_index(drop=True)
+    )
+
+    def fold(w, base):
+        h = 0
+        for c in w.encode():
+            h = (h * base + c) % 2147483647
+        return h
+
+    toks = []
+    for t in texts:
+        toks += re.findall(r"[0-9a-z]+", (t or "").lower())
+    for d, base in enumerate(_CMS_BASES[:3]):
+        exp = collections.Counter(fold(w, base) % 64 for w in toks)
+        got = dict(
+            zip(out.loc[out.d == d, "cell"], out.loc[out.d == d, "cnt"])
+        )
+        assert got == dict(exp)
+    # CM property: min over rows >= true frequency (equality when no
+    # collisions)
+    true = collections.Counter(toks)
+    for w, n in true.items():
+        ests = []
+        for d, base in enumerate(_CMS_BASES[:3]):
+            cell = fold(w, base) % 64
+            row = out[(out.d == d) & (out.cell == cell)]
+            ests.append(int(row["cnt"].iloc[0]))
+        assert min(ests) >= n
+
+
+def test_hll_registers(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.sketch import (
+        _hll_hash,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 20000
+    ids = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    out = (
+        hll_registers(
+            ray.data.from_pandas(ids).repartition(6), key="k", p=8
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # exact register cross-check
+    h = _hll_hash(ids["k"].to_numpy())
+    bucket, y = h % 256, h // 256
+    bl = np.zeros(n, np.int64)
+    tmp = y.copy()
+    while tmp.any():
+        nz = tmp > 0
+        bl[nz] += 1
+        tmp = tmp >> 1
+    rho = np.where(y > 0, 24 - bl + 1, 25)
+    reg = np.zeros(256, np.int64)
+    np.maximum.at(reg, bucket, rho)
+    exp = pd.DataFrame(
+        {"bucket": np.nonzero(reg)[0], "max_rho": reg[np.nonzero(reg)[0]]}
+    ).astype("int64")
+    assert out.astype("int64").equals(exp.reset_index(drop=True))
+    # estimator within the alpha_m error band (generous 3x margin)
+    est = hll_estimate(out, p=8)
+    assert abs(est - n) / n < 3 * 1.04 / np.sqrt(256)
+
+
+def test_stratified_sample(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.sample import (
+        sample_mask,
+        stratified_sample,
+    )
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.where(np.arange(n) % 4 == 0, "de", "en"),
+        }
+    )
+    out = (
+        stratified_sample(
+            ray.data.from_pandas(df).repartition(4),
+            "lang",
+            {"en": 500, "de": 50},
+            default_permille=0,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # exact per-row rule: keep iff hash bucket < stratum rate
+    m500 = sample_mask(df["doc_id"].to_numpy(), 500)
+    m50 = sample_mask(df["doc_id"].to_numpy(), 50)
+    keep = np.where(df["lang"].to_numpy() == "en", m500, m50)
+    assert out["doc_id"].tolist() == df.loc[keep, "doc_id"].tolist()
+    # unknown stratum falls to default_permille
+    df2 = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64), "lang": ["xx"] * 100}
+    )
+    out2 = stratified_sample(
+        ray.data.from_pandas(df2), "lang", {"en": 500},
+        default_permille=1000,
+    ).to_pandas()
+    assert len(out2) == 100
+
+
 def test_ranking_eval(ray_session):
     import math
 
