@@ -1060,6 +1060,53 @@ def _q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_broadcast_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast (map-side) join (stages/joins.py broadcast_join): the
+    dimension-table pattern — embeddings labels ray.put ONCE, every doc
+    batch merges against the shared object-store read; zero shuffle of
+    the big side (vs hash_equijoin's all-to-all)."""
+    import ray.data
+
+    from searchengines_ray.stages.joins import broadcast_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(
+        lambda b: b.rename(columns={"vec_id": "doc_id"}),
+        batch_format="pandas",
+    )
+    out = broadcast_join(
+        docs, emb, on="doc_id", right_cols=("label",)
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "r_label": "int32"})
+    )
+
+
+def _q_consistent_sample(sf_dir: str) -> pd.DataFrame:
+    """Bottom-k consistent sample (stages/sample.py consistent_sample):
+    the 200 docs with the globally smallest avalanche key hashes —
+    fixed-size, partition-independent, supports bottom-k Jaccard."""
+    import ray.data
+
+    from searchengines_ray.stages.sample import consistent_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = consistent_sample(docs, k=200, key="doc_id").to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def _q_ranking_eval(sf_dir: str) -> pd.DataFrame:
     """Per-query IR evaluation metrics (stages/rank.py ranking_eval) —
     distributed trec_eval: each user_id is a "query", its events
@@ -2114,6 +2161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_agg": _q_rolling_user_agg,
         "ranking_eval": _q_ranking_eval,
         "cms_counts": _q_cms_counts,
+        "broadcast_join": _q_broadcast_join,
+        "consistent_sample": _q_consistent_sample,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
         "window_top_events": _q_window_top_events,
@@ -4404,6 +4453,28 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "broadcast_join": """
+            SELECT d.doc_id, d.lang, e.label AS r_label
+            FROM documents d
+            JOIN embeddings e ON e.vec_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "consistent_sample": """
+            -- bottom-200 by the avalanche Knuth-xor-Knuth hash
+            -- (ties by doc_id asc)
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     (((xor(h1, h1 // 65536) % 2147483648)
+                       * 2654435761) % 4294967296) AS h
+              FROM (
+                SELECT doc_id, lang,
+                       (((doc_id % 2147483648) * 2654435761)
+                        % 4294967296) AS h1
+                FROM documents
+              )
+            )
+            ORDER BY h, doc_id LIMIT 200
         """,
         "cms_counts": """
             -- count-min sketch cells: 3 rows x 512 cells over the

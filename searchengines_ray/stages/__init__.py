@@ -28,7 +28,12 @@ from .graph import (  # noqa: F401
     pagerank,
     triangle_count,
 )
-from .joins import asof_join, hash_equijoin, interval_join  # noqa: F401
+from .joins import (  # noqa: F401
+    asof_join,
+    broadcast_join,
+    hash_equijoin,
+    interval_join,
+)
 from .multimodal import decode_images, sample_frames  # noqa: F401
 from .similarity import (  # noqa: F401
     IVFIndex,
@@ -43,6 +48,7 @@ from .rank import (  # noqa: F401
     ranking_eval,
 )
 from .sample import (  # noqa: F401
+    consistent_sample,
     hash_sample,
     hash_split,
     sample_mask,

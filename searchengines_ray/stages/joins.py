@@ -379,3 +379,50 @@ def hash_equijoin(
     return tagged.groupby("_cb").map_groups(
         join_bucket, batch_format="pandas"
     )
+
+
+def broadcast_join(
+    big_ds,
+    small_ds,
+    on: str,
+    right_cols: tuple = (),
+    how: str = "inner",
+):
+    """Broadcast (map-side) equi-join: the small side is collected to
+    ONE pandas frame, ``ray.put`` into the object store ONCE, and every
+    map task merges against the shared zero-copy read — the pattern the
+    query engine uses for corpus stats, promoted to a first-class
+    stage.  NO shuffle of the big side at all, which is the entire
+    point: for a dimension-table-sized right side this replaces
+    :func:`hash_equijoin`'s all-to-all exchange with an
+    embarrassingly-parallel per-batch merge.
+
+    Contract: the small side must fit in a worker's heap (caller's
+    responsibility — it is materialized with ``to_pandas``).  Output
+    matches :func:`hash_equijoin`: ``inner`` = big columns + ``r_<col>``
+    payload (1:N duplicates preserved), ``semi``/``anti`` = filtered big
+    rows.  Row order within a batch is preserved for semi/anti; inner
+    follows pandas merge order per batch.
+    """
+    import ray
+
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
+    cols = [on] + [c for c in right_cols if c != on]
+    small = small_ds.to_pandas()[cols]
+    if how in ("semi", "anti"):
+        small = small[[on]].drop_duplicates()
+    ref = ray.put(small)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(ref)
+        if how in ("semi", "anti"):
+            m = batch[on].isin(sm[on].to_numpy()).to_numpy()
+            return batch.loc[m if how == "semi" else ~m]
+        out = batch.merge(
+            sm.rename(columns={c: f"r_{c}" for c in cols if c != on}),
+            on=on,
+        )
+        return out
+
+    return big_ds.map_batches(merge, batch_format="pandas")

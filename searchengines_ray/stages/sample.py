@@ -113,3 +113,40 @@ def stratified_sample(
         return batch.loc[(h % 1000) < limit]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def consistent_sample(ds, k: int, key: str = "doc_id"):
+    """Fixed-size deterministic uniform sample: the k rows with the
+    globally SMALLEST avalanche key hashes (ties by key asc) — a
+    bottom-k sketch.  Unlike rate-based :func:`hash_sample` the output
+    size is exactly ``min(k, n)`` regardless of corpus size, the set is
+    consistent across runs/partitionings, and two corpora's bottom-k
+    sets support Jaccard estimation (the classic bottom-k property).
+
+    Combiner-first: every batch keeps its own bottom-k (shuffle carries
+    <= k rows per batch), one reduce finalizes.  Hash is the
+    Knuth-xor-Knuth avalanche chain (stages/sketch.py contract) so the
+    SQL mirror is ``ORDER BY h, key LIMIT k``.
+    """
+    from .rank import grouped_topk
+    from .sketch import _hll_hash
+
+    cols = list(ds.schema().names)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["_h"] = _hll_hash(batch[key].to_numpy())
+        b["_g"] = np.int64(0)
+        return b
+
+    out = grouped_topk(
+        ds.map_batches(attach, batch_format="pandas"),
+        by="_g",
+        val_col="_h",
+        k=k,
+        ascending=True,
+        tie_col=key,
+    )
+    return out.map_batches(
+        lambda b: b[cols], batch_format="pandas"
+    )

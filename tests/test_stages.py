@@ -730,6 +730,69 @@ def test_grouped_topk(ray_session):
     assert asc.loc[asc.key == "a", "doc_id"].tolist() == [0, 1]
 
 
+def test_broadcast_join(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.joins import broadcast_join
+
+    big = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.array([1, 2, 3, 2, 9], dtype="int64"),
+                "v": ["a", "b", "c", "d", "e"],
+            }
+        )
+    ).repartition(3)
+    small = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.array([2, 3, 3], dtype="int64"),
+                "lab": pd.array([20, 30, 31], dtype="int64"),
+            }
+        )
+    )
+    inner = (
+        broadcast_join(big, small, on="k", right_cols=("lab",))
+        .to_pandas()
+        .sort_values(["k", "v", "r_lab"])
+        .reset_index(drop=True)
+    )
+    # 1:N duplicates preserved: k=3 matches two small rows
+    assert inner[["k", "r_lab"]].values.tolist() == [
+        [2, 20], [2, 20], [3, 30], [3, 31]]
+    semi = broadcast_join(big, small, on="k", how="semi").to_pandas()
+    assert sorted(semi["v"]) == ["b", "c", "d"]
+    anti = broadcast_join(big, small, on="k", how="anti").to_pandas()
+    assert sorted(anti["v"]) == ["a", "e"]
+
+
+def test_consistent_sample(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.sample import consistent_sample
+    from searchengines_ray.stages.sketch import _hll_hash
+
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": ["en"] * n,
+        }
+    )
+    out = consistent_sample(
+        ray.data.from_pandas(df).repartition(8), k=50, key="doc_id"
+    ).to_pandas()
+    h = _hll_hash(df["doc_id"].to_numpy())
+    exp = df.iloc[np.lexsort((df["doc_id"].to_numpy(), h))[:50]]
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    assert list(out.columns) == ["doc_id", "lang"]
+    # partition-independence: different block structure, same set
+    out2 = consistent_sample(
+        ray.data.from_pandas(df).repartition(2), k=50, key="doc_id"
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
 def test_cms_counts(ray_session):
     import collections
     import re
