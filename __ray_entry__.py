@@ -1060,6 +1060,23 @@ def _q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_next_word_suggest(sf_dir: str) -> pd.DataFrame:
+    """Query-completion table (stages/text.py next_word_topk): per
+    prefix word, the top-3 following words by exact bigram count
+    (cnt desc, w2 asc; min_count 2) — one crc32(w1)-bucketed shuffle,
+    per-prefix top-k finalized inside the bucket."""
+    from searchengines_ray.stages.text import next_word_topk
+
+    out = next_word_topk(
+        _docs(sf_dir), k=3, min_count=2
+    ).to_pandas()
+    return (
+        out.sort_values(["w1", "w2"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"cnt": "int64"})
+    )
+
+
 def _q_broadcast_join(sf_dir: str) -> pd.DataFrame:
     """Broadcast (map-side) join (stages/joins.py broadcast_join): the
     dimension-table pattern — embeddings labels ray.put ONCE, every doc
@@ -2162,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_eval": _q_ranking_eval,
         "cms_counts": _q_cms_counts,
         "broadcast_join": _q_broadcast_join,
+        "next_word_suggest": _q_next_word_suggest,
         "consistent_sample": _q_consistent_sample,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -4453,6 +4471,28 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "next_word_suggest": """
+            -- per-prefix top-3 next words by exact bigram count,
+            -- (cnt desc, w2 asc), bigrams with count < 2 dropped
+            WITH t AS (
+              SELECT regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+              FROM documents
+            ),
+            z AS (
+              SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS s
+              FROM t WHERE len(l) >= 2
+            ),
+            c AS (
+              SELECT s[1] AS w1, s[2] AS w2,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM z GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT w1, w2, cnt FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY w1 ORDER BY cnt DESC, w2 ASC) AS rn
+              FROM c
+            ) WHERE rn <= 3 ORDER BY w1, w2
         """,
         "broadcast_join": """
             SELECT d.doc_id, d.lang, e.label AS r_label

@@ -59,6 +59,7 @@ from .text import (  # noqa: F401
     fingerprints,
     lang_id,
     cooccurrence_counts,
+    next_word_topk,
     ngram_counts,
     normalize_text,
     pmi_collocations,

@@ -557,6 +557,75 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
     )
 
 
+def next_word_topk(ds, k: int = 3, min_count: int = 2,
+                   buckets: int = 64):
+    """Per-prefix next-word suggestions — the query-completion table:
+    for every word w1, the top-``k`` following words by exact bigram
+    count, tie rule (cnt desc, w2 asc), prefixes with no
+    ``>= min_count`` bigram dropped.
+
+    ONE shuffle: per-batch partial unique-bigram counts (the
+    ngram_counts combiner mechanics) bucket by crc32(w1), so every
+    partial of a prefix lands in one group and the per-prefix top-k
+    finalizes inside the same bucket groupby — no second exchange.
+    """
+    import zlib
+
+    empty = pd.DataFrame(
+        {
+            "w1": pd.array([], dtype="object"),
+            "w2": pd.array([], dtype="object"),
+            "cnt": pd.array([], dtype="int64"),
+            "_b": pd.array([], dtype="int32"),
+        }
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        m = len(vids) - 1
+        if m <= 0:
+            return empty
+        valid = parent[:m] == parent[1:]
+        if not valid.any():
+            return empty
+        arr = np.stack([vids[:m][valid], vids[1:][valid]], axis=1)
+        uniq, cnt = np.unique(arr, axis=0, return_counts=True)
+        voc = np.asarray(vocab, dtype=object)
+        w1 = voc[uniq[:, 0]]
+        return pd.DataFrame(
+            {
+                "w1": pd.Series(w1, dtype=object),
+                "w2": pd.Series(voc[uniq[:, 1]], dtype=object),
+                "cnt": pd.array(cnt.astype(np.int64), dtype="int64"),
+                "_b": pd.array(
+                    np.fromiter(
+                        (zlib.crc32(w.encode()) % buckets for w in w1),
+                        np.int32,
+                        len(w1),
+                    ),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def bucket_final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+        g = g[g["cnt"] >= min_count]
+        g = g.sort_values(
+            ["w1", "cnt", "w2"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("w1", sort=False).head(k)
+        return out[["w1", "w2", "cnt"]].astype({"cnt": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_final, batch_format="pandas")
+    )
+
+
 def pmi_collocations(ds, top_k: int = 30, min_count: int = 5,
                      buckets: int = 64):
     """Top-k bigram collocations by pointwise mutual information — the

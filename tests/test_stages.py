@@ -730,6 +730,51 @@ def test_grouped_topk(ray_session):
     assert asc.loc[asc.key == "a", "doc_id"].tolist() == [0, 1]
 
 
+def test_next_word_topk(ray_session):
+    import collections
+    import re
+
+    import ray.data
+
+    from searchengines_ray.stages.text import next_word_topk
+
+    texts = [
+        "the cat sat on the mat the cat ran",
+        "the dog and the cat and the dog",
+        "a lone sentence",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        next_word_topk(
+            ray.data.from_pandas(df).repartition(3), k=2, min_count=2
+        )
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    big = collections.Counter()
+    for t in texts:
+        ws = re.findall(r"[0-9a-z]+", t.lower())
+        big.update(zip(ws, ws[1:]))
+    exp = collections.defaultdict(list)
+    for (w1, w2), c in big.items():
+        if c >= 2:
+            exp[w1].append((w2, c))
+    rows = []
+    for w1, lst in exp.items():
+        for w2, c in sorted(lst, key=lambda x: (-x[1], x[0]))[:2]:
+            rows.append((w1, w2, c))
+    expdf = (
+        pd.DataFrame(rows, columns=["w1", "w2", "cnt"])
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    assert out.astype({"cnt": "int64"}).equals(
+        expdf.astype({"cnt": "int64"})
+    )
+
+
 def test_broadcast_join(ray_session):
     import ray.data
 
