@@ -1077,6 +1077,29 @@ def _q_next_word_suggest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_SPELL_QUERIES = [
+    "batc", "scann", "filtr", "mergee", "colmn", "vectr", "join",
+]
+
+
+def _q_spell_correct(sf_dir: str) -> pd.DataFrame:
+    """Distributed spell correction (stages/text.py spell_correct):
+    SymSpell depth-1 deletion-neighborhood join (NO query x vocab
+    scan) + exact Levenshtein verify, top-3 per query by (dist asc,
+    df desc, term asc).  The oracle's brute-force levenshtein cross
+    join is the recall ground truth."""
+    from searchengines_ray.stages.text import spell_correct
+
+    out = spell_correct(
+        _docs(sf_dir), _SPELL_QUERIES, k=3
+    ).to_pandas()
+    return (
+        out.sort_values(["query", "term"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"dist": "int64", "df": "int64"})
+    )
+
+
 def _q_broadcast_join(sf_dir: str) -> pd.DataFrame:
     """Broadcast (map-side) join (stages/joins.py broadcast_join): the
     dimension-table pattern — embeddings labels ray.put ONCE, every doc
@@ -2180,6 +2203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "broadcast_join": _q_broadcast_join,
         "next_word_suggest": _q_next_word_suggest,
+        "spell_correct": _q_spell_correct,
         "consistent_sample": _q_consistent_sample,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -4471,6 +4495,38 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "spell_correct": """
+            -- brute-force ground truth: levenshtein cross join over
+            -- the full vocabulary (the engine's deletion-neighborhood
+            -- join must reproduce it exactly — recall AND ranking)
+            WITH v AS (
+              SELECT term,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[0-9a-z]+')) AS term
+                FROM documents
+              ) GROUP BY term
+            ),
+            q AS (
+              SELECT unnest(['batc', 'scann', 'filtr', 'mergee',
+                             'colmn', 'vectr', 'join']) AS query
+            ),
+            c AS (
+              SELECT q.query, v.term,
+                     levenshtein(q.query, v.term) AS dist, v.df
+              FROM q CROSS JOIN v
+              WHERE levenshtein(q.query, v.term) <= 1
+            )
+            SELECT query, term, CAST(dist AS BIGINT) AS dist, df
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query
+                ORDER BY dist, df DESC, term) AS rn
+              FROM c
+            ) WHERE rn <= 3 ORDER BY query, term
         """,
         "next_word_suggest": """
             -- per-prefix top-3 next words by exact bigram count,

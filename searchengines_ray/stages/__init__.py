@@ -66,6 +66,7 @@ from .text import (  # noqa: F401
     pii_redact,
     quality_scores,
     repetition_signals,
+    spell_correct,
     tfidf_keywords,
     token_counts,
     unigram_lm_scores,

@@ -626,6 +626,184 @@ def next_word_topk(ds, k: int = 3, min_count: int = 2,
     )
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (ins/del/sub, no transposition) — matches
+    DuckDB ``levenshtein`` exactly.  Used only on the bounded candidate
+    set the deletion-neighborhood join produces."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _deletion_variants(w: str) -> list[str]:
+    """The word itself plus every single-character deletion (SymSpell
+    depth-1 neighborhood; complete for edit distance <= 1)."""
+    return [w] + [w[:i] + w[i + 1 :] for i in range(len(w))]
+
+
+def spell_correct(ds, queries: list[str], k: int = 3,
+                  buckets: int = 64):
+    """Distributed spell correction: for each (lowercase ``[0-9a-z]+``)
+    query string, the top-``k`` corpus vocabulary terms within edit
+    distance 1, ranked (dist asc, df desc, term asc); df = number of
+    docs containing the term.
+
+    SymSpell-style scale plan — NO all-pairs query x vocab scan:
+
+    1. per-batch partial df counts (docs are whole rows, so per-batch
+       distinct (term, doc) is globally distinct), term-hash groupby
+       sums exact df;
+    2. the same reduce emits each term's depth-1 DELETION VARIANTS
+       (term + each single-char deletion), re-keyed by variant hash;
+    3. each variant bucket intersects against the BROADCAST query
+       variant map (queries are a small list — the dimension side) and
+       emits raw (query, term, df) candidates;
+    4. one query-hash groupby dedups candidates, verifies with exact
+       Levenshtein (bit-identical to DuckDB ``levenshtein``), and
+       keeps the per-query top-k.
+
+    Depth-1 deletion matching is COMPLETE for distance <= 1 (identity,
+    deletion, insertion, substitution all share a variant), so the
+    exact verify never loses a true candidate.
+    """
+    import zlib
+
+    import ray
+
+    qvar: dict[str, list[str]] = {}
+    for q in queries:
+        for v in _deletion_variants(q):
+            qvar.setdefault(v, []).append(q)
+    qref = ray.put(qvar)
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        if not len(vids):
+            return pd.DataFrame(
+                {
+                    "term": pd.array([], dtype="object"),
+                    "df": pd.array([], dtype="int64"),
+                    "_b": pd.array([], dtype="int32"),
+                }
+            )
+        pairs = np.unique(
+            np.stack([vids, parent], axis=1), axis=0
+        )
+        tid, cnt = np.unique(pairs[:, 0], return_counts=True)
+        terms = np.asarray(vocab, dtype=object)[tid]
+        return pd.DataFrame(
+            {
+                "term": pd.Series(terms, dtype=object),
+                "df": pd.array(cnt.astype(np.int64), dtype="int64"),
+                "_b": pd.array(
+                    np.fromiter(
+                        (zlib.crc32(t.encode()) % buckets for t in terms),
+                        np.int32,
+                        len(terms),
+                    ),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def emit_variants(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("term", as_index=False)["df"].sum()
+        rows_v, rows_t, rows_d = [], [], []
+        for t, d in zip(g["term"], g["df"]):
+            for v in _deletion_variants(t):
+                rows_v.append(v)
+                rows_t.append(t)
+                rows_d.append(d)
+        return pd.DataFrame(
+            {
+                "variant": pd.Series(rows_v, dtype=object),
+                "term": pd.Series(rows_t, dtype=object),
+                "df": pd.array(
+                    np.asarray(rows_d, np.int64), dtype="int64"
+                ),
+                "_vb": pd.array(
+                    np.fromiter(
+                        (
+                            zlib.crc32(v.encode()) % buckets
+                            for v in rows_v
+                        ),
+                        np.int32,
+                        len(rows_v),
+                    ),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def match_queries(group: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        m = group["variant"].map(lambda v: qv.get(v))
+        hit = group.loc[m.notna()]
+        qs, ts, ds_ = [], [], []
+        for qlist, t, d in zip(
+            m.loc[m.notna()], hit["term"], hit["df"]
+        ):
+            for q in qlist:
+                qs.append(q)
+                ts.append(t)
+                ds_.append(d)
+        return pd.DataFrame(
+            {
+                "query": pd.Series(qs, dtype=object),
+                "term": pd.Series(ts, dtype=object),
+                "df": pd.array(np.asarray(ds_, np.int64), dtype="int64"),
+                "_qb": pd.array(
+                    np.fromiter(
+                        (zlib.crc32(q.encode()) % buckets for q in qs),
+                        np.int32,
+                        len(qs),
+                    ),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["query", "term"]).copy()
+        g["dist"] = [
+            _levenshtein(q, t) for q, t in zip(g["query"], g["term"])
+        ]
+        g = g[g["dist"] <= 1]
+        g = g.sort_values(
+            ["query", "dist", "df", "term"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("query", sort=False).head(k)
+        return out[["query", "term", "dist", "df"]].astype(
+            {"dist": "int64", "df": "int64"}
+        )
+
+    return (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(emit_variants, batch_format="pandas")
+        .groupby("_vb")
+        .map_groups(match_queries, batch_format="pandas")
+        .groupby("_qb")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
 def pmi_collocations(ds, top_k: int = 30, min_count: int = 5,
                      buckets: int = 64):
     """Top-k bigram collocations by pointwise mutual information — the

@@ -730,6 +730,64 @@ def test_grouped_topk(ray_session):
     assert asc.loc[asc.key == "a", "doc_id"].tolist() == [0, 1]
 
 
+def test_spell_correct(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import (
+        _levenshtein,
+        spell_correct,
+    )
+
+    # vocab with controlled dfs: 'batch' in 3 docs, 'botch' in 2,
+    # 'match' in 1; plus distance-2 'itch' which must NOT surface
+    texts = [
+        "batch botch match",
+        "batch botch",
+        "batch itch",
+    ]
+    df = pd.DataFrame({"doc_id": range(3), "text": texts})
+    out = (
+        spell_correct(
+            ray.data.from_pandas(df).repartition(2),
+            ["batc", "batch", "xyzq"],
+            k=2,
+        )
+        .to_pandas()
+        .sort_values(["query", "dist", "term"])
+        .reset_index(drop=True)
+    )
+    # 'batc': batch (dist1, df3) and botch? dist('batc','botch')=2 ->
+    # excluded; match? dist 2 -> excluded.
+    got = out[out["query"] == "batc"]
+    assert got[["term", "dist", "df"]].values.tolist() == [
+        ["batch", 1, 3]]
+    # 'batch': exact hit first (dist 0), then the best dist-1 terms by
+    # df desc: botch(2) over match(1); k=2 keeps batch + botch
+    got = out[out["query"] == "batch"].reset_index(drop=True)
+    assert got[["term", "dist", "df"]].values.tolist() == [
+        ["batch", 0, 3], ["botch", 1, 2]]
+    # no candidates at all for 'xyzq'
+    assert (out["query"] == "xyzq").sum() == 0
+    # the DP matches a reference implementation on assorted pairs
+    import itertools
+    words = ["", "a", "ab", "abc", "acb", "bca", "batch", "botch"]
+    for a, b in itertools.product(words, repeat=2):
+        n, m = len(a), len(b)
+        dp = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(n + 1):
+            dp[i][0] = i
+        for j in range(m + 1):
+            dp[0][j] = j
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                dp[i][j] = min(
+                    dp[i - 1][j] + 1,
+                    dp[i][j - 1] + 1,
+                    dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        assert _levenshtein(a, b) == dp[n][m]
+
+
 def test_next_word_topk(ray_session):
     import collections
     import re
