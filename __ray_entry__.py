@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import zlib
 from collections.abc import Callable
 from typing import Any
 
@@ -1097,6 +1098,106 @@ def _q_spell_correct(sf_dir: str) -> pd.DataFrame:
         out.sort_values(["query", "term"], kind="mergesort")
         .reset_index(drop=True)
         .astype({"dist": "int64", "df": "int64"})
+    )
+
+
+def _q_per_source_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-domain quota capping (composition: stages/rank.py
+    grouped_topk ascending) — the curation rule "keep at most 20 docs
+    per source, lowest doc_id first" that bounds any one domain's
+    share of the corpus (binding at every sf)."""
+    import ray.data
+
+    from searchengines_ray.stages.rank import grouped_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = grouped_topk(
+        docs, by="source", val_col="doc_id", k=20,
+        ascending=True, tie_col="doc_id",
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
+def _q_split_leakage(sf_dir: str) -> pd.DataFrame:
+    """Train/val/test leakage check (composition: stages/sample.py
+    hash_split + exact-content grouping): exact-duplicate texts whose
+    copies land in DIFFERENT splits — the contamination a pipeline
+    must catch before training.  The synthetic corpus has no exact
+    text dups, so the entry PLANTS them deterministically (docs with
+    doc_id % 10 in {0, 7} share a per-decade text — the normalize_text
+    planting pattern, SQL-reproducible, non-vacuous at every sf).
+    Emits one row per leaked (content group, split), keyed by the
+    group's min doc_id."""
+    import ray.data
+
+    from searchengines_ray.stages.sample import hash_split
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        leak = np.isin(ids % 10, (0, 7))
+        text = b["text"].fillna("").to_numpy(dtype=object)
+        text[leak] = np.char.add(
+            "LEAK-", (ids[leak] // 10).astype(str)
+        ).astype(object)
+        return pd.DataFrame({"doc_id": ids, "text": text})
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(plant, batch_format="pandas")
+    split = hash_split(docs, key="doc_id")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "text": t,
+                "doc_id": b["doc_id"].astype("int64"),
+                "split": b["split"],
+                # crc32 is the SHUFFLE key only (co-locates equal
+                # texts); the GROUP key is the text itself, which the
+                # SQL oracle reproduces with GROUP BY text
+                "_cb": t.map(
+                    lambda s: zlib.crc32(s.encode()) % 64
+                ).astype("int64"),
+            }
+        )
+
+    def find_leaks(g: pd.DataFrame) -> pd.DataFrame:
+        spans = g.groupby("text")["split"].nunique()
+        leaky = spans[spans > 1].index
+        sub = g[g["text"].isin(set(leaky))]
+        out = sub.groupby(["text", "split"], as_index=False).agg(
+            n_docs=("doc_id", "size")
+        )
+        key = sub.groupby("text")["doc_id"].min()
+        out["group_key"] = key.loc[out["text"]].to_numpy()
+        return out[["group_key", "split", "n_docs"]].astype(
+            {"group_key": "int64", "n_docs": "int64"}
+        )
+
+    out = (
+        split.map_batches(partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(find_leaks, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "group_key": pd.array([], dtype="int64"),
+                "split": pd.array([], dtype="object"),
+                "n_docs": pd.array([], dtype="int64"),
+            }
+        )
+    return (
+        out.sort_values(["group_key", "split"], kind="mergesort")
+        .reset_index(drop=True)
     )
 
 
@@ -2204,6 +2305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": _q_broadcast_join,
         "next_word_suggest": _q_next_word_suggest,
         "spell_correct": _q_spell_correct,
+        "per_source_cap": _q_per_source_cap,
+        "split_leakage": _q_split_leakage,
         "consistent_sample": _q_consistent_sample,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -4495,6 +4598,46 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "per_source_cap": """
+            -- keep at most 20 docs per source, lowest doc_id first
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 20 ORDER BY doc_id
+        """,
+        "split_leakage": """
+            -- exact-duplicate texts spanning >1 hash split: one row
+            -- per (content group, split); group key = min doc_id.
+            -- Leaks are PLANTED (docs with doc_id % 10 in (0, 7)
+            -- share a per-decade text) so the check is non-vacuous.
+            WITH s AS (
+              SELECT doc_id, text,
+                     CASE WHEN b < 900 THEN 'train'
+                          WHEN b < 950 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 IN (0, 7)
+                            THEN 'LEAK-' ||
+                                 CAST(doc_id // 10 AS VARCHAR)
+                            ELSE COALESCE(text, '') END AS text,
+                       ((((doc_id % 2147483648) * 2654435761)
+                         % 4294967296) % 1000) AS b
+                FROM documents
+              )
+            ),
+            g AS (
+              SELECT text, MIN(doc_id) AS group_key,
+                     COUNT(DISTINCT split) AS nsplits
+              FROM s GROUP BY text
+            )
+            SELECT g.group_key, s.split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM s JOIN g USING (text)
+            WHERE g.nsplits > 1
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "spell_correct": """
             -- brute-force ground truth: levenshtein cross join over
