@@ -1101,6 +1101,45 @@ def _q_spell_correct(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_window_unique_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users per hourly window (stages/windows.py
+    window_unique_users) — COUNT(DISTINCT) via dedup-then-count
+    combiners, never a raw-row shuffle."""
+    import ray.data
+
+    from searchengines_ray.stages.windows import window_unique_users
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = window_unique_users(ev, minutes=60).to_pandas()
+    return (
+        out.sort_values("window_start")
+        .reset_index(drop=True)
+        .astype({"n_users": "int64"})
+    )
+
+
+def _q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type transition counts (stages/windows.py
+    event_transitions) — the Markov session-flow table, (ts, event_id)
+    order, vectorized shift inside user buckets."""
+    import ray.data
+
+    from searchengines_ray.stages.windows import event_transitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    out = event_transitions(ev).to_pandas()
+    return (
+        out.sort_values(["from_type", "to_type"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+
+
 def _q_per_source_cap(sf_dir: str) -> pd.DataFrame:
     """Per-domain quota capping (composition: stages/rank.py
     grouped_topk ascending) — the curation rule "keep at most 20 docs
@@ -2306,6 +2345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_word_suggest": _q_next_word_suggest,
         "spell_correct": _q_spell_correct,
         "per_source_cap": _q_per_source_cap,
+        "window_unique_users": _q_window_unique_users,
+        "event_transitions": _q_event_transitions,
         "split_leakage": _q_split_leakage,
         "consistent_sample": _q_consistent_sample,
         "hll_registers": _q_hll_registers,
@@ -4598,6 +4639,25 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1, 2
             ORDER BY d.lang, e.label
+        """,
+        "window_unique_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "event_transitions": """
+            -- per-user (ts, event_id)-ordered type bigrams
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+              FROM events
+            )
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "per_source_cap": """
             -- keep at most 20 docs per source, lowest doc_id first

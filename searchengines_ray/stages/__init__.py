@@ -73,7 +73,9 @@ from .text import (  # noqa: F401
 )
 from .windows import (  # noqa: F401
     cohort_retention,
+    event_transitions,
     rolling_user_agg,
+    window_unique_users,
     funnel_stages,
     hopping_window_agg,
     sessionize,

@@ -370,3 +370,127 @@ def rolling_user_agg(events_ds, window_rows: int = 5,
         .groupby("_cb")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def window_unique_users(events_ds, minutes: int = 60,
+                        coarse_buckets: int = 64):
+    """Exact distinct-user count per tumbling window — the DAU/HAU
+    analytic.  COUNT(DISTINCT) does not pre-aggregate like a sum, so
+    the plan dedups first: per-batch unique (window, user) pairs, one
+    pair-hash bucketed groupby finishes the global dedup AND folds
+    each window's partial distinct count, then a tiny window-keyed
+    groupby sums partials.  Shuffle #1 carries per-batch UNIQUE pairs
+    (bounded by windows x active users per batch), shuffle #2 one row
+    per (bucket, window).
+    """
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            batch["ts"]
+            .dt.floor(f"{minutes}min")
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        uniq = np.unique(np.stack([w, u], axis=1), axis=0)
+        key = uniq[:, 0] * np.int64(1000003) + uniq[:, 1]
+        return pd.DataFrame(
+            {
+                "w_us": uniq[:, 0],
+                "user_id": uniq[:, 1],
+                "_cb": (
+                    (key.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(coarse_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    def bucket_count(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["w_us", "user_id"])
+        c = g.groupby("w_us", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "w_us": c["w_us"].astype("int64"),
+                "n": c["size"].astype("int64"),
+            }
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby("w_us", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "window_start": c["w_us"]
+                .astype("int64")
+                .astype("datetime64[us]"),
+                "n_users": c["n"].astype("int64"),
+            }
+        )
+
+    return (
+        events_ds.map_batches(pairs, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(bucket_count, batch_format="pandas")
+        .groupby("w_us")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def event_transitions(events_ds, coarse_buckets: int = 256):
+    """Per-user ordered event-type transition counts — the Markov-chain
+    / session-flow table: for each user's (ts, event_id)-ordered
+    stream, count consecutive (from_type -> to_type) pairs, summed over
+    all users.  One user-keyed shuffle builds per-user orderings
+    (vectorized shift inside each coarse bucket, no per-user Python),
+    partial pair counts ride to a small (from, to)-keyed groupby.
+    """
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": batch["event_id"].to_numpy().astype(
+                    np.int64
+                ),
+                "ts_us": batch["ts"]
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "event_type": batch["event_type"],
+                "_cb": (
+                    (u.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(coarse_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    def pair_partials(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        same = g["user_id"].to_numpy()[:-1] == g["user_id"].to_numpy()[1:]
+        frm = g["event_type"].to_numpy()[:-1][same]
+        to = g["event_type"].to_numpy()[1:][same]
+        df = pd.DataFrame({"from_type": frm, "to_type": to})
+        c = df.groupby(["from_type", "to_type"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "from_type": c["from_type"],
+                "to_type": c["to_type"],
+                "n": c["size"].astype("int64"),
+            }
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby(
+            ["from_type", "to_type"], as_index=False
+        )["n"].sum()
+        return c.astype({"n": "int64"})
+
+    return (
+        events_ds.map_batches(tag, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby("from_type")
+        .map_groups(final, batch_format="pandas")
+    )

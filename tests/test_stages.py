@@ -1807,6 +1807,66 @@ def test_funnel_and_cohort_random_cross_check(ray_session):
     assert got_c == want_c
 
 
+def test_window_unique_users(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import window_unique_users
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # hour 0: users 1,1,2 -> 2 distinct; hour 1: users 2,3 -> 2;
+        # hour 3: user 1 -> 1
+        (1, base + pd.Timedelta(minutes=5)),
+        (1, base + pd.Timedelta(minutes=50)),
+        (2, base + pd.Timedelta(minutes=59)),
+        (2, base + pd.Timedelta(minutes=61)),
+        (3, base + pd.Timedelta(minutes=119)),
+        (1, base + pd.Timedelta(hours=3, minutes=1)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["user_id"] = df["user_id"].astype("int64")
+    out = (
+        window_unique_users(
+            ray.data.from_pandas(df).repartition(3), minutes=60
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert out["n_users"].tolist() == [2, 2, 1]
+    assert out["window_start"].tolist() == [
+        base, base + pd.Timedelta(hours=1), base + pd.Timedelta(hours=3)]
+
+
+def test_event_transitions(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import event_transitions
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: a -> b -> a   user 2: b -> b; cross-user pairs must
+        # NOT count; same-ts ties order by event_id
+        (1, 1, base + pd.Timedelta(seconds=1), "a"),
+        (1, 2, base + pd.Timedelta(seconds=2), "b"),
+        (1, 3, base + pd.Timedelta(seconds=2), "a"),
+        (2, 4, base + pd.Timedelta(seconds=3), "b"),
+        (2, 5, base + pd.Timedelta(seconds=9), "b"),
+        (3, 6, base, "c"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type"]
+    ).astype({"user_id": "int64", "event_id": "int64"})
+    out = (
+        event_transitions(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [["a", "b", 1], ["b", "a", 1],
+                                   ["b", "b", 1]]
+
+
 def test_rolling_user_agg(ray_session):
     import ray.data
 
