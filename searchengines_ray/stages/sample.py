@@ -123,30 +123,41 @@ def consistent_sample(ds, k: int, key: str = "doc_id"):
     consistent across runs/partitionings, and two corpora's bottom-k
     sets support Jaccard estimation (the classic bottom-k property).
 
-    Combiner-first: every batch keeps its own bottom-k (shuffle carries
-    <= k rows per batch), one reduce finalizes.  Hash is the
+    Two-level combiner reduce: every batch keeps its own bottom-k
+    (shuffle #1 carries <= k rows per batch, spread over ``buckets``
+    hash-of-h groups), each bucket keeps its bottom-k (shuffle #2
+    carries <= buckets x k rows into one final task — the global
+    bottom-k is always a subset of the per-bucket bottom-k's).  A
+    single-level reduce would funnel batches x k rows into ONE task,
+    which at 10^6 batches is a hot-task hazard.  Hash is the
     Knuth-xor-Knuth avalanche chain (stages/sketch.py contract) so the
     SQL mirror is ``ORDER BY h, key LIMIT k``.
     """
-    from .rank import grouped_topk
     from .sketch import _hll_hash
 
+    buckets = 64
     cols = list(ds.schema().names)
 
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+    def bottomk(frame: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (frame[key].to_numpy(), frame["_h"].to_numpy())
+        )[:k]
+        return frame.iloc[order]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.copy()
         b["_h"] = _hll_hash(batch[key].to_numpy())
-        b["_g"] = np.int64(0)
+        b = bottomk(b)
+        b["_b1"] = b["_h"].to_numpy() % buckets
+        b["_b2"] = np.int64(0)
         return b
 
-    out = grouped_topk(
-        ds.map_batches(attach, batch_format="pandas"),
-        by="_g",
-        val_col="_h",
-        k=k,
-        ascending=True,
-        tie_col=key,
-    )
-    return out.map_batches(
-        lambda b: b[cols], batch_format="pandas"
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b1")
+        .map_groups(bottomk, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(
+            lambda g: bottomk(g)[cols], batch_format="pandas"
+        )
     )
