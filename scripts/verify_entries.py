@@ -84,9 +84,12 @@ def main():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     n_ok = n_bad = 0
+    import time as _time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.time()
         try:
             res = fn(sf_dir)
             if not isinstance(res, pd.DataFrame):
@@ -107,7 +110,10 @@ def main():
                 n_bad += 1
                 continue
             if compare(name, res, sql_df):
-                print(f"  [{name}] OK ({len(res)} rows, sql-checked)")
+                print(
+                    f"  [{name}] OK ({len(res)} rows, sql-checked, "
+                    f"{_time.time() - _t0:.1f}s)"
+                )
                 n_ok += 1
             else:
                 n_bad += 1
