@@ -1140,6 +1140,51 @@ def _q_event_transitions(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_image_resize(sf_dir: str) -> pd.DataFrame:
+    """Image-resize plumbing (stages/multimodal.py ImageResizer):
+    aspect-preserving integer fit into a 128-box over the fake-decoded
+    dims; resized_hash stands in for the pixel buffer.  Actor-pool
+    stage, small pyarrow batches (binary rows dominate block size)."""
+    import pyarrow as pa
+
+    from searchengines_ray.stages.multimodal import resize_images
+
+    docs = _docs(sf_dir)
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [
+                        (t or "").encode("utf-8")[:256]
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    out = resize_images(
+        docs.map_batches(to_payload, batch_format="pyarrow"),
+        max_dim=128,
+        concurrency=2,
+        batch_size=64,
+    ).to_pandas()
+    return (
+        out.astype(
+            {
+                "doc_id": "int64",
+                "out_w": "int64",
+                "out_h": "int64",
+                "resized_hash": "int64",
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_per_source_cap(sf_dir: str) -> pd.DataFrame:
     """Per-domain quota capping (composition: stages/rank.py
     grouped_topk ascending) — the curation rule "keep at most 20 docs
@@ -2346,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct": _q_spell_correct,
         "per_source_cap": _q_per_source_cap,
         "window_unique_users": _q_window_unique_users,
+        "image_resize": _q_image_resize,
         "event_transitions": _q_event_transitions,
         "split_leakage": _q_split_leakage,
         "consistent_sample": _q_consistent_sample,
@@ -5405,6 +5451,50 @@ def _oracle_sql_impl() -> dict[str, str]:
                         AS BIGINT) AS height,
                    CAST(3 AS BIGINT) AS channels
             FROM h ORDER BY doc_id
+        """,
+        "image_resize": """
+            -- fake resize: source dims from the decode contract,
+            -- aspect-preserving integer fit into a 128-box (// on
+            -- positives == floor), resized_hash = first 60 bits of
+            -- sha256(payload || '#WxH')
+            WITH h AS (
+              SELECT doc_id, substr(text, 1, 256) AS payload,
+                     sha256(substr(text, 1, 256)) AS hx
+              FROM documents
+            ),
+            dims AS (
+              SELECT doc_id, payload,
+                 64 + ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                     + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 4
+                   AS w,
+                 64 + ((instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                     + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1)) * 4
+                   AS ht
+              FROM h
+            ),
+            r AS (
+              SELECT doc_id, payload,
+                CASE WHEN GREATEST(w, ht) <= 128 THEN w
+                     WHEN w >= ht THEN 128
+                     ELSE (w * 128) // ht END AS out_w,
+                CASE WHEN GREATEST(w, ht) <= 128 THEN ht
+                     WHEN w >= ht THEN (ht * 128) // w
+                     ELSE 128 END AS out_h
+              FROM dims
+            )
+            SELECT doc_id,
+                   CAST(out_w AS BIGINT) AS out_w,
+                   CAST(out_h AS BIGINT) AS out_h,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         string_split(substr(sha256(payload || '#'
+                           || CAST(out_w AS VARCHAR) || 'x'
+                           || CAST(out_h AS VARCHAR)), 1, 15), ''),
+                         c -> CAST(instr('0123456789abcdef', c) - 1
+                                   AS BIGINT))),
+                     (a, c) -> a * 16 + c) AS resized_hash
+            FROM r ORDER BY doc_id
         """,
         "frame_sample": """
             -- fake frame sampler: n_frames = 1 + sha256(payload)[0] % 50,

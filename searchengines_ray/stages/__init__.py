@@ -34,7 +34,11 @@ from .joins import (  # noqa: F401
     hash_equijoin,
     interval_join,
 )
-from .multimodal import decode_images, sample_frames  # noqa: F401
+from .multimodal import (  # noqa: F401
+    decode_images,
+    resize_images,
+    sample_frames,
+)
 from .similarity import (  # noqa: F401
     IVFIndex,
     cosine_similarity_join,

@@ -122,3 +122,63 @@ def sample_frames(ds, every_n: int = 10, concurrency: int = 2, batch_size: int =
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizer:
+    """binary -> bounded-box resize descriptor (stubbed pixel work,
+    real actor-pool plumbing): source dims come from the same fake
+    decode as :class:`ImageDecoder`; the output dims are the exact
+    integer aspect-preserving fit into a ``max_dim`` square —
+    out = (max_dim, h*max_dim//w) for landscape, (w*max_dim//h,
+    max_dim) for portrait, unchanged when already inside the box —
+    and ``resized_hash`` stands in for the resized pixel buffer
+    (sha256(payload || '#' || WxH), first 60 bits, the frame_hash
+    idiom, so DuckDB reproduces it)."""
+
+    def __init__(self, max_dim: int = 128, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real image resizing requires an image codec library "
+                "(not available in this environment); use fake=True"
+            )
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.max_dim
+        out_w, out_h, rhash = [], [], []
+        doc_ids = batch.column("doc_id").to_pylist()
+        for payload in batch.column("payload").to_pylist():
+            h = hashlib.sha256(payload or b"").digest()
+            w, hgt = 64 + h[0] * 4, 64 + h[1] * 4
+            if max(w, hgt) <= t:
+                ow, oh = w, hgt
+            elif w >= hgt:
+                ow, oh = t, (hgt * t) // w
+            else:
+                ow, oh = (w * t) // hgt, t
+            tag = f"#{ow}x{oh}".encode()
+            rh = hashlib.sha256((payload or b"") + tag).hexdigest()
+            out_w.append(ow)
+            out_h.append(oh)
+            rhash.append(int(rh[:15], 16))  # 60 bits, int64-safe
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "out_w": pa.array(out_w, pa.int32()),
+                "out_h": pa.array(out_h, pa.int32()),
+                "resized_hash": pa.array(rhash, pa.int64()),
+            }
+        )
+
+
+def resize_images(ds, max_dim: int = 128, concurrency: int = 2,
+                  batch_size: int = 32):
+    """Actor-pool resize stage (config held per actor, small batches
+    because binary payloads dominate block size)."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_dim": max_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

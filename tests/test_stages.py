@@ -376,6 +376,32 @@ def test_multimodal_stubs(ray_session):
     with pytest.raises(NotImplementedError):
         ImageDecoder(fake=False)
 
+    # resize: exact aspect-preserving integer fit into the box
+    import hashlib
+
+    from searchengines_ray.stages.multimodal import (
+        ImageResizer,
+        resize_images,
+    )
+
+    rs = resize_images(ds, max_dim=128, concurrency=2).to_pandas()
+    assert set(rs.columns) == {"doc_id", "out_w", "out_h",
+                               "resized_hash"}
+    for r in rs.itertuples():
+        p = bytes([r.doc_id]) * (100 + r.doc_id)
+        h = hashlib.sha256(p).digest()
+        w, hgt = 64 + h[0] * 4, 64 + h[1] * 4
+        if max(w, hgt) <= 128:
+            ew, eh = w, hgt
+        elif w >= hgt:
+            ew, eh = 128, (hgt * 128) // w
+        else:
+            ew, eh = (w * 128) // hgt, 128
+        assert (r.out_w, r.out_h) == (ew, eh)
+        assert max(ew, eh) <= 128 and min(ew, eh) >= 1
+    with pytest.raises(NotImplementedError):
+        ImageResizer(fake=False)
+
 
 def test_hopping_window_agg(ray_session):
     import ray.data
