@@ -1788,7 +1788,9 @@ def _q_sessionize(sf_dir: str) -> pd.DataFrame:
 
     from searchengines_ray.stages.windows import sessionize
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
 
     def prefloor(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

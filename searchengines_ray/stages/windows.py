@@ -103,18 +103,26 @@ def sessionize(events_ds, gap_minutes: int = 30, salt_hours: int | None = 24):
     """Session windows per user: order events by ts, split on gaps >
     gap_minutes.
 
-    SALTED two-pass design (default): pass 1 groups by ``(user_id, salt)``
-    where salt = ts floored to ``salt_hours`` — so a bot-grade hot user
-    never forces one group to hold its whole history, only one salt
-    bucket's worth.  Pass 2 groups the (session-summary-sized, events-free)
-    pass-1 output by user and stitches sessions across salt boundaries:
-    consecutive summaries merge when ``start - prev_end <= gap`` — exactly
-    the split condition pass 1 applied, so the result is IDENTICAL to the
+    SALTED two-pass design (default): pass 1 splits sessions inside
+    ``(user_id, salt)`` units where salt = ts floored to ``salt_hours``
+    — so a bot-grade hot user never forces one task to hold its whole
+    history, only one salt bucket's worth.  Pass 2 takes the
+    (session-summary-sized, events-free) pass-1 output per user and
+    stitches sessions across salt boundaries: consecutive summaries
+    merge when ``start - prev_end <= gap`` — exactly the split
+    condition pass 1 applied, so the result is IDENTICAL to the
     unsalted single pass (pinned by the SQL window-function oracle).
     ``salt_hours=None`` falls back to the single-pass one-group-per-user
     plan.
+
+    Both passes shuffle on COARSE HASH BUCKETS and vectorize across
+    keys inside each bucket (one sort + shift-compare + C-level
+    groupby-agg per bucket) — a per-(user, salt) ``map_groups`` ran
+    one Python callback per key (~46k tiny frames at sf0.1, 150 s; the
+    bucketed form is ~13 s on the same input).
     """
     gap_s = gap_minutes * 60
+    coarse_buckets = 256
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts", kind="mergesort")
@@ -136,19 +144,61 @@ def sessionize(events_ds, gap_minutes: int = 30, salt_hours: int | None = 24):
 
     def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["_salt"] = batch["ts"].dt.floor(f"{salt_hours}h")
+        salt = batch["ts"].dt.floor(f"{salt_hours}h")
+        batch["_salt"] = salt
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        s_us = salt.astype("datetime64[us]").astype("int64").to_numpy()
+        key = u * np.int64(1000003) + s_us
+        batch["_cb"] = (
+            (key.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
         return batch
 
-    def sessions_salted(group: pd.DataFrame) -> pd.DataFrame:
-        return sessions(group.drop(columns="_salt"))
+    def sessions_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every (user, salt) unit in the bucket:
+        # one sort, shift-compares for unit/gap breaks, one C-level
+        # groupby-agg — no per-key Python
+        g = group.sort_values(
+            ["user_id", "_salt", "ts"], kind="mergesort"
+        )
+        same = (
+            g["user_id"].eq(g["user_id"].shift())
+            & g["_salt"].eq(g["_salt"].shift())
+        ).to_numpy()
+        gaps = (
+            g["ts"].diff().dt.total_seconds().fillna(np.inf).to_numpy()
+        )
+        sid = np.cumsum(~same | (gaps > gap_s))
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "first"),
+            session_end=("ts", "last"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        out = out.reset_index(drop=True)
+        u = out["user_id"].to_numpy().astype(np.int64)
+        out["_ub"] = (
+            (u.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
+        return out
 
-    def stitch(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("session_start", kind="mergesort")
+    def stitch_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["user_id", "session_start"], kind="mergesort"
+        )
+        same_user = g["user_id"].eq(g["user_id"].shift()).to_numpy()
         prev_end = g["session_end"].shift(1)
-        new = (
-            (g["session_start"] - prev_end).dt.total_seconds() > gap_s
-        ) | prev_end.isna()
-        out = g.assign(_s=new.cumsum()).groupby("_s").agg(
+        gap_ok = (
+            (g["session_start"] - prev_end)
+            .dt.total_seconds()
+            .fillna(np.inf)
+            .to_numpy()
+        )
+        sid = np.cumsum(~same_user | (gap_ok > gap_s))
+        out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
             session_start=("session_start", "first"),
             session_end=("session_end", "max"),
@@ -159,11 +209,11 @@ def sessionize(events_ds, gap_minutes: int = 30, salt_hours: int | None = 24):
 
     pass1 = (
         events_ds.map_batches(add_salt, batch_format="pandas")
-        .groupby(["user_id", "_salt"])
-        .map_groups(sessions_salted, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(sessions_bucket, batch_format="pandas")
     )
-    return pass1.groupby("user_id").map_groups(
-        stitch, batch_format="pandas"
+    return pass1.groupby("_ub").map_groups(
+        stitch_bucket, batch_format="pandas"
     )
 
 
