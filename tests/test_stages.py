@@ -756,6 +756,82 @@ def test_grouped_topk(ray_session):
     assert asc.loc[asc.key == "a", "doc_id"].tolist() == [0, 1]
 
 
+def test_ranking_eval_nondefault_params(ray_session):
+    import math
+
+    import ray.data
+
+    from searchengines_ray.stages.rank import ranking_eval
+
+    # max_rel=3, k=5: grades 0..3, gains 0/1/3/7
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "qid": rng.randint(0, 8, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "score": rng.randint(0, 9, n).astype(float),
+        }
+    )
+    df["rel"] = (df["id"] % 4).astype(np.int64)
+    out = (
+        ranking_eval(
+            ray.data.from_pandas(df).repartition(5),
+            "qid", "id", "score", "rel", k=5, max_rel=3,
+        )
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+
+    def term(g, i):
+        return math.floor(((2**g - 1) / math.log2(i + 1)) * 1e6)
+
+    lcm5 = math.lcm(*range(1, 6))
+    for qid, grp in df.groupby("qid"):
+        g = grp.sort_values(["score", "id"], ascending=[False, True])
+        top = g.head(5)
+        rel = top["rel"].to_numpy()
+        ranks = np.arange(1, len(top) + 1)
+        row = out[out.qid == qid].iloc[0]
+        assert row["dcg_micro"] == sum(
+            term(r, i) for r, i in zip(rel, ranks))
+        ideal = np.sort(grp["rel"].to_numpy())[::-1][:5]
+        assert row["idcg_micro"] == sum(
+            term(r, i) for r, i in zip(ideal, range(1, len(ideal) + 1)))
+        rr = ranks[rel > 0]
+        cum = np.cumsum(rel > 0)
+        assert row["ap_num_lcm"] == int(
+            sum(c * (lcm5 // r) for c, r in zip(cum[rel > 0], rr)))
+        assert row["n_rel"] == int((grp["rel"] > 0).sum())
+
+
+def test_hll_p12_and_cms_empty(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.sketch import (
+        cms_counts,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 50000
+    ids = pd.DataFrame({"k": np.arange(n, dtype=np.int64) * 7 + 13})
+    out = hll_registers(
+        ray.data.from_pandas(ids).repartition(4), key="k", p=12
+    ).to_pandas()
+    assert out["bucket"].between(0, 4095).all()
+    # rho bounded by suffix bits + 1 = 21
+    assert out["max_rho"].between(1, 21).all()
+    est = hll_estimate(out, p=12)
+    assert abs(est - n) / n < 3 * 1.04 / np.sqrt(4096)
+
+    # CMS over an empty / null-text corpus: no cells
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["", None]})
+    cm = cms_counts(ray.data.from_pandas(df), width=64, depth=2)
+    assert cm.count() == 0
+
+
 def test_spell_correct(ray_session):
     import ray.data
 
