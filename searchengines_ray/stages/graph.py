@@ -241,12 +241,16 @@ def nonroot_ids(labels_ds) -> np.ndarray:
     return np.unique(part["node"].to_numpy().astype(np.int64))
 
 
+PAGERANK_LOCAL_MAX_EDGES = 2_000_000
+
+
 def pagerank(
     edges_ds,
     iters: int = 5,
     scale: int = 10**12,
     coarse_buckets: int = 64,
     nblocks: int = 16,
+    local_max_edges: int = PAGERANK_LOCAL_MAX_EDGES,
 ):
     """Integer-deterministic PageRank over a directed edge Dataset
     ``(src, dst)`` — the second graph op beside connected components.
@@ -280,6 +284,15 @@ def pagerank(
       constant-rank dataset is lazily union-ed in after the groupby.
     - ranks repartition back to ``nblocks`` every third round only
       (the union grows block counts linearly now, not per-node).
+
+    Adaptive fast path (the bounded-broadcast pattern from
+    stages/dedup.py): when the deduped edge count is <=
+    ``local_max_edges`` the whole iteration runs inside ONE map task
+    over the coalesced edge set — identical integer formulas over
+    np.bincount sums (shares are < 2^53 so float64 accumulation is
+    exact in any order), so the output is BIT-IDENTICAL to the
+    distributed path (pinned by a forced-path pytest).  Pass
+    ``local_max_edges=0`` to force the distributed plan.
     """
     import ray.data
 
@@ -311,6 +324,37 @@ def pagerank(
         .map_groups(dedup_with_deg, batch_format="pandas")
         .materialize()
     )
+
+    if ewd.count() <= local_max_edges:
+        # bounded fast path: all iterations in one task, identical
+        # integer arithmetic (bincount float64 sums are exact below
+        # 2^53, then back to int64)
+        def solve(batch: pd.DataFrame) -> pd.DataFrame:
+            src = batch["src"].to_numpy().astype(np.int64)
+            dst = batch["dst"].to_numpy().astype(np.int64)
+            od = batch["od"].to_numpy().astype(np.int64)
+            nodes_l = np.unique(np.concatenate([src, dst]))
+            n = len(nodes_l)
+            if n == 0:
+                return pd.DataFrame(
+                    {
+                        "node": np.zeros(0, np.int64),
+                        "r": np.zeros(0, np.int64),
+                    }
+                )
+            base_l = (15 * scale) // (100 * n)
+            si = np.searchsorted(nodes_l, src)
+            di = np.searchsorted(nodes_l, dst)
+            r = np.full(n, scale // n, np.int64)
+            for _ in range(iters):
+                share = r[si] // od
+                s = np.bincount(di, weights=share, minlength=n)
+                r = base_l + (85 * s.astype(np.int64)) // 100
+            return pd.DataFrame({"node": nodes_l, "r": r})
+
+        return ewd.repartition(1).map_batches(
+            solve, batch_format="pandas", batch_size=None
+        )
 
     def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
         s = np.unique(batch["src"].to_numpy().astype(np.int64))

@@ -1561,6 +1561,16 @@ def test_pagerank_integer_exact(ray_session):
         r = {v: base + (85 * s[v]) // 100 for v in nodes}
     assert got.to_dict() == r
 
+    # the DISTRIBUTED plan (forced with local_max_edges=0) must be
+    # bit-identical to the adaptive single-task fast path above
+    got_dist = (
+        pagerank(ds, iters=3, scale=10**9, local_max_edges=0)
+        .to_pandas()
+        .sort_values("node")
+        .set_index("node")["r"]
+    )
+    assert got_dist.to_dict() == r
+
 
 def test_minhash_cross_pairs(ray_session):
     import ray.data
