@@ -471,7 +471,14 @@ def pagerank(
     return ranks
 
 
-def triangle_count(pairs_ds, coarse_buckets: int = 256) -> int:
+TRIANGLES_LOCAL_MAX_EDGES = 100_000
+
+
+def triangle_count(
+    pairs_ds,
+    coarse_buckets: int = 256,
+    local_max_edges: int = TRIANGLES_LOCAL_MAX_EDGES,
+) -> int:
     """Exact triangle count of an undirected pair Dataset ``(doc_a,
     doc_b)`` (doc_a < doc_b, duplicates tolerated) — the third graph op
     beside connected components and PageRank.
@@ -489,6 +496,13 @@ def triangle_count(pairs_ds, coarse_buckets: int = 256) -> int:
     (v, w)-hash groupby matches wedges against oriented edges; the
     count is a distributed sum.  Only the scalar total reaches the
     driver.
+
+    Adaptive fast path: at or below ``local_max_edges`` deduped edges
+    the same degree-ordered wedge algorithm runs locally as two C-level
+    pandas merges (wedge volume bounded O(E^1.5) by the orientation) —
+    identical count, ~7 shuffle barriers cheaper.  Pass
+    ``local_max_edges=0`` to force the distributed plan (pytest pins
+    both paths equal on random graphs).
     """
     import ray.data
 
@@ -517,6 +531,42 @@ def triangle_count(pairs_ds, coarse_buckets: int = 256) -> int:
         .map_groups(dedup_edges, batch_format="pandas")
         .materialize()
     )
+
+    if edges.count() <= local_max_edges:
+        e = edges.to_pandas()
+        if len(e) == 0:
+            return 0
+        a = e["doc_a"].to_numpy().astype(np.int64)
+        b = e["doc_b"].to_numpy().astype(np.int64)
+        nodes_l, inv = np.unique(
+            np.concatenate([a, b]), return_inverse=True
+        )
+        deg_l = np.bincount(inv, minlength=len(nodes_l))
+        ai, bi = inv[: len(a)], inv[len(a):]
+        da, db = deg_l[ai], deg_l[bi]
+        # orient low -> high by the global (deg, node) total order
+        a_first = (da < db) | ((da == db) & (nodes_l[ai] < nodes_l[bi]))
+        o = pd.DataFrame(
+            {
+                "src": np.where(a_first, ai, bi),
+                "dst": np.where(a_first, bi, ai),
+            }
+        )
+        o["ddeg"] = deg_l[o["dst"].to_numpy()]
+        w = o.merge(o, on="src")
+        # keep each unordered out-neighbor pair once, ordered by the
+        # same (deg, node) total order the closing edge uses
+        keep = (w["ddeg_x"].to_numpy() < w["ddeg_y"].to_numpy()) | (
+            (w["ddeg_x"].to_numpy() == w["ddeg_y"].to_numpy())
+            & (
+                nodes_l[w["dst_x"].to_numpy()]
+                < nodes_l[w["dst_y"].to_numpy()]
+            )
+        )
+        wedges = w.loc[keep, ["dst_x", "dst_y"]].rename(
+            columns={"dst_x": "src", "dst_y": "dst"}
+        )
+        return int(len(wedges.merge(o[["src", "dst"]], on=["src", "dst"])))
 
     def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
         n = np.concatenate(

@@ -1844,6 +1844,9 @@ def test_triangle_count(ray_session):
         [{"doc_a": int(a), "doc_b": int(b)} for a, b in sorted(edges)]
     ).repartition(4)
     assert triangle_count(ds2) == want
+    # distributed plan (forced) must agree with the local fast path
+    assert triangle_count(ds2, local_max_edges=0) == want
+    assert triangle_count(ds, local_max_edges=0) == 4
 
 
 def test_funnel_and_cohort_random_cross_check(ray_session):
