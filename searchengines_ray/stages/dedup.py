@@ -1337,13 +1337,60 @@ def embedding_neardup_pairs(
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    pairs = rows.groupby(["table", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    # coarse-bucket both exchanges (native multi-key groupby = sorted
+    # exchange + one Python callback per LSH bucket / per pair key —
+    # the measured ~4x-slow shape); all rows of an LSH bucket still
+    # co-locate because _cb is a pure function of (table, bucket)
+    def add_cb(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        key = b["table"].to_numpy().astype(np.int64) * np.int64(
+            1_000_003
+        ) + b["bucket"].to_numpy().astype(np.int64)
+        b["_cb"] = (
+            (key.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return b
+
+    def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            bucket_pairs(sub)
+            for _, sub in group.groupby(["table", "bucket"], sort=False)
+        ]
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else bucket_pairs(group)
+        )
+
+    pairs = (
+        rows.map_batches(add_cb, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(coarse_pairs, batch_format="pandas")
     )
-    agg = pairs.groupby(["doc_a", "doc_b"]).max("cosine")
-    df = agg.to_pandas()
-    if "max(cosine)" in df.columns:
-        df = df.rename(columns={"max(cosine)": "cosine"})
+
+    def add_pb(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        key = b["doc_a"].to_numpy().astype(np.int64) * np.int64(
+            1_000_003
+        ) + b["doc_b"].to_numpy().astype(np.int64)
+        b["_pb"] = (
+            (key.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return b
+
+    def maxpair(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(
+            ["doc_a", "doc_b"], as_index=False
+        )["cosine"].max()
+
+    df = (
+        pairs.map_batches(add_pb, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(maxpair, batch_format="pandas")
+        .to_pandas()
+    )
     return _pairs_pandas(
         df, {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
     )
