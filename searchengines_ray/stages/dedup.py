@@ -68,18 +68,30 @@ def _content_hash_batch(batch: pd.DataFrame, key: str) -> pd.DataFrame:
 
 def exact_dedup(ds, key: str = "text"):
     """Surviving doc_ids after exact-content dedup (keep min doc_id per
-    identical ``key``).  Returns a Dataset with one column ``doc_id``."""
-    from functools import partial
+    identical ``key``).  Returns a Dataset with one column ``doc_id``.
 
-    hashed = ds.map_batches(
-        partial(_content_hash_batch, key=key), batch_format="pandas"
+    Combiner-first: per-batch min per content hash, then ONE hash-bucket
+    groupby with a vectorized per-bucket min (the native per-unique-key
+    groupby was a sorted exchange over every (h, doc_id) row)."""
+
+    def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
+        hb = _content_hash_batch(batch, key)
+        g = hb.groupby("h", as_index=False)["doc_id"].min()
+        g["_cb"] = (
+            (g["h"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return g
+
+    def final_min(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("h", as_index=False)["doc_id"].min()
+        return g[["doc_id"]].astype({"doc_id": "int64"})
+
+    return (
+        ds.map_batches(partial_min, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(final_min, batch_format="pandas")
     )
-    agg = hashed.groupby("h").min("doc_id")
-
-    def strip(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": batch["min(doc_id)"]})
-
-    return agg.map_batches(strip, batch_format="pandas")
 
 
 # --------------------------------------------------------------------- minhash

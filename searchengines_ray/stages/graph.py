@@ -111,7 +111,7 @@ def connected_components(
             on="key",
             how="inner",  # labels cover every node, so nothing drops
         )
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {
                 "node": np.concatenate(
                     [m["other"].to_numpy(), lab["key"].to_numpy()]
@@ -121,6 +121,14 @@ def connected_components(
                 ).astype(np.int64),
             }
         )
+        # combiner: per-group min per node, re-keyed by node bucket so
+        # the reduce is one vectorized min per bucket (the native
+        # per-node groupby was a sorted exchange of every candidate row)
+        g = df.groupby("node", as_index=False)["cand"].min()
+        g["_nb"] = _nbucket(
+            g["node"].to_numpy().astype(np.int64), coarse_buckets
+        )
+        return g
 
     def jump_reqs(batch: pd.DataFrame) -> pd.DataFrame:
         lab = batch["label"].to_numpy().astype(np.int64)
@@ -162,13 +170,14 @@ def connected_components(
             edges.union(lrows)
             .groupby("cb")
             .map_groups(propagate, batch_format="pandas")
-            .groupby("node")
-            .min("cand")
-            .map_batches(
-                lambda b: pd.DataFrame(
+            .groupby("_nb")
+            .map_groups(
+                lambda g: pd.DataFrame(
                     {
-                        "node": b["node"].to_numpy().astype(np.int64),
-                        "label": b["min(cand)"].to_numpy().astype(np.int64),
+                        "node": (gm := g.groupby(
+                            "node", as_index=False
+                        )["cand"].min())["node"].astype("int64"),
+                        "label": gm["cand"].astype("int64"),
                     }
                 ),
                 batch_format="pandas",
