@@ -2958,7 +2958,11 @@ def _diversity_sql(algorithm: str) -> str:
               CROSS JOIN corpus CROSS JOIN fstats
               GROUP BY dq.qid, tf.doc_id
             ),
-            dtop AS (
+            dtop AS MATERIALIZED (
+              -- MATERIALIZED: the recursive greedy below references the
+              -- candidate chain per step; without it DuckDB re-inlines
+              -- the whole analyzer+BM25 chain per recursion level
+              -- (measured 12-25 s -> ~2 s at sf0.1)
               SELECT * FROM (
                 SELECT qid, {url_expr} AS url,
                        FLOOR(score * 1000000) / 1000000 AS score_r,
