@@ -1078,6 +1078,27 @@ def _q_next_word_suggest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Cross-document repeated 8-gram spans (stages/text.py
+    repeated_spans) — the exact-substring-dedup signal: top-50 spans
+    shared verbatim by >= 2 docs, (n_docs desc, n_occ desc, gram
+    asc)."""
+    from searchengines_ray.stages.text import repeated_spans
+
+    out = repeated_spans(
+        _docs(sf_dir), k=8, min_docs=2, top_k=50
+    ).to_pandas()
+    return (
+        out.sort_values(
+            ["n_docs", "n_occ", "gram"],
+            ascending=[False, False, True],
+            kind="mergesort",
+        )
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "n_occ": "int64"})
+    )
+
+
 _SPELL_QUERIES = [
     "batc", "scann", "filtr", "mergee", "colmn", "vectr", "join",
 ]
@@ -2391,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": _q_broadcast_join,
         "next_word_suggest": _q_next_word_suggest,
         "spell_correct": _q_spell_correct,
+        "dup_spans": _q_dup_spans,
         "per_source_cap": _q_per_source_cap,
         "window_unique_users": _q_window_unique_users,
         "image_resize": _q_image_resize,
@@ -4710,6 +4732,32 @@ def _oracle_sql_impl() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dup_spans": """
+            -- cross-doc repeated 8-gram spans, top-50 by
+            -- (n_docs desc, n_occ desc, gram asc) — gram is unique in
+            -- the ordering so the LIMIT boundary is deterministic
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(l) - 7),
+                       i -> array_to_string(l[i : i + 7], ' '))) AS gram
+              FROM t WHERE len(l) >= 8
+            ),
+            c AS (
+              SELECT gram,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_occ
+              FROM g GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT gram, n_docs, n_occ FROM c
+            ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT 50
         """,
         "per_source_cap": """
             -- keep at most 20 docs per source, lowest doc_id first

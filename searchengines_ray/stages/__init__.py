@@ -69,6 +69,7 @@ from .text import (  # noqa: F401
     pmi_collocations,
     pii_redact,
     quality_scores,
+    repeated_spans,
     repetition_signals,
     spell_correct,
     tfidf_keywords,

@@ -557,6 +557,86 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
     )
 
 
+def repeated_spans(ds, k: int = 8, min_docs: int = 2, top_k: int = 50,
+                   buckets: int = 64):
+    """Cross-document repeated k-gram spans — the exact-substring-dedup
+    signal (long token spans shared verbatim by >= ``min_docs`` docs
+    mark boilerplate / templated text a span-level dedup would cut).
+    Returns the top-``top_k`` spans by (n_docs desc, n_occ desc, gram
+    asc).
+
+    Combiner-first (the ngram_counts mechanics + a per-batch
+    distinct-doc count, exact because a doc is one row and lives in one
+    batch): the shuffle carries per-batch UNIQUE grams, never the token
+    stream; a gram-hash bucketed groupby sums partials, applies the
+    ``min_docs`` cut, keeps its local top-k; the global sort+limit runs
+    over buckets x top_k survivors.
+    """
+    import zlib
+
+    empty = pd.DataFrame(
+        {
+            "gram": pd.array([], dtype="object"),
+            "n_docs": pd.array([], dtype="int64"),
+            "n_occ": pd.array([], dtype="int64"),
+            "_b": pd.array([], dtype="int32"),
+        }
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        m = len(vids) - k + 1
+        if m <= 0:
+            return empty
+        valid = parent[:m] == parent[k - 1 :]
+        if not valid.any():
+            return empty
+        arr = np.stack([vids[i : m + i][valid] for i in range(k)], axis=1)
+        par = parent[:m][valid]
+        dg = np.concatenate([par[:, None], arr], axis=1)
+        uniq, occ = np.unique(dg, axis=0, return_counts=True)
+        guniq, inv = np.unique(uniq[:, 1:], axis=0, return_inverse=True)
+        n_occ = np.bincount(inv, weights=occ).astype(np.int64)
+        n_docs = np.bincount(inv).astype(np.int64)
+        voc = np.asarray(vocab, dtype=object)
+        s = pd.Series(voc[guniq[:, 0]], dtype=object)
+        for i in range(1, k):
+            s = s + " " + pd.Series(voc[guniq[:, i]], dtype=object)
+        return pd.DataFrame(
+            {
+                "gram": s,
+                "n_docs": pd.array(n_docs, dtype="int64"),
+                "n_occ": pd.array(n_occ, dtype="int64"),
+                "_b": pd.array(
+                    np.fromiter(
+                        (zlib.crc32(g.encode()) % buckets for g in s),
+                        np.int32,
+                        len(s),
+                    ),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("gram", as_index=False)[["n_docs", "n_occ"]].sum()
+        g = g[g["n_docs"] >= min_docs]
+        g = g.sort_values(
+            ["n_docs", "n_occ", "gram"],
+            ascending=[False, False, True],
+            kind="mergesort",
+        ).head(top_k)
+        return g.astype({"n_docs": "int64", "n_occ": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .sort(["n_docs", "n_occ", "gram"], descending=[True, True, False])
+        .limit(top_k)
+    )
+
+
 def next_word_topk(ds, k: int = 3, min_count: int = 2,
                    buckets: int = 64):
     """Per-prefix next-word suggestions — the query-completion table:

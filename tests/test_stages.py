@@ -832,6 +832,48 @@ def test_hll_p12_and_cms_empty(ray_session):
     assert cm.count() == 0
 
 
+def test_repeated_spans(ray_session):
+    import collections
+    import re
+
+    import ray.data
+
+    from searchengines_ray.stages.text import repeated_spans
+
+    shared = "alpha beta gamma delta"
+    texts = [
+        f"one two {shared} x y",
+        f"{shared} p q r",
+        f"{shared} {shared} tail",  # two occurrences in one doc
+        "unrelated words only here now",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        repeated_spans(
+            ray.data.from_pandas(df).repartition(3),
+            k=4, min_docs=2, top_k=10,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    occ = collections.Counter()
+    docs = collections.defaultdict(set)
+    for d, t in enumerate(texts):
+        ws = re.findall(r"[0-9a-z]+", t.lower())
+        for i in range(len(ws) - 3):
+            g = " ".join(ws[i : i + 4])
+            occ[g] += 1
+            docs[g].add(d)
+    exp = sorted(
+        ((g, len(docs[g]), occ[g]) for g in occ if len(docs[g]) >= 2),
+        key=lambda x: (-x[1], -x[2], x[0]),
+    )[:10]
+    assert list(map(tuple, out.values)) == exp
+    # the shared 4-gram itself: 3 docs, 4 occurrences
+    row = out[out.gram == shared].iloc[0]
+    assert (row["n_docs"], row["n_occ"]) == (3, 4)
+
+
 def test_spell_correct(ray_session):
     import ray.data
 
