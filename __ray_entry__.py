@@ -1078,6 +1078,39 @@ def _q_next_word_suggest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_balanced_sample(sf_dir: str) -> pd.DataFrame:
+    """Balanced fixed-size-per-stratum sample (composition:
+    stages/sketch.py avalanche hash + stages/rank.py grouped_topk
+    ascending): exactly min(20, n) docs per language, chosen by the
+    smallest key hashes — the 'equal-sized eval subset per stratum'
+    curation primitive, partition-independent and consistent."""
+    import ray.data
+
+    from searchengines_ray.stages.rank import grouped_topk
+    from searchengines_ray.stages.sketch import _hll_hash
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_h"] = _hll_hash(b["doc_id"].to_numpy())
+        return b
+
+    out = grouped_topk(
+        docs.map_batches(attach, batch_format="pandas"),
+        by="lang", val_col="_h", k=20, ascending=True,
+        tie_col="doc_id",
+    ).to_pandas()
+    return (
+        out[["doc_id", "lang"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def _q_dup_spans(sf_dir: str) -> pd.DataFrame:
     """Cross-document repeated 8-gram spans (stages/text.py
     repeated_spans) — the exact-substring-dedup signal: top-50 spans
@@ -2413,6 +2446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_word_suggest": _q_next_word_suggest,
         "spell_correct": _q_spell_correct,
         "dup_spans": _q_dup_spans,
+        "balanced_sample": _q_balanced_sample,
         "per_source_cap": _q_per_source_cap,
         "window_unique_users": _q_window_unique_users,
         "image_resize": _q_image_resize,
@@ -4732,6 +4766,25 @@ def _oracle_sql_impl() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "balanced_sample": """
+            -- per-language bottom-20 by the avalanche hash
+            -- (ties by doc_id asc)
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+              FROM (
+                SELECT doc_id, lang,
+                       (((xor(h1, h1 // 65536) % 2147483648)
+                         * 2654435761) % 4294967296) AS h
+                FROM (
+                  SELECT doc_id, lang,
+                         (((doc_id % 2147483648) * 2654435761)
+                          % 4294967296) AS h1
+                  FROM documents
+                )
+              )
+            ) WHERE rn <= 20 ORDER BY doc_id
         """,
         "dup_spans": """
             -- cross-doc repeated 8-gram spans, top-50 by
