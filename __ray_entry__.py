@@ -1078,6 +1078,30 @@ def _q_next_word_suggest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sampling (stages/sample.py
+    weighted_sample): keep probability ∝ doc length in permille
+    (n_chars // 2, capped at certainty) — the 'sample ∝ quality'
+    curation primitive; pure per-batch filter, no shuffle."""
+    import ray.data
+
+    from searchengines_ray.stages.sample import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.assign(w=(b["n_chars"] // 2).astype("int64")),
+        batch_format="pandas",
+    )
+    out = weighted_sample(docs, "w", scale_permille=1).to_pandas()
+    return (
+        out[["doc_id", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+    )
+
+
 def _q_balanced_sample(sf_dir: str) -> pd.DataFrame:
     """Balanced fixed-size-per-stratum sample (composition:
     stages/sketch.py avalanche hash + stages/rank.py grouped_topk
@@ -2447,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct": _q_spell_correct,
         "dup_spans": _q_dup_spans,
         "balanced_sample": _q_balanced_sample,
+        "weighted_sample": _q_weighted_sample,
         "per_source_cap": _q_per_source_cap,
         "window_unique_users": _q_window_unique_users,
         "image_resize": _q_image_resize,
@@ -4766,6 +4791,14 @@ def _oracle_sql_impl() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "weighted_sample": """
+            -- keep iff knuth-bucket < min(1000, (n_chars // 2) * 1)
+            SELECT doc_id, n_chars FROM documents
+            WHERE ((((doc_id % 2147483648) * 2654435761) % 4294967296)
+                   % 1000)
+                  < LEAST(1000, (n_chars // 2) * 1)
+            ORDER BY doc_id
         """,
         "balanced_sample": """
             -- per-language bottom-20 by the avalanche hash

@@ -57,6 +57,7 @@ from .sample import (  # noqa: F401
     hash_split,
     sample_mask,
     stratified_sample,
+    weighted_sample,
 )
 from .sketch import cms_counts, hll_estimate, hll_registers  # noqa: F401
 from .text import (  # noqa: F401

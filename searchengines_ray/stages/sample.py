@@ -115,6 +115,30 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def weighted_sample(ds, weight_col: str, scale_permille: int = 1,
+                    key: str = "doc_id"):
+    """Deterministic Poisson-style weighted sampling: keep a row iff
+    ``hash(key) % 1000 < min(1000, weight * scale_permille)`` — keep
+    probability proportional to a per-row integer weight (capped at
+    certainty), e.g. sample ∝ document quality or length so the kept
+    subset over-represents what curation cares about.
+
+    Same Knuth keep-rule family as :func:`hash_sample`: pure per-batch
+    filter, no shuffle, repartition/resume-stable, SQL mirror is the
+    identical arithmetic with a LEAST cap.
+    """
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            (batch[key].to_numpy().astype(np.int64) % _M31P1) * _KNUTH
+        ) % _M32
+        w = batch[weight_col].to_numpy().astype(np.int64)
+        limit = np.minimum(1000, w * scale_permille)
+        return batch.loc[(h % 1000) < limit]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def consistent_sample(ds, k: int, key: str = "doc_id"):
     """Fixed-size deterministic uniform sample: the k rows with the
     globally SMALLEST avalanche key hashes (ties by key asc) — a

@@ -1013,6 +1013,39 @@ def test_broadcast_join(ray_session):
     assert sorted(anti["v"]) == ["a", "e"]
 
 
+def test_weighted_sample(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.sample import (
+        sample_mask,
+        weighted_sample,
+    )
+
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "w": (np.arange(n, dtype=np.int64) % 1500),
+        }
+    )
+    out = weighted_sample(
+        ray.data.from_pandas(df).repartition(4), "w", scale_permille=1
+    ).to_pandas()
+    # exact rule: keep iff hash bucket < min(1000, w)
+    h = (
+        (df["doc_id"].to_numpy().astype(np.int64) % 2147483648)
+        * 2654435761
+    ) % 4294967296
+    keep = (h % 1000) < np.minimum(1000, df["w"].to_numpy())
+    assert sorted(out["doc_id"]) == sorted(df.loc[keep, "doc_id"])
+    # weight >= 1000 means certainty
+    certain = df["w"].to_numpy() >= 1000
+    assert set(df.loc[certain, "doc_id"]) <= set(out["doc_id"])
+    # weight 0 never kept
+    assert not (set(df.loc[df.w.to_numpy() == 0, "doc_id"])
+                & set(out["doc_id"]))
+
+
 def test_consistent_sample(ray_session):
     import ray.data
 
