@@ -1585,13 +1585,16 @@ def _q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_unigram_lm(sf_dir: str) -> pd.DataFrame:
-    """Corpus-fit unigram LM doc scoring (CCNet-style quality signal):
-    vocabulary-bounded model via map-combined groupby, broadcast via
-    ray.put, exact integer micro-unit log-prob sums."""
+    """Corpus-fit unigram LM doc scoring (CCNet-style quality signal) with
+    a CAPPED top-V vocabulary: the driver holds only the top-1000 terms by
+    (ctf desc, term asc) plus two scalars; every OOV token scores with the
+    same add-one formula at ctf=0 (the smoothed-OOV contract).  max_vocab
+    is set BELOW the sf0.01 vocab size so the cap + OOV path is what the
+    oracle actually checks."""
     from searchengines_ray.stages.text import unigram_lm_scores
 
     return (
-        unigram_lm_scores(_docs(sf_dir))
+        unigram_lm_scores(_docs(sf_dir), max_vocab=1000)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -5362,14 +5365,21 @@ def _oracle_sql_impl() -> dict[str, str]:
             ),
             tot AS (
               SELECT CAST(SUM(ctf) AS BIGINT) AS t,
-                     CAST(COUNT(*) AS BIGINT) AS v
+                     CAST(LEAST(1000, COUNT(*)) AS BIGINT) AS v
               FROM model
+            ),
+            topv AS (
+              -- capped vocabulary: top-V by (ctf desc, term asc); OOV
+              -- terms score via COALESCE(ctf, 0) — same add-one formula
+              SELECT term, ctf FROM model
+              ORDER BY ctf DESC, term ASC LIMIT 1000
             ),
             scored AS (
               SELECT tk.doc_id,
-                     CAST(FLOOR(ln((m.ctf + 1.0) / (tot.t + tot.v))
+                     CAST(FLOOR(ln((COALESCE(m.ctf, 0) + 1.0)
+                                   / (tot.t + tot.v + 1))
                                 * 1000000.0) AS BIGINT) AS micro
-              FROM toks tk JOIN model m USING (term) CROSS JOIN tot
+              FROM toks tk LEFT JOIN topv m USING (term) CROSS JOIN tot
             )
             SELECT d.doc_id,
                    CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_tokens,

@@ -262,6 +262,12 @@ def _merge_group_inner(
         os.rename(tmp_dir, seg_dir)
     except OSError:
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        # Only a concurrent commit of the SAME merged segment makes the
+        # rename failure benign.  Any other cause (EACCES, EXDEV, partial
+        # target) means the merged segment does not exist — re-raise so
+        # merge_group does not delete the sources (silent postings loss).
+        if not os.path.exists(os.path.join(seg_dir, "MANIFEST.json")):
+            raise
     return manifest
 
 

@@ -307,6 +307,17 @@ def pagerank(
 
     from .joins import hash_equijoin
 
+    # The local fast path accumulates shares via np.bincount float64
+    # sums; exactness (and thus bit-identity with the int64 distributed
+    # plan) requires every per-dst share sum < 2^53.  Total share mass
+    # per round is bounded by sum(r) <= scale + N*base < 2*scale, so
+    # enforce the precondition instead of assuming it.
+    if scale <= 0 or 2 * scale >= 2**53:
+        raise ValueError(
+            f"pagerank scale={scale} breaks the float64-exactness "
+            "precondition (need 0 < 2*scale < 2**53)"
+        )
+
     def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[["src", "dst"]].drop_duplicates()
         s = b["src"].to_numpy().astype(np.int64)

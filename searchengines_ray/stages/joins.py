@@ -213,6 +213,13 @@ def asof_join(
     allowed).  Returns the left columns plus ``attr_<col>`` for each of
     ``right_cols`` (``-1`` when no prior right row exists) and ``lag_us``
     (int64 microseconds since the matched row; ``-1`` for no match).
+
+    API contract: right-side ``right_cols`` values must be NON-NEGATIVE
+    integers — ``-1`` doubles as the no-match sentinel, so a legitimate
+    ``-1`` id would be indistinguishable from "no prior row".  Callers
+    needing signed ids should test ``lag_us >= 0`` (always a valid
+    matched-flag: real lags are non-negative by construction) instead of
+    the attr value.
     """
 
     left_schema = list(left_ds.schema().names)

@@ -626,13 +626,26 @@ def test_unigram_lm_scores(ray_session):
         .set_index("doc_id")
         .sort_index()
     )
-    # model: ctf a=2 b=2 c=1, T=5, V=3, denom=8
-    lp = {t: math.floor(math.log((c + 1) / 8.0) * 1e6)
+    # model: ctf a=2 b=2 c=1, T=5, V_eff=3, denom=T+V_eff+1=9
+    lp = {t: math.floor(math.log((c + 1) / 9.0) * 1e6)
           for t, c in {"a": 2, "b": 2, "c": 1}.items()}
     assert out.loc[0, "n_tokens"] == 3
     assert out.loc[0, "lm_score_micro"] == 2 * lp["a"] + lp["b"]
     assert out.loc[1, "lm_score_micro"] == lp["b"] + lp["c"]
     assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "lm_score_micro"] == 0
+
+    # capped vocab: max_vocab=2 keeps a,b (ctf desc, term asc); c is OOV
+    # and scores the same add-one formula at ctf=0; denom = 5 + 2 + 1
+    out2 = (
+        unigram_lm_scores(ray.data.from_items(rows), max_vocab=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    lp2 = {t: math.floor(math.log((c + 1) / 8.0) * 1e6)
+           for t, c in {"a": 2, "b": 2, "c": 0}.items()}
+    assert out2.loc[0, "lm_score_micro"] == 2 * lp2["a"] + lp2["b"]
+    assert out2.loc[1, "lm_score_micro"] == lp2["b"] + lp2["c"]
 
 
 def test_asof_join(ray_session):
