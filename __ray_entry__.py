@@ -409,16 +409,23 @@ def _min_vec_rows(emb_ds, k: int) -> pd.DataFrame:
     return part.sort_values("vec_id").head(k)
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, cols: tuple = ("doc_id", "text")):
+    """Pruned documents read — at 100 TB an unpruned scan of html-bearing
+    pages is the single biggest wasted byte-mover, so every entry states
+    the columns it needs (default: the dedup/text-analysis pair)."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(cols)
+    )
 
 
-def _emb(sf_dir: str):
+def _emb(sf_dir: str, cols: tuple = ("vec_id", "embedding")):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=list(cols)
+    )
 
 
 def _q_exact_dedup(sf_dir: str) -> pd.DataFrame:
@@ -451,7 +458,9 @@ def _q_windowed_agg(sf_dir: str) -> pd.DataFrame:
 
     from searchengines_ray.stages.windows import tumbling_window_agg
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
 
     def prefloor(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -476,7 +485,9 @@ def _q_hopping_window(sf_dir: str) -> pd.DataFrame:
 
     from searchengines_ray.stages.windows import hopping_window_agg
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
 
     def prefloor(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -819,7 +830,9 @@ def _q_hash_sample(sf_dir: str) -> pd.DataFrame:
     hash — coordination-free, repartition/resume-stable, SQL-exact."""
     from searchengines_ray.stages.sample import hash_sample
 
-    out = hash_sample(_docs(sf_dir), permille=100).to_pandas()
+    out = hash_sample(
+        _docs(sf_dir, cols=("doc_id", "n_chars")), permille=100
+    ).to_pandas()
     return (
         out[["doc_id", "n_chars"]]
         .sort_values("doc_id")
@@ -1926,6 +1939,102 @@ def _q_multimodal(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_image_decode_real(sf_dir: str) -> pd.DataFrame:
+    """REAL pixel decode (stages/imagecodec.py, pure numpy+zlib PNG): each
+    doc plants a gradient image pixel[k] = (doc_id*31 + k) % 256 at dims
+    (8 + id%5, 8 + id%7), PNG-encodes it, and the fake=False actor-pool
+    decoder recovers the pixels; the oracle recomputes the pixel
+    statistics from the formula WITHOUT decoding — so a match proves the
+    codec round-trips real bytes."""
+    import pyarrow as pa
+
+    from searchengines_ray.stages.imagecodec import encode_png
+    from searchengines_ray.stages.multimodal import decode_images
+
+    docs = _docs(sf_dir, cols=("doc_id",))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            w, h = 8 + d % 5, 8 + d % 7
+            v = (np.arange(w * h * 3, dtype=np.int64) + d * 31) % 256
+            payloads.append(
+                encode_png(v.astype(np.uint8).reshape(h, w, 3))
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    imgs = decode_images(
+        docs.map_batches(plant, batch_format="pyarrow"),
+        concurrency=2,
+        batch_size=64,
+        fake=False,
+    ).to_pandas()
+    f = np.stack([np.asarray(x) for x in imgs["features"]])
+    out = pd.DataFrame(
+        {
+            "doc_id": imgs["doc_id"].astype("int64"),
+            "width": imgs["width"].astype("int64"),
+            "height": imgs["height"].astype("int64"),
+            "channels": imgs["channels"].astype("int64"),
+            "pix_sum": f[:, 1].astype("int64"),
+            "sum_c0": f[:, 2].astype("int64"),
+            "pmin": f[:, 5].astype("int64"),
+            "pmax": f[:, 6].astype("int64"),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_image_resize_real(sf_dir: str) -> pd.DataFrame:
+    """REAL decode + nearest-neighbor pixel resize: constant-color planted
+    PNGs (color 32 + id%95 — single-byte UTF-8 so DuckDB can rebuild the
+    resized buffer with repeat(chr(c))), dims 50..110 into a 64-box, and
+    resized_hash = first 60 bits of sha256 over the RESIZED PIXEL BYTES —
+    a true pixel-hash oracle."""
+    import pyarrow as pa
+
+    from searchengines_ray.stages.imagecodec import encode_png
+    from searchengines_ray.stages.multimodal import resize_images
+
+    docs = _docs(sf_dir, cols=("doc_id",))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            w, h = 50 + (d % 7) * 10, 50 + (d % 5) * 15
+            c = 32 + d % 95
+            payloads.append(
+                encode_png(np.full((h, w, 3), c, dtype=np.uint8))
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = resize_images(
+        docs.map_batches(plant, batch_format="pyarrow"),
+        max_dim=64,
+        concurrency=2,
+        batch_size=32,
+        fake=False,
+    ).to_pandas()
+    return (
+        out[["doc_id", "out_w", "out_h", "resized_hash"]]
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_trec_flow(sf_dir: str) -> pd.DataFrame:
     """S1->S3->S7 flow conformance: a param file and a query file round-trip
     through the real readers, the batch runs RankedBoolean (integer scores
@@ -2409,6 +2518,9 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # newest-first so driver samples cover the least-proven operators
+        "image_decode_real": _q_image_decode_real,
+        "image_resize_real": _q_image_resize_real,
         # search-engine core (SURVEY.md §2)
         "term_stats_simple": _q_term_stats_simple,
         "doc_lengths": _q_doc_lengths,
@@ -5583,6 +5695,78 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "image_decode_real": """
+            -- REAL PNG pixel decode: the engine plants pixel[k] =
+            -- (doc_id*31 + k) % 256 at dims (8+id%5, 8+id%7), encodes to
+            -- PNG, and decodes with the pure-numpy codec; the oracle
+            -- recomputes the pixel statistics straight from the formula —
+            -- a match proves the codec recovered the exact bytes
+            WITH d AS (
+              SELECT doc_id,
+                     8 + doc_id % 5 AS w,
+                     8 + doc_id % 7 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT d.doc_id, d.w, d.h,
+                     SUM((d.doc_id * 31 + t.k) % 256) AS pix_sum,
+                     SUM(CASE WHEN t.k % 3 = 0
+                              THEN (d.doc_id * 31 + t.k) % 256
+                              ELSE 0 END) AS sum_c0,
+                     MIN((d.doc_id * 31 + t.k) % 256) AS pmin,
+                     MAX((d.doc_id * 31 + t.k) % 256) AS pmax
+              -- this DuckDB's range() can't take lateral column params:
+              -- cross-join the max extent (12*14*3 = 504) and filter
+              FROM d, range(0, 504) t(k)
+              WHERE t.k < d.w * d.h * 3
+              GROUP BY d.doc_id, d.w, d.h
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   CAST(pix_sum AS BIGINT) AS pix_sum,
+                   CAST(sum_c0 AS BIGINT) AS sum_c0,
+                   CAST(pmin AS BIGINT) AS pmin,
+                   CAST(pmax AS BIGINT) AS pmax
+            FROM px ORDER BY doc_id
+        """,
+        "image_resize_real": """
+            -- REAL decode + nearest-neighbor resize of constant-color
+            -- planted PNGs: the resized buffer is chr(c) repeated
+            -- out_w*out_h*3 times (c = 32+id%95 is single-byte UTF-8),
+            -- so sha256 over it IS the engine's pixel-buffer hash
+            WITH d AS (
+              SELECT doc_id,
+                     50 + (doc_id % 7) * 10 AS w,
+                     50 + (doc_id % 5) * 15 AS ht,
+                     32 + doc_id % 95 AS c
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, c,
+                CASE WHEN GREATEST(w, ht) <= 64 THEN w
+                     WHEN w >= ht THEN 64
+                     ELSE (w * 64) // ht END AS out_w,
+                CASE WHEN GREATEST(w, ht) <= 64 THEN ht
+                     WHEN w >= ht THEN (ht * 64) // w
+                     ELSE 64 END AS out_h
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(out_w AS BIGINT) AS out_w,
+                   CAST(out_h AS BIGINT) AS out_h,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         string_split(substr(sha256(
+                           repeat(chr(CAST(c AS INTEGER)),
+                                  out_w * out_h * 3)), 1, 15), ''),
+                         x -> CAST(instr('0123456789abcdef', x) - 1
+                                   AS BIGINT))),
+                     (a, x) -> a * 16 + x) AS resized_hash
+            FROM r ORDER BY doc_id
         """,
         "multimodal_decode": """
             -- the deterministic fake decoder: sha256(payload) with

@@ -1,11 +1,13 @@
 """Multimodal column stages: image/audio/video as opaque ``binary`` columns.
 
-The container ships no image/audio codecs, so the DECODE step is stubbed
-behind ``fake=True`` (a deterministic, seeded fake decoder) or raises
-``NotImplementedError`` — but every piece of Ray-side plumbing is real and
-tested: actor-pool stages (decoder "model" loaded once per actor in
-``__init__``), small batch sizes for wide binary rows, typed metadata
-columns, and an output schema that downstream stages consume.
+Images now have a REAL decode path: ``fake=False`` decodes PNG/BMP pixels
+with the pure-numpy codec in :mod:`.imagecodec` (stdlib zlib — no external
+codec library needed).  ``fake=True`` remains the documented deterministic
+stand-in for formats the container cannot decode (JPEG, video, …).  Either
+way every piece of Ray-side plumbing is real and tested: actor-pool stages
+(decoder state loaded once per actor in ``__init__``), small batch sizes
+for wide binary rows, typed metadata columns, and an output schema that
+downstream stages consume.
 
 Scale notes: binary payloads dominate block size — callers should pass
 ``batch_size`` small (e.g. 32) and keep ``batch_format="pyarrow"`` so bytes
@@ -19,27 +21,51 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .imagecodec import decode_image
+
 
 class ImageDecoder:
     """binary -> (width, height, channels, feature vector).
 
-    ``fake=True``: deterministic metadata/features derived from a blake2b of
-    the payload (stands in for a real PIL/torchvision decode, which is not
-    installable here).  ``fake=False`` raises NotImplementedError at init —
-    loudly, not at the 400th batch.
+    ``fake=False`` (the REAL path): payloads are decoded as PNG/BMP pixels
+    via :mod:`.imagecodec`; features are 8 integer-valued float64 image
+    statistics ``[n_pixels, sum_all, sum_ch0, sum_ch1, sum_ch2, min, max,
+    0]`` (absent channels sum 0) — exact integers, so they survive a
+    value-hash compare and a SQL oracle can reproduce them from a planted
+    pixel formula without decoding.  Unknown/corrupt payloads raise
+    (curation should quarantine them upstream, not silently skip).
+
+    ``fake=True``: deterministic metadata/features derived from a sha256
+    of the payload — the stand-in for codecs the container lacks.
     """
 
     OUT_FEATURES = 8
 
     def __init__(self, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real image decoding requires an image codec library "
-                "(not available in this environment); use fake=True"
-            )
         self.fake = fake
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        if not self.fake:
+            img = decode_image(payload or b"")
+            hgt, width, nch = img.shape
+            px = img.astype(np.int64)
+            ch_sums = [
+                int(px[:, :, c].sum()) if c < nch else 0 for c in range(3)
+            ]
+            feats = np.array(
+                [
+                    hgt * width,
+                    int(px.sum()),
+                    ch_sums[0],
+                    ch_sums[1],
+                    ch_sums[2],
+                    int(px.min()),
+                    int(px.max()),
+                    0,
+                ],
+                dtype=np.float64,
+            )
+            return width, hgt, nch, feats
         # sha256 (not blake2b): DuckDB ships sha256, so the driver oracle
         # can reproduce the fake decode byte-for-byte
         h = hashlib.sha256(payload or b"").digest()
@@ -104,10 +130,13 @@ class FrameSampler:
         )
 
 
-def decode_images(ds, concurrency: int = 2, batch_size: int = 32):
-    """Actor-pool decode stage (state loaded once per actor)."""
+def decode_images(ds, concurrency: int = 2, batch_size: int = 32,
+                  fake: bool = True):
+    """Actor-pool decode stage (state loaded once per actor).  Pass
+    ``fake=False`` for the real PNG/BMP pixel decode."""
     return ds.map_batches(
         ImageDecoder,
+        fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -124,40 +153,61 @@ def sample_frames(ds, every_n: int = 10, concurrency: int = 2, batch_size: int =
     )
 
 
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample with the floor mapping
+    ``src = (i * in_dim) // out_dim`` — pure-integer, deterministic, the
+    frozen resize contract (pinned by pytest against this formula)."""
+    in_h, in_w = img.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * in_h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * in_w) // out_w
+    return img[ys][:, xs]
+
+
 class ImageResizer:
-    """binary -> bounded-box resize descriptor (stubbed pixel work,
-    real actor-pool plumbing): source dims come from the same fake
-    decode as :class:`ImageDecoder`; the output dims are the exact
-    integer aspect-preserving fit into a ``max_dim`` square —
+    """binary -> bounded-box resize descriptor.  The output dims are the
+    exact integer aspect-preserving fit into a ``max_dim`` square —
     out = (max_dim, h*max_dim//w) for landscape, (w*max_dim//h,
-    max_dim) for portrait, unchanged when already inside the box —
-    and ``resized_hash`` stands in for the resized pixel buffer
-    (sha256(payload || '#' || WxH), first 60 bits, the frame_hash
+    max_dim) for portrait, unchanged when already inside the box.
+
+    ``fake=False`` (the REAL path): decode PNG/BMP pixels
+    (:mod:`.imagecodec`), nearest-neighbor resample
+    (:func:`resize_nearest`), and ``resized_hash`` = first 60 bits of
+    sha256 over the resized pixel buffer's raw bytes (row-major H x W x C)
+    — a true pixel hash a SQL oracle reproduces for planted
+    constant-color images.
+
+    ``fake=True``: source dims come from the same fake decode as
+    :class:`ImageDecoder` and ``resized_hash`` stands in for the pixel
+    buffer (sha256(payload || '#' || WxH), first 60 bits, the frame_hash
     idiom, so DuckDB reproduces it)."""
 
     def __init__(self, max_dim: int = 128, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real image resizing requires an image codec library "
-                "(not available in this environment); use fake=True"
-            )
         self.max_dim = max_dim
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.max_dim
         out_w, out_h, rhash = [], [], []
         doc_ids = batch.column("doc_id").to_pylist()
         for payload in batch.column("payload").to_pylist():
-            h = hashlib.sha256(payload or b"").digest()
-            w, hgt = 64 + h[0] * 4, 64 + h[1] * 4
+            if not self.fake:
+                img = decode_image(payload or b"")
+                hgt, w = img.shape[:2]
+            else:
+                h = hashlib.sha256(payload or b"").digest()
+                w, hgt = 64 + h[0] * 4, 64 + h[1] * 4
             if max(w, hgt) <= t:
                 ow, oh = w, hgt
             elif w >= hgt:
                 ow, oh = t, (hgt * t) // w
             else:
                 ow, oh = (w * t) // hgt, t
-            tag = f"#{ow}x{oh}".encode()
-            rh = hashlib.sha256((payload or b"") + tag).hexdigest()
+            if not self.fake:
+                resized = resize_nearest(img, ow, oh)
+                rh = hashlib.sha256(resized.tobytes()).hexdigest()
+            else:
+                tag = f"#{ow}x{oh}".encode()
+                rh = hashlib.sha256((payload or b"") + tag).hexdigest()
             out_w.append(ow)
             out_h.append(oh)
             rhash.append(int(rh[:15], 16))  # 60 bits, int64-safe
@@ -172,12 +222,13 @@ class ImageResizer:
 
 
 def resize_images(ds, max_dim: int = 128, concurrency: int = 2,
-                  batch_size: int = 32):
+                  batch_size: int = 32, fake: bool = True):
     """Actor-pool resize stage (config held per actor, small batches
-    because binary payloads dominate block size)."""
+    because binary payloads dominate block size).  Pass ``fake=False``
+    for the real decode + nearest-neighbor pixel resize."""
     return ds.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"max_dim": max_dim},
+        fn_constructor_kwargs={"max_dim": max_dim, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
