@@ -2437,6 +2437,135 @@ def _q_ltr_rerank(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_inspect_postings(sf_dir: str) -> pd.DataFrame:
+    """S11 inspector parity (InspectIndex.java:468-524 listPostings): per
+    query term the dictionary stats (df, ctf) plus the first-3 postings by
+    url asc with tf — read from the COMMITTED SEGMENT FILES through the
+    inspector module, oracle-checked against the tokenizer contract SQL.
+    The absent term produces no rows on both sides."""
+    from searchengines_ray.index.inspect import postings_dump
+
+    idx = _index_for(sf_dir, simple=True)
+    out = postings_dump(
+        idx,
+        ["dup", "key", "window", "batch", "data", "zzz9nohit"],
+        field="body",
+        k=3,
+    )
+    return out.sort_values(["term", "rank"]).reset_index(drop=True)
+
+
+def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
+    """S11 inspector parity (InspectIndex.java:568-668 listTermVectors):
+    full per-position body term vectors for the first 3 docs from the
+    forward index — position order is load-bearing (the positional
+    operators consume it), so the oracle rebuilds it with the
+    list_zip(l, range()) idiom."""
+    from searchengines_ray.index.inspect import term_vector
+
+    idx = _index_for(sf_dir, simple=True)
+    frames = [
+        term_vector(idx, f"https://example.org/doc/{d:012d}", field="body")
+        for d in range(3)
+    ]
+    out = pd.concat(frames, ignore_index=True)
+    return (
+        out[["url", "pos", "term"]]
+        .sort_values(["url", "pos"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_ltr_ranklib_flow(sf_dir: str) -> pd.DataFrame:
+    """S9+S10 RankLib-mode flow driven END-TO-END: per-doc features ->
+    BOTH feature-file dialects (RankLib writes ``i:0`` for null, SVM omits
+    — FeatureVectorFileLine.java:21-63) -> the RankLib file is written to
+    disk and read BACK via read_feature_vectors -> stand-in
+    pairwise-logistic training (1 closed-form iteration from w=0) ->
+    integer micro-unit classify.  The oracle rebuilds the lines
+    byte-for-byte AND the trained weights from the same closed form
+    (integer feature sums are float64-exact, so w is deterministic), so
+    both file dialects and the train/classify loop are SQL-checked.
+    Feature 3 is deliberately null for doc_id % 3 == 0 to exercise the
+    write-0-vs-omit divergence."""
+    import tempfile
+
+    from searchengines_ray.pipelines.ltr import (
+        DocFeatures,
+        train_pairwise_logistic,
+    )
+    from searchengines_ray.sources.formats import (
+        feature_vector_line,
+        read_feature_vectors,
+    )
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["doc_id"] < 60]
+        texts = b["text"].fillna("").str.lower()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "f1": b["n_chars"].astype("int64"),
+                "f2": texts.str.count("[0-9a-z]+").astype("int64"),
+                "f3": texts.str.count("e").astype("int64"),
+            }
+        )
+
+    df = (
+        _docs(sf_dir, cols=("doc_id", "text", "n_chars"))
+        .map_batches(feats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    disabled = frozenset(range(4, 21))
+    rows, svm_lines, rl_lines = [], [], []
+    for r in df.itertuples():
+        rel = 1 if r.doc_id % 5 == 0 else 0
+        qid = str(r.doc_id % 4)
+        extid = f"doc{r.doc_id}"
+        f3 = None if r.doc_id % 3 == 0 else float(r.f3)
+        fd = {1: float(r.f1), 2: float(r.f2), 3: f3}
+        rows.append((rel, qid, extid))
+        svm_lines.append(
+            feature_vector_line(rel, qid, fd, extid, True, disabled=disabled)
+        )
+        rl_lines.append(
+            feature_vector_line(rel, qid, fd, extid, False, disabled=disabled)
+        )
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".fv", delete=False
+    ) as f:
+        f.write("\n".join(rl_lines) + "\n")
+        path = f.name
+    parsed = read_feature_vectors(path)
+    os.unlink(path)
+    assert [(p[0], p[1], p[3]) for p in parsed] == rows  # lossless read-back
+    fvs = [
+        DocFeatures(rel, 0, extid, qid, fmap)
+        for rel, qid, fmap, extid in parsed
+    ]
+    w = train_pairwise_logistic(fvs, iters=1, lr=0.1)
+    w_micro = np.floor(w * 1e9).astype(np.int64)
+    score_m = [
+        sum(
+            int(fmap.get(i, 0.0)) * int(w_micro[i - 1]) for i in range(1, 4)
+        )
+        for _, _, fmap, _ in parsed
+    ]
+    out = pd.DataFrame(
+        {
+            "qid": [q for _, q, _ in rows],
+            "extid": [e for _, _, e in rows],
+            "rel": pd.array([r for r, _, _ in rows], dtype="int64"),
+            "ranklib_line": rl_lines,
+            "svm_line": svm_lines,
+            "score_m": pd.array(score_m, dtype="int64"),
+        }
+    )
+    return out.sort_values(["qid", "extid"]).reset_index(drop=True)
+
+
 def _q_prf_expansion_simple(sf_dir: str) -> pd.DataFrame:
     """Indri PRF expansion terms on the SIMPLE analyzer — the reference's
     incremental back-fill accumulation (QryEval.java:1218-1306) equals the
@@ -2521,6 +2650,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest-first so driver samples cover the least-proven operators
         "image_decode_real": _q_image_decode_real,
         "image_resize_real": _q_image_resize_real,
+        "ltr_ranklib_flow": _q_ltr_ranklib_flow,
+        "inspect_postings": _q_inspect_postings,
+        "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
         "term_stats_simple": _q_term_stats_simple,
         "doc_lengths": _q_doc_lengths,
@@ -5695,6 +5827,109 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "inspect_postings": f"""
+            -- listPostings parity: per-term (df, ctf) + first-3 postings
+            -- by url asc (== doc_id asc under the zero-padded url scheme)
+            WITH toks AS ({_TOKS}),
+            q(term) AS (VALUES ('dup'), ('key'), ('window'), ('batch'),
+                               ('data'), ('zzz9nohit')),
+            tf AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q)
+              GROUP BY term, doc_id
+            ),
+            st AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                     CAST(SUM(tf) AS BIGINT) AS ctf
+              FROM tf GROUP BY term
+            ),
+            ranked AS (
+              SELECT term, doc_id, tf,
+                     ROW_NUMBER() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn
+              FROM tf
+            )
+            SELECT r.term, st.df, st.ctf, CAST(r.rn AS BIGINT) AS rank,
+                   'https://example.org/doc/'
+                     || lpad(CAST(r.doc_id AS VARCHAR), 12, '0') AS url,
+                   CAST(r.tf AS BIGINT) AS tf
+            FROM ranked r JOIN st USING (term)
+            WHERE r.rn <= 3
+            ORDER BY r.term, r.rn
+        """,
+        "inspect_termvector": """
+            -- listTermVectors parity: per-position body terms for the
+            -- first 3 docs; position order via list_zip(l, range(len))
+            WITH t AS (
+              SELECT doc_id,
+                     'https://example.org/doc/'
+                       || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+              FROM documents WHERE doc_id < 3
+            ),
+            z AS (
+              SELECT url, unnest(list_zip(l, range(0, len(l)))) AS s
+              FROM t WHERE len(l) > 0
+            )
+            SELECT url, CAST(s[2] AS BIGINT) AS pos, s[1] AS term
+            FROM z ORDER BY url, pos
+        """,
+        "ltr_ranklib_flow": """
+            -- RankLib (write 3:0 for null) vs SVM (omit) feature lines
+            -- rebuilt byte-for-byte; the 1-iteration closed-form trained
+            -- weights w_i = floor(((0.1 * (0.5 * SUM(d_i))) / n_pairs)
+            -- * 1e9) over preference pairs (rel_a > rel_b, same qid) --
+            -- integer feature diffs sum float64-exact in any order; the
+            -- classify score is a pure-integer dot with the micro weights
+            WITH feats AS (
+              SELECT doc_id,
+                     CAST(doc_id % 5 = 0 AS INTEGER) AS rel,
+                     CAST(doc_id % 4 AS VARCHAR) AS qid,
+                     'doc' || CAST(doc_id AS VARCHAR) AS extid,
+                     CAST(n_chars AS BIGINT) AS f1,
+                     CAST(len(regexp_extract_all(lower(text), '[0-9a-z]+'))
+                          AS BIGINT) AS f2,
+                     CASE WHEN doc_id % 3 = 0 THEN NULL
+                          ELSE CAST(length(lower(text))
+                                    - length(replace(lower(text), 'e', ''))
+                                    AS BIGINT) END AS f3
+              FROM documents WHERE doc_id < 60
+            ),
+            pairs AS (
+              SELECT a.f1 - b.f1 AS d1,
+                     a.f2 - b.f2 AS d2,
+                     COALESCE(a.f3, 0) - COALESCE(b.f3, 0) AS d3
+              FROM feats a JOIN feats b
+                ON a.qid = b.qid AND a.rel > b.rel
+            ),
+            w AS (
+              SELECT
+                CAST(FLOOR(((0.1 * (0.5 * SUM(d1))) / COUNT(*))
+                           * 1000000000.0) AS BIGINT) AS w1,
+                CAST(FLOOR(((0.1 * (0.5 * SUM(d2))) / COUNT(*))
+                           * 1000000000.0) AS BIGINT) AS w2,
+                CAST(FLOOR(((0.1 * (0.5 * SUM(d3))) / COUNT(*))
+                           * 1000000000.0) AS BIGINT) AS w3
+              FROM pairs
+            )
+            SELECT f.qid, f.extid, CAST(f.rel AS BIGINT) AS rel,
+                   CAST(f.rel AS VARCHAR) || ' qid:' || f.qid || ' '
+                     || '1:' || CAST(f.f1 AS VARCHAR) || '.0 '
+                     || '2:' || CAST(f.f2 AS VARCHAR) || '.0 '
+                     || '3:' || (CASE WHEN f.f3 IS NULL THEN '0'
+                                 ELSE CAST(f.f3 AS VARCHAR) || '.0' END)
+                     || ' # ' || f.extid AS ranklib_line,
+                   CAST(f.rel AS VARCHAR) || ' qid:' || f.qid || ' '
+                     || '1:' || CAST(f.f1 AS VARCHAR) || '.0 '
+                     || '2:' || CAST(f.f2 AS VARCHAR) || '.0 '
+                     || (CASE WHEN f.f3 IS NULL THEN ''
+                         ELSE '3:' || CAST(f.f3 AS VARCHAR) || '.0 ' END)
+                     || '# ' || f.extid AS svm_line,
+                   CAST(f.f1 * w.w1 + f.f2 * w.w2
+                        + COALESCE(f.f3, 0) * w.w3 AS BIGINT) AS score_m
+            FROM feats f CROSS JOIN w
+            ORDER BY f.qid, f.extid
         """,
         "image_decode_real": """
             -- REAL PNG pixel decode: the engine plants pixel[k] =

@@ -125,23 +125,14 @@ def cmd_inspect(args) -> None:
                 print(f"{int(seg.doc_ids[i])}\t{u}")
         return
     if args.list == "terms":
-        import pyarrow.parquet as pq
+        # listTermDictionary parity (InspectIndex.java:526-566): term,
+        # df, totalTf — aggregated across segments
+        from .index.inspect import term_dictionary
 
-        field = args.field or "body"
-        terms = set()
-        for d in segment_dirs(args.index):
-            import os
-
-            t = pq.read_table(
-                os.path.join(d, "postings.parquet"), columns=["field", "term"]
-            )
-            for f, term in zip(
-                t.column("field").to_pylist(), t.column("term").to_pylist()
-            ):
-                if f == field:
-                    terms.add(term)
-        for term in sorted(terms):
-            print(term)
+        for r in term_dictionary(
+            args.index, args.field or "body"
+        ).itertuples():
+            print(f"{r.term}\tdf={r.df}\tctf={r.ctf}")
         return
     if args.termvector:
         want = args.termvector

@@ -204,3 +204,27 @@ def feature_vector_line(
             parts.append(f"{i}:{fmt_double(v) if v is not None else '0'} ")
     parts.append(f"# {external_id}")
     return "".join(parts)
+
+
+def read_feature_vectors(path: str) -> list[tuple[int, str, dict, str]]:
+    """Parse an SVMlight/RankLib feature file back to
+    ``(rel, qid, {feature_id: value}, external_id)`` rows — the inverse of
+    :func:`feature_vector_line`, closing the write -> external trainer ->
+    read loop the reference drives through files
+    (``FeatureVectorFileLine.java:21-63``, ``QryEval.java:977-1023``)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            body, _, extid = line.partition("#")
+            toks = body.split()
+            if not toks[1].startswith("qid:"):
+                raise ValueError(f"malformed feature line: {line!r}")
+            feats = {}
+            for t in toks[2:]:
+                i, _, v = t.partition(":")
+                feats[int(i)] = float(v)
+            out.append((int(toks[0]), toks[1][4:], feats, extid.strip()))
+    return out

@@ -302,8 +302,9 @@ def test_inspect_termvector_cli(setup, capsys):
     main(["inspect", "--index", idx_dir, "--list", "docids"])
     out = capsys.readouterr().out
     assert url in out
-    # field vocabulary listing
+    # field vocabulary listing — listTermDictionary parity: term, df, ctf
     main(["inspect", "--index", idx_dir, "--list", "terms",
           "--field", "body"])
     out = capsys.readouterr().out
-    assert "w0001" in out.splitlines()
+    w0001 = [l for l in out.splitlines() if l.startswith("w0001\t")]
+    assert len(w0001) == 1 and "\tdf=" in w0001[0] and "\tctf=" in w0001[0]

@@ -373,8 +373,9 @@ def test_multimodal_stubs(ray_session):
     assert imgs.sort_values("doc_id")["width"].tolist() == imgs2.sort_values("doc_id")["width"].tolist()
     frames = sample_frames(ds, every_n=5, concurrency=2).to_pandas()
     assert set(frames.columns) == {"doc_id", "frame_idx", "frame_hash"}
-    with pytest.raises(NotImplementedError):
-        ImageDecoder(fake=False)
+    # fake=False is now the REAL PNG/BMP path: unknown payload bytes raise
+    with pytest.raises(ValueError):
+        ImageDecoder(fake=False)._decode_one(b"\x00not-an-image")
 
     # resize: exact aspect-preserving integer fit into the box
     import hashlib
@@ -399,8 +400,18 @@ def test_multimodal_stubs(ray_session):
             ew, eh = (w * 128) // hgt, 128
         assert (r.out_w, r.out_h) == (ew, eh)
         assert max(ew, eh) <= 128 and min(ew, eh) >= 1
-    with pytest.raises(NotImplementedError):
-        ImageResizer(fake=False)
+    # real resizer rejects non-image bytes loudly
+    import pyarrow as pa
+
+    with pytest.raises(ValueError):
+        ImageResizer(fake=False)(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([b"junk"], pa.binary()),
+                }
+            )
+        )
 
 
 def test_hopping_window_agg(ray_session):
