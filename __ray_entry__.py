@@ -52,7 +52,7 @@ STRUCTURED_QUERIES = [
 
 def _index_for(sf_dir: str, simple: bool) -> str:
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|{simple}|v5".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|{simple}|v6".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "stats.json")):
@@ -175,7 +175,7 @@ def _q_bm25_topk_merged(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.index.shard import list_segments
 
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|merged|v5".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|merged|v6".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "stats.json")):
@@ -206,7 +206,7 @@ def _q_bm25_topk_incremental(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.index.build import update_index
 
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|incr|v5".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|incr|v6".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "DONE")):
@@ -2476,6 +2476,65 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode (RIFF/WAVE PCM16, stdlib struct — no codec lib):
+    each doc plants a WAV whose samples follow
+    sample[k] = ((doc_id*7 + k*13) % 4001) - 2000, the actor-pool
+    AudioFeaturizer decodes the bytes and computes exact-integer stats
+    (sum_abs, peak, VAD-style energy_frames), and the oracle recomputes
+    them straight from the formula — a match proves the decoder recovered
+    the exact PCM stream."""
+    import pyarrow as pa
+
+    from searchengines_ray.stages.multimodal import (
+        encode_wav,
+        featurize_audio,
+    )
+
+    docs = _docs(sf_dir, cols=("doc_id",))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            n = 1200 + d % 800
+            v = (
+                (np.arange(n, dtype=np.int64) * 13 + d * 7) % 4001
+            ) - 2000
+            payloads.append(
+                encode_wav(v.astype(np.int16), rate=16000, n_ch=1)
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = featurize_audio(
+        docs.map_batches(plant, batch_format="pyarrow"),
+        concurrency=2,
+        batch_size=64,
+        frame_abs_threshold=1 << 20,
+    ).to_pandas()
+    return (
+        out[
+            [
+                "doc_id",
+                "sample_rate",
+                "n_channels",
+                "n_samples",
+                "sum_abs",
+                "peak",
+                "energy_frames",
+            ]
+        ]
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_ltr_ranklib_flow(sf_dir: str) -> pd.DataFrame:
     """S9+S10 RankLib-mode flow driven END-TO-END: per-doc features ->
     BOTH feature-file dialects (RankLib writes ``i:0`` for null, SVM omits
@@ -2651,6 +2710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_real": _q_image_decode_real,
         "image_resize_real": _q_image_resize_real,
         "ltr_ranklib_flow": _q_ltr_ranklib_flow,
+        "audio_features": _q_audio_features,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -2838,12 +2898,38 @@ def _sql_stem_ctes(src: str = "nonstop", prefix: str = "", extra: str = "") -> s
             OR (w LIKE '%ed' AND length(w) > 4)) AS done
     FROM {p}st2
   ),
-  {p}stemmed AS (
+  {p}st4 AS (
     SELECT doc_id{extra},
       CASE WHEN done THEN w
            WHEN w LIKE '%ing' AND length(w) > 5 THEN {_sql_strip_expr(3)}
-           ELSE w END AS term
+           ELSE w END AS w,
+      (done OR (w LIKE '%ing' AND length(w) > 5)) AS done
     FROM {p}st3
+  ),
+  {p}stemmed AS MATERIALIZED (
+    -- MATERIALIZED: the 6-stage chained-CASE pipeline is cheap to RUN but
+    -- the round-4 st4 stage pushed DuckDB's expression rewriter over a
+    -- cliff when inlined into the positional recursions (structured
+    -- oracle 0.4s -> 152s); the barrier caps the expression tree.  Safe:
+    -- no recursive member references a *stemmed CTE directly.
+    -- derivational families (ness/ment/ically/fully/ily), first-candidate
+    -- resolution — byte-identical to analysis.kstem_lite's tail
+    SELECT doc_id{extra},
+      CASE WHEN done THEN w
+           WHEN w LIKE '%ness' AND length(w) > 5 THEN
+             CASE WHEN substr(w, length(w) - 4, 1) = 'i'
+                  THEN substr(w, 1, length(w) - 5) || 'y'
+                  ELSE substr(w, 1, length(w) - 4) END
+           WHEN w LIKE '%ment' AND length(w) > 7
+             THEN substr(w, 1, length(w) - 4)
+           WHEN w LIKE '%ically' AND length(w) > 7
+             THEN substr(w, 1, length(w) - 4)
+           WHEN w LIKE '%fully' AND length(w) > 6
+             THEN substr(w, 1, length(w) - 2)
+           WHEN w LIKE '%ily' AND length(w) > 6
+             THEN substr(w, 1, length(w) - 3) || 'y'
+           ELSE w END AS term
+    FROM {p}st4
   )"""
 
 
@@ -5827,6 +5913,48 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "audio_features": """
+            -- REAL WAV decode: the engine plants PCM16 with sample[k] =
+            -- ((doc_id*7 + k*13) % 4001) - 2000, n = 1200 + id%800, and
+            -- the oracle recomputes the integer stats from the formula;
+            -- energy_frames counts 1024-sample frames with abs-sum >
+            -- 2^20 (range() can't take lateral params in this DuckDB:
+            -- cross-join the max extent and filter)
+            WITH d AS (
+              SELECT doc_id, 1200 + doc_id % 800 AS n FROM documents
+            ),
+            s AS (
+              SELECT d.doc_id, d.n, t.k,
+                     ABS(((d.doc_id * 7 + t.k * 13) % 4001) - 2000) AS a
+              FROM d, range(0, 2000) t(k)
+              WHERE t.k < d.n
+            ),
+            agg AS (
+              SELECT doc_id, MAX(n) AS n, SUM(a) AS sum_abs,
+                     MAX(a) AS peak
+              FROM s GROUP BY doc_id
+            ),
+            fr AS (
+              SELECT doc_id, k // 1024 AS fi, SUM(a) AS fa
+              FROM s WHERE k < (n // 1024) * 1024
+              GROUP BY doc_id, k // 1024
+            ),
+            act AS (
+              SELECT doc_id,
+                     COUNT(*) FILTER (WHERE fa > 1048576) AS energy_frames
+              FROM fr GROUP BY doc_id
+            )
+            SELECT agg.doc_id,
+                   CAST(16000 AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(agg.n AS BIGINT) AS n_samples,
+                   CAST(agg.sum_abs AS BIGINT) AS sum_abs,
+                   CAST(agg.peak AS BIGINT) AS peak,
+                   CAST(COALESCE(act.energy_frames, 0) AS BIGINT)
+                     AS energy_frames
+            FROM agg LEFT JOIN act USING (doc_id)
+            ORDER BY agg.doc_id
         """,
         "inspect_postings": f"""
             -- listPostings parity: per-term (df, ctf) + first-3 postings

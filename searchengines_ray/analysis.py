@@ -152,6 +152,28 @@ def kstem_lite(w: str) -> str:
         ):
             return stem + "e"
         return stem
+    # --- derivational endings (Krovetz 1993 / Lucene KStem rule families
+    # ness/ment/ly, FIRST-CANDIDATE resolution: KStem accepts a candidate
+    # only if its head-word dictionary contains it; with no dictionary we
+    # take the rule's first candidate unconditionally.  Only the
+    # low-over-stemming members are enabled (-ly alone would map
+    # family->famy, so only the suffix-specific -ically/-ily/-fully
+    # variants run).  Documented deviation, self-consistent everywhere. ---
+    if w.endswith("ness") and len(w) > 5:
+        stem = w[:-4]
+        if stem.endswith("i"):
+            stem = stem[:-1] + "y"
+        return stem
+    if w.endswith("ment") and len(w) > 7:
+        return w[:-4]
+    if w.endswith("ically") and len(w) > 7:
+        return w[:-4]
+    if w.endswith("fully") and len(w) > 6:
+        return w[:-2]
+    if w.endswith("ily") and len(w) > 6:
+        # len > 6 spares roots whose 'il' is not the y->i mutation
+        # ("family", "easily" stay; "happily" -> "happy")
+        return w[:-3] + "y"
     return w
 
 

@@ -167,3 +167,40 @@ def test_real_image_resizer_pixel_hash():
         16,
     )
     assert t.column("resized_hash").to_pylist() == [want]
+
+
+def test_wav_roundtrip_and_features():
+    import pyarrow as pa
+
+    from searchengines_ray.stages.multimodal import (
+        AudioFeaturizer,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(9)
+    samples = rng.integers(-32768, 32768, 3000, dtype=np.int16)
+    data = encode_wav(samples, rate=22050, n_ch=1)
+    rate, n_ch, back = decode_wav(data)
+    assert (rate, n_ch) == (22050, 1)
+    assert (back == samples).all()
+
+    feats = AudioFeaturizer(frame_abs_threshold=0)(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "payload": pa.array([data], pa.binary()),
+            }
+        )
+    )
+    a = np.abs(samples.astype(np.int64))
+    assert feats.column("n_samples").to_pylist() == [3000]
+    assert feats.column("sum_abs").to_pylist() == [int(a.sum())]
+    assert feats.column("peak").to_pylist() == [int(a.max())]
+    # threshold 0: every complete 1024-frame is active (3000 // 1024 = 2)
+    assert feats.column("energy_frames").to_pylist() == [2]
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")

@@ -337,3 +337,54 @@ def test_positional_nary_batch_matches_scalar(k, seed_ints, dist):
             got = pos_emit[cursor : cursor + len(want)].tolist()
             assert got == want, (j, plists, dist, got, want)
             cursor += len(want)
+
+
+def test_kstem_derivational_rules():
+    """Round-4 Krovetz broadening: ness/ment/ically/fully/ily families,
+    first-candidate resolution — plus no regression on the inflectional
+    rules.  The SQL stemmer CTEs mirror this table verbatim."""
+    from searchengines_ray.analysis import kstem_lite
+
+    cases = {
+        "kindness": "kind",
+        "happiness": "happy",
+        "business": "busy",        # documented no-dictionary deviation
+        "government": "govern",
+        "movement": "move",
+        "element": "element",      # len guard spares short -ment roots
+        "basically": "basic",
+        "ironically": "ironic",
+        "carefully": "careful",
+        "fully": "fully",
+        "happily": "happy",
+        "family": "family",        # len guard spares non-mutated -ily
+        "easily": "easily",
+        "readily": "ready",
+        "daily": "daily",
+        "churches": "church",
+        "planned": "plan",
+        "hoped": "hope",
+        "running": "run",
+        "governments": "govern",   # plural then derivational
+    }
+    for w, want in cases.items():
+        assert kstem_lite(w) == want, (w, kstem_lite(w), want)
+
+
+def test_kstem_vectorized_scalar_identity_on_derivational_words():
+    from searchengines_ray.analysis import (
+        DEFAULT_ANALYZER,
+        tokenize_arrow_batch,
+        tokenize_positions,
+    )
+
+    text = (
+        "kindness happiness business governments movements basically "
+        "ironically carefully fully happily family easily readily daily"
+    )
+    parent, pos, sid, doclens, vocab = tokenize_arrow_batch(
+        pa.array([text], pa.string()), DEFAULT_ANALYZER
+    )
+    want = tokenize_positions(text, DEFAULT_ANALYZER)
+    got = {int(p): vocab[s] for p, s in zip(pos, sid)}
+    assert got == {p: w for p, w in enumerate(want) if w is not None}
