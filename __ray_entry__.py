@@ -2476,6 +2476,44 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_lm_quality_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing: capped-vocab
+    unigram LM scores, per-token float64 normalization (never integer
+    division — Python/DuckDB negative // semantics differ), exact
+    histogram terciles.  Driver holds two threshold integers."""
+    from searchengines_ray.stages.text import lm_quality_buckets
+
+    out = lm_quality_buckets(_docs(sf_dir), max_vocab=1000).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "score_pt": "int64"})
+    )
+
+
+def _q_ngram_contamination(sf_dir: str) -> pd.DataFrame:
+    """GPT-3-style exact n-gram decontamination (Brown et al. 2020):
+    benchmark = docs with doc_id % 97 == 0, flag corpus docs sharing any
+    5-gram with it.  Benchmark gram set broadcast once (bounded — eval
+    suites are never corpus-sized); corpus side is one shuffle-free
+    per-unique-gram pass."""
+    from searchengines_ray.stages.text import ngram_contamination
+
+    docs = _docs(sf_dir)
+    bench_texts = list(
+        docs.map_batches(
+            lambda b: b.loc[b["doc_id"] % 97 == 0, ["text"]],
+            batch_format="pandas",
+        ).to_pandas()["text"]
+    )
+    out = ngram_contamination(docs, bench_texts, n=5).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def _q_audio_features(sf_dir: str) -> pd.DataFrame:
     """REAL audio decode (RIFF/WAVE PCM16, stdlib struct — no codec lib):
     each doc plants a WAV whose samples follow
@@ -2711,6 +2749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_real": _q_image_resize_real,
         "ltr_ranklib_flow": _q_ltr_ranklib_flow,
         "audio_features": _q_audio_features,
+        "ngram_contamination": _q_ngram_contamination,
+        "lm_quality_buckets": _q_lm_quality_buckets,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -5913,6 +5953,114 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "lm_quality_buckets": """
+            -- CCNet tercile bucketing over capped-vocab unigram-LM
+            -- scores; score_pt = floor(lm*1000.0/n) in DOUBLE (shared
+            -- IEEE regime), thresholds = percentile_disc order stats
+            -- over the score histogram with ceil(p*n) in DOUBLE
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[0-9a-z]+'))
+                       AS term
+              FROM documents
+            ),
+            model AS (
+              SELECT term, COUNT(*) AS ctf FROM toks GROUP BY term
+            ),
+            tot AS (
+              SELECT CAST(SUM(ctf) AS BIGINT) AS t,
+                     CAST(LEAST(1000, COUNT(*)) AS BIGINT) AS v
+              FROM model
+            ),
+            topv AS (
+              SELECT term, ctf FROM model
+              ORDER BY ctf DESC, term ASC LIMIT 1000
+            ),
+            scored AS (
+              SELECT tk.doc_id,
+                     CAST(FLOOR(ln((COALESCE(m.ctf, 0) + 1.0)
+                                   / (tot.t + tot.v + 1))
+                                * 1000000.0) AS BIGINT) AS micro
+              FROM toks tk LEFT JOIN topv m USING (term) CROSS JOIN tot
+            ),
+            per_doc AS MATERIALIZED (
+              SELECT d.doc_id,
+                     CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(s.total, 0) AS BIGINT) AS lm
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM toks
+                         GROUP BY doc_id) c USING (doc_id)
+              LEFT JOIN (SELECT doc_id, SUM(micro) AS total FROM scored
+                         GROUP BY doc_id) s USING (doc_id)
+            ),
+            spt AS MATERIALIZED (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens > 0
+                          THEN CAST(FLOOR(CAST(lm AS DOUBLE) * 1000.0
+                                          / CAST(n_tokens AS DOUBLE))
+                                    AS BIGINT)
+                          ELSE 0 END AS score_pt
+              FROM per_doc
+            ),
+            hist AS (
+              SELECT score_pt AS val, CAST(COUNT(*) AS BIGINT) AS c
+              FROM spt WHERE n_tokens > 0 GROUP BY 1
+            ),
+            cum AS (
+              SELECT val, SUM(c) OVER (ORDER BY val) AS cm,
+                     SUM(c) OVER () AS n
+              FROM hist
+            ),
+            q AS (
+              SELECT
+                MIN(CASE WHEN cm >= CEIL(CAST(0.3333333333333333 AS DOUBLE)
+                                         * n) THEN val END) AS q33,
+                MIN(CASE WHEN cm >= CEIL(CAST(0.6666666666666666 AS DOUBLE)
+                                         * n) THEN val END) AS q67
+              FROM cum
+            )
+            SELECT spt.doc_id, spt.score_pt,
+                   CASE WHEN spt.n_tokens = 0 THEN 'empty'
+                        WHEN spt.score_pt <= q.q33 THEN 'tail'
+                        WHEN spt.score_pt <= q.q67 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM spt CROSS JOIN q
+            ORDER BY spt.doc_id
+        """,
+        "ngram_contamination": """
+            -- exact 5-gram decontamination: distinct (doc, gram) pairs,
+            -- benchmark = grams of doc_id % 97 == 0 docs, counts of
+            -- distinct grams / distinct contaminated grams per doc
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(l) - 4),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                              || ' ' || l[i+3] || ' ' || l[i+4])) AS gram
+              FROM t WHERE len(l) >= 5
+            ),
+            dg AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM g),
+            bench AS MATERIALIZED (
+              SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0
+            ),
+            cnt AS (
+              SELECT doc_id, COUNT(*) AS n_grams,
+                     COUNT(*) FILTER (
+                       WHERE gram IN (SELECT gram FROM bench)
+                     ) AS n_contaminated
+              FROM dg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(cnt.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(cnt.n_contaminated, 0) AS BIGINT)
+                     AS n_contaminated
+            FROM documents d LEFT JOIN cnt USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "audio_features": """
             -- REAL WAV decode: the engine plants PCM16 with sample[k] =

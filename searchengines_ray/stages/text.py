@@ -515,6 +515,77 @@ def unigram_lm_scores(ds, max_vocab: int = 1 << 16):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def lm_quality_buckets(ds, max_vocab: int = 1 << 16):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    doc with the capped-vocab unigram LM, normalize per token, and split
+    the corpus into head/middle/tail terciles (higher log-prob = lower
+    perplexity = head).
+
+    Exactness contract: ``score_pt = floor(lm_score_micro * 1000.0 /
+    n_tokens)`` computed in float64 (products stay < 2^53, so both
+    engines perform the identical IEEE ops — never integer ``//``, whose
+    negative-operand semantics differ between Python and DuckDB);
+    tercile thresholds are exact percentile_disc order statistics over
+    the score histogram (the ``grouped_quantiles`` count-by-value plan —
+    the shuffle moves the histogram, never the corpus); the driver holds
+    TWO integers.  Empty docs bucket as 'empty'.  Returns ``(doc_id,
+    score_pt, bucket)``.
+    """
+    from .rank import grouped_quantiles
+
+    scores = unigram_lm_scores(ds, max_vocab=max_vocab)
+
+    def pt(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_tokens"].to_numpy().astype(np.float64)
+        a = batch["lm_score_micro"].to_numpy().astype(np.float64)
+        s = np.where(
+            n > 0, np.floor(a * 1000.0 / np.maximum(n, 1.0)), 0.0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": batch["n_tokens"].astype("int64"),
+                "score_pt": pd.array(s, dtype="int64"),
+            }
+        )
+
+    spt = scores.map_batches(pt, batch_format="pandas").materialize()
+
+    def nonempty(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.loc[batch["n_tokens"] > 0, ["score_pt"]].copy()
+        g["_g"] = np.int64(0)
+        return g
+
+    qdf = grouped_quantiles(
+        spt.map_batches(nonempty, batch_format="pandas"),
+        by="_g",
+        val_col="score_pt",
+        ps=[1 / 3, 2 / 3],
+        labels=["q33", "q67"],
+    ).to_pandas()
+    th = dict(zip(qdf["p"], qdf["value"]))
+    q33 = int(th.get("q33", 0))
+    q67 = int(th.get("q67", 0))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["score_pt"].to_numpy()
+        n = batch["n_tokens"].to_numpy()
+        bucket = np.where(
+            n == 0,
+            "empty",
+            np.where(s <= q33, "tail", np.where(s <= q67, "middle", "head")),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "score_pt": batch["score_pt"],
+                "bucket": bucket,
+            }
+        )
+
+    return spt.map_batches(assign, batch_format="pandas")
+
+
 def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
     """Global top-k word n-grams by count — the LM-prep vocabulary op.
 
@@ -580,6 +651,72 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
         .sort(["cnt", "ngram"], descending=[True, False])
         .limit(top_k)
     )
+
+
+def ngram_contamination(ds, benchmark_texts: list[str], n: int = 5):
+    """GPT-3-style exact n-gram decontamination: flag every corpus doc
+    sharing at least one word n-gram with a benchmark/eval suite
+    (Brown et al. 2020 filter 13-grams; ``n`` is a parameter because the
+    synthetic corpus is short).
+
+    Scale shape: the benchmark gram set is BOUNDED (eval suites are
+    thousands of docs, never corpus-sized) — built once on the driver and
+    broadcast via ``ray.put``; the corpus side is one embarrassingly
+    parallel pass whose per-batch work is per-UNIQUE-gram (the
+    ngram_counts windowing: flat token stream + np.unique over the (m, n)
+    id matrix), membership via one frozenset lookup per distinct gram.
+    No shuffle at all.  Returns ``(doc_id, n_grams, n_contaminated)``
+    with DISTINCT-gram counts (contaminated docs = n_contaminated > 0)
+    — plain string grams, so a SQL oracle joins on the same strings.
+    """
+    import ray
+
+    bench: set = set()
+    for t in benchmark_texts:
+        vocab, vids, _, _ = _flat_word_stream([t])
+        ws = np.asarray(vocab, dtype=object)[vids]
+        for i in range(len(ws) - n + 1):
+            bench.add(" ".join(ws[i : i + n]))
+    bref = ray.put(frozenset(bench))
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        ids = batch["doc_id"].astype("int64").to_numpy()
+        out_g = np.zeros(len(batch), dtype=np.int64)
+        out_c = np.zeros(len(batch), dtype=np.int64)
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        m = len(vids) - n + 1
+        if m > 0:
+            valid = parent[:m] == parent[n - 1 :]
+            if valid.any():
+                arr = np.stack(
+                    [vids[i : m + i][valid] for i in range(n)], axis=1
+                )
+                doc_of = parent[:m][valid]
+                # distinct (doc, gram) pairs, then per-unique-gram strings
+                dg = np.concatenate([doc_of[:, None], arr], axis=1)
+                dg = np.unique(dg, axis=0)
+                gu, ginv = np.unique(dg[:, 1:], axis=0, return_inverse=True)
+                voc = np.asarray(vocab, dtype=object)
+                s = pd.Series(voc[gu[:, 0]], dtype=object)
+                for i in range(1, n):
+                    s = s + " " + pd.Series(voc[gu[:, i]], dtype=object)
+                hit = np.fromiter(
+                    (g in b for g in s), dtype=bool, count=len(s)
+                )
+                out_g += np.bincount(dg[:, 0], minlength=len(batch))
+                out_c += np.bincount(
+                    dg[:, 0][hit[ginv]], minlength=len(batch)
+                )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_grams": pd.array(out_g, dtype="int64"),
+                "n_contaminated": pd.array(out_c, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pandas")
 
 
 def repeated_spans(ds, k: int = 8, min_docs: int = 2, top_k: int = 50,

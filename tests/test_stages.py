@@ -2138,3 +2138,55 @@ def test_cooccurrence_counts(ray_session):
         ).take_all()
     ]
     assert got == exp
+
+
+def test_ngram_contamination(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import ngram_contamination
+
+    bench = ["alpha beta gamma delta epsilon zeta"]
+    rows = [
+        # shares the 5-gram 'alpha beta gamma delta epsilon'
+        {"doc_id": 0, "text": "xx alpha beta gamma delta epsilon yy"},
+        # same words, broken order -> no shared 5-gram
+        {"doc_id": 1, "text": "alpha beta gamma zeta delta epsilon"},
+        {"doc_id": 2, "text": "totally unrelated words here now ok"},
+        {"doc_id": 3, "text": "short"},  # < 5 words -> 0 grams
+    ]
+    out = (
+        ngram_contamination(ray.data.from_items(rows), bench, n=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_contaminated"] == 1  # the planted shared 5-gram
+    assert out.loc[0, "n_grams"] == 3
+    assert out.loc[1, "n_contaminated"] == 0
+    assert out.loc[2, "n_contaminated"] == 0
+    assert out.loc[3, "n_grams"] == 0
+
+
+def test_lm_quality_buckets(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import lm_quality_buckets
+
+    # 9 docs: three repetition tiers of common vs rare words + 1 empty
+    rows = (
+        [{"doc_id": i, "text": "the common word list " * 5} for i in range(3)]
+        + [{"doc_id": 3 + i, "text": f"mixed rare{i} common word"} for i in range(3)]
+        + [{"doc_id": 6 + i, "text": f"zz{i} qq{i} xx{i} vv{i}"} for i in range(3)]
+        + [{"doc_id": 9, "text": ""}]
+    )
+    out = (
+        lm_quality_buckets(ray.data.from_items(rows), max_vocab=100)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[9, "bucket"] == "empty"
+    # high-frequency docs score best (head), unique-word docs worst (tail)
+    assert set(out.loc[[0, 1, 2], "bucket"]) == {"head"}
+    assert set(out.loc[[6, 7, 8], "bucket"]) == {"tail"}
+    assert set(out.loc[[3, 4, 5], "bucket"]) == {"middle"}
