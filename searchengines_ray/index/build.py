@@ -310,7 +310,8 @@ def _manifest_table(m: dict) -> pa.Table:
         "n_postings": [m["n_postings"]],
         "wall_s": [m.get("wall_s", 0.0)],
         "bytes": [m.get("bytes", 0)],
-        "resumed": [m.get("resumed", False)],
+        # int64 so the distributed stats sum can count resumed segments
+        "resumed": [int(bool(m.get("resumed", False)))],
     }
     for f in FIELDS:
         row[f"doc_count_{f}"] = [m["doc_count"][f]]
@@ -426,7 +427,7 @@ def build_index(
     # write_segment, atomic-rename committed) — no separate manifest table
     n_segments = manifests.count()
     sum_cols = (
-        ["n_docs", "n_postings", "wall_s"]
+        ["n_docs", "n_postings", "wall_s", "resumed"]
         + [f"doc_count_{f}" for f in FIELDS]
         + [f"sum_len_{f}" for f in FIELDS]
     )
@@ -437,6 +438,7 @@ def build_index(
 
     stats = {
         "n_docs": int(_s("n_docs")),
+        "n_segments_resumed": int(_s("resumed")),
         "doc_count": {f: int(_s(f"doc_count_{f}")) for f in FIELDS},
         "sum_field_len": {f: int(_s(f"sum_len_{f}")) for f in FIELDS},
         "n_segments": int(n_segments),
