@@ -2476,6 +2476,20 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """GPT-style packed-pretraining layout: per-bucket concatenated token
+    streams chunked into 512-token sequences; each doc reports its offset
+    and first/last sequence index.  One coarse 8-way shuffle."""
+    from searchengines_ray.stages.text import pack_sequences
+
+    out = pack_sequences(_docs(sf_dir), seq_len=512, buckets=8).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def _q_lm_quality_buckets(sf_dir: str) -> pd.DataFrame:
     """CCNet-style head/middle/tail perplexity bucketing: capped-vocab
     unigram LM scores, per-token float64 normalization (never integer
@@ -2751,6 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "ngram_contamination": _q_ngram_contamination,
         "lm_quality_buckets": _q_lm_quality_buckets,
+        "pack_sequences": _q_pack_sequences,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -5953,6 +5968,32 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "pack_sequences": """
+            -- packed-pretraining layout: per-bucket (doc_id % 8) token
+            -- streams in doc_id order, chunked at 512; offsets are
+            -- non-negative so // agrees between engines
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS bucket,
+                     len(regexp_extract_all(lower(text), '[0-9a-z]+')) AS n
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, bucket, n,
+                     COALESCE(SUM(n) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS off
+              FROM t
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(off AS BIGINT) AS off,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(off // 512 AS BIGINT) AS seq_first,
+                   CAST(CASE WHEN n = 0 THEN off // 512
+                        ELSE (off + n - 1) // 512 END AS BIGINT)
+                     AS seq_last
+            FROM c ORDER BY doc_id
         """,
         "lm_quality_buckets": """
             -- CCNet tercile bucketing over capped-vocab unigram-LM

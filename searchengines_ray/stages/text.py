@@ -515,6 +515,62 @@ def unigram_lm_scores(ds, max_vocab: int = 1 << 16):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def pack_sequences(ds, seq_len: int = 2048, buckets: int = 64):
+    """GPT-style sequence packing layout: concatenate each bucket's
+    documents (doc_id order) into one token stream and chunk it into
+    fixed ``seq_len`` training sequences — documents SPLIT across
+    sequence boundaries, exactly the packed-pretraining contract.
+
+    Returns one row per doc: ``(doc_id, bucket, off, n_tokens,
+    seq_first, seq_last)`` where ``off`` is the doc's token offset in its
+    bucket stream and seq_first/last are the sequence indices its tokens
+    land in (empty docs pin both to off // seq_len).
+
+    Scale shape: token counts are a shuffle-free vectorized pass; the
+    only exchange is the ``buckets``-way groupby (coarse key — 64
+    callbacks, never per-doc), inside which the cumulative offset is one
+    numpy cumsum.  bucket = doc_id % buckets is the frozen partitioning
+    (deterministic and SQL-replicable; at real scale substitute any
+    stable doc shard key).  All offsets are non-negative so ``//``
+    agrees between Python and DuckDB.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, counts = _flat_word_stream(list(batch["text"]))
+        ids = batch["doc_id"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "bucket": ids % buckets,
+                "n_tokens": pd.array(
+                    counts.astype(np.int64), dtype="int64"
+                ),
+            }
+        )
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        off = np.zeros(len(g), dtype=np.int64)
+        np.cumsum(n[:-1], out=off[1:])
+        seq_first = off // seq_len
+        seq_last = np.where(
+            n == 0, seq_first, (off + n - 1) // seq_len
+        )
+        g["off"] = off
+        g["seq_first"] = seq_first
+        g["seq_last"] = seq_last
+        return g[
+            ["doc_id", "bucket", "off", "n_tokens", "seq_first", "seq_last"]
+        ]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
 def lm_quality_buckets(ds, max_vocab: int = 1 << 16):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     doc with the capped-vocab unigram LM, normalize per token, and split

@@ -2190,3 +2190,29 @@ def test_lm_quality_buckets(ray_session):
     assert set(out.loc[[0, 1, 2], "bucket"]) == {"head"}
     assert set(out.loc[[6, 7, 8], "bucket"]) == {"tail"}
     assert set(out.loc[[3, 4, 5], "bucket"]) == {"middle"}
+
+
+def test_pack_sequences(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import pack_sequences
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d e"},          # 5 tokens
+        {"doc_id": 8, "text": "f g h i j k l"},      # 7 tokens, same bucket 0
+        {"doc_id": 16, "text": ""},                  # empty, bucket 0
+        {"doc_id": 24, "text": "m n"},               # bucket 0
+        {"doc_id": 1, "text": "x " * 12},            # bucket 1, 12 tokens
+    ]
+    out = (
+        pack_sequences(ray.data.from_items(rows), seq_len=8, buckets=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # bucket 0 stream: doc0 off0 (5), doc8 off5 (7), doc16 off12 (0), doc24 off12 (2)
+    assert out.loc[0, ["off", "seq_first", "seq_last"]].tolist() == [0, 0, 0]
+    assert out.loc[8, ["off", "seq_first", "seq_last"]].tolist() == [5, 0, 1]
+    assert out.loc[16, ["off", "seq_first", "seq_last"]].tolist() == [12, 1, 1]
+    assert out.loc[24, ["off", "seq_first", "seq_last"]].tolist() == [12, 1, 1]
+    assert out.loc[1, ["off", "seq_first", "seq_last"]].tolist() == [0, 0, 1]
