@@ -2476,6 +2476,16 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_gopher_filter(sf_dir: str) -> pd.DataFrame:
+    """Composite Gopher/MassiveText quality filter (per-rule pass flags +
+    conjunction), every rule an integer comparison — zero float rounding
+    in the contract.  Shuffle-free fused pass."""
+    from searchengines_ray.stages.text import gopher_filter
+
+    out = gopher_filter(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 def _q_pack_sequences(sf_dir: str) -> pd.DataFrame:
     """GPT-style packed-pretraining layout: per-bucket concatenated token
     streams chunked into 512-token sequences; each doc reports its offset
@@ -2766,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": _q_ngram_contamination,
         "lm_quality_buckets": _q_lm_quality_buckets,
         "pack_sequences": _q_pack_sequences,
+        "gopher_filter": _q_gopher_filter,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -5968,6 +5979,59 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "gopher_filter": f"""
+            -- Gopher rule subset, all-integer comparisons: word count in
+            -- [50, 100000], mean word length in [3,10] by cross-multiply,
+            -- >= 2 stopwords, dup-line frac <= 0.3, dup-3gram frac <= 0.5
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+              FROM documents
+            ),
+            a AS (
+              SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS nw,
+                CAST(COALESCE(list_sum(list_transform(ws,
+                  x -> length(x))), 0) AS BIGINT) AS swl,
+                CAST(COALESCE(list_sum(list_transform(ws,
+                  x -> CASE WHEN x IN ({_SQL_STOPLIST}) THEN 1 ELSE 0
+                       END)), 0) AS BIGINT) AS nstop,
+                CAST(GREATEST(len(ws) - 2, 0) AS BIGINT) AS total3,
+                CAST(len(list_distinct(list_transform(
+                  generate_series(1, len(ws) - 2),
+                  i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]
+                ))) AS BIGINT) AS distinct3
+              FROM w
+            ),
+            l AS (
+              SELECT doc_id,
+                CASE WHEN text = '' THEN 0
+                     ELSE CAST(len(string_split(text, chr(10))) AS BIGINT)
+                END AS nl,
+                CASE WHEN text = '' THEN 0
+                     ELSE CAST(len(list_distinct(string_split(text,
+                          chr(10)))) AS BIGINT) END AS dl
+              FROM documents
+            )
+            SELECT a.doc_id,
+              CAST(a.nw >= 50 AND a.nw <= 100000 AS BIGINT) AS r_words,
+              CAST(3 * a.nw <= a.swl AND a.swl <= 10 * a.nw AS BIGINT)
+                AS r_mwl,
+              CAST(a.nstop >= 2 AS BIGINT) AS r_stop,
+              CAST(10 * (l.nl - l.dl) <= 3 * l.nl AS BIGINT) AS r_dupline,
+              CAST(CASE WHEN a.total3 > 0
+                   THEN 2 * (a.total3 - a.distinct3) <= a.total3
+                   ELSE TRUE END AS BIGINT) AS r_dup3,
+              CAST((a.nw >= 50 AND a.nw <= 100000)
+                   AND (3 * a.nw <= a.swl AND a.swl <= 10 * a.nw)
+                   AND a.nstop >= 2
+                   AND 10 * (l.nl - l.dl) <= 3 * l.nl
+                   AND (a.total3 = 0
+                        OR 2 * (a.total3 - a.distinct3) <= a.total3)
+                   AS BIGINT) AS keep
+            FROM a JOIN l USING (doc_id)
+            ORDER BY a.doc_id
         """,
         "pack_sequences": """
             -- packed-pretraining layout: per-bucket (doc_id % 8) token

@@ -265,8 +265,39 @@ class IVFIndex:
         emb_ds.map_batches(tag, batch_format="pandas").write_parquet(
             path, partition_cols=["bucket"]
         )
+        # persist the model beside the corpus so a serving process can
+        # reopen the index without refitting (IVFIndex.load)
+        np.save(os.path.join(path, "centroids.npy"), self.centroids)
+        import json
+
+        with open(os.path.join(path, "ivf.json"), "w") as f:
+            json.dump(
+                {
+                    "nlist": self.nlist,
+                    "iters": self.iters,
+                    "seed": self.seed,
+                    "dims": int(self.centroids.shape[1]),
+                },
+                f,
+            )
         self.path = path
         return self
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        """Reopen a persisted IVF index (centroids + hive-partitioned
+        assigned corpus) for serving — no refit, no reassign."""
+        import json
+        import os
+
+        with open(os.path.join(path, "ivf.json")) as f:
+            meta = json.load(f)
+        ivf = cls(
+            nlist=meta["nlist"], iters=meta["iters"], seed=meta["seed"]
+        )
+        ivf.centroids = np.load(os.path.join(path, "centroids.npy"))
+        ivf.path = path
+        return ivf
 
     def _probed_buckets(
         self, queries: np.ndarray, nprobe: int
@@ -313,8 +344,10 @@ class IVFIndex:
 
         qm, mask, union = self._probed_buckets(queries, nprobe)
         qref = ray.put((qm, mask))
+        # root-level model files (centroids.npy, ivf.json) carry no
+        # bucket= key — the filter must drop them, not KeyError
         pf = PathPartitionFilter.of(
-            lambda kv: int(kv["bucket"]) in union,
+            lambda kv: "bucket" in kv and int(kv["bucket"]) in union,
             style="hive",
             base_dir=self.path,
         )

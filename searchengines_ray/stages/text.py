@@ -353,6 +353,83 @@ def repetition_signals(ds):
     return ds.map_batches(RepetitionSignals(), batch_format="pandas")
 
 
+class GopherFilter:
+    """Composite Gopher/MassiveText quality filter (Rae et al. 2021,
+    Appendix A — the dictionary-free rule subset), emitting per-rule
+    pass flags plus the conjunction:
+
+    - ``r_words``:   50 <= n_words <= 100,000
+    - ``r_mwl``:     mean word length in [3, 10] — integer cross-multiply
+      (``3*n_words <= sum_word_len <= 10*n_words``), never a float ratio
+    - ``r_stop``:    at least 2 stopword tokens
+    - ``r_dupline``: duplicate-line fraction <= 0.30 —
+      ``10*(n_lines - distinct_lines) <= 3*n_lines`` (empty text passes)
+    - ``r_dup3``:    duplicate word-3-gram fraction <= 0.50 —
+      ``2*(total3 - distinct3) <= total3`` (docs under 3 words pass)
+
+    Every rule is an INTEGER comparison, so the distributed result is
+    exact and the SQL mirror shares no float rounding at all.  One fused
+    shuffle-free pass (flat token stream + shingle sets reused).
+    """
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _batch_shingle_sets
+
+        texts = ["" if t is None else t for t in batch["text"]]
+        n = len(texts)
+        vocab, vids, parent, counts = _flat_word_stream(texts)
+        n_words = counts.astype(np.int64)
+        wlen = np.asarray([len(w) for w in vocab], dtype=np.float64)
+        stop_flag = np.asarray(
+            [w in LUCENE_STOPWORDS for w in vocab], dtype=np.float64
+        )
+        if len(parent):
+            sum_wlen = np.bincount(
+                parent, weights=wlen[vids], minlength=n
+            ).astype(np.int64)
+            n_stop = np.bincount(
+                parent, weights=stop_flag[vids], minlength=n
+            ).astype(np.int64)
+        else:
+            sum_wlen = np.zeros(n, dtype=np.int64)
+            n_stop = np.zeros(n, dtype=np.int64)
+        total3 = np.maximum(n_words - 2, 0)
+        sets = _batch_shingle_sets(texts, 3)
+        distinct3 = np.asarray([len(s) for s in sets], dtype=np.int64)
+        n_lines = np.zeros(n, dtype=np.int64)
+        distinct_l = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t:
+                lines = t.split("\n")
+                n_lines[i] = len(lines)
+                distinct_l[i] = len(set(lines))
+        r_words = (n_words >= 50) & (n_words <= 100_000)
+        r_mwl = (3 * n_words <= sum_wlen) & (sum_wlen <= 10 * n_words)
+        r_stop = n_stop >= 2
+        r_dupline = 10 * (n_lines - distinct_l) <= 3 * n_lines
+        r_dup3 = np.where(
+            total3 > 0, 2 * (total3 - distinct3) <= total3, True
+        )
+        keep = r_words & r_mwl & r_stop & r_dupline & r_dup3
+        out = {"doc_id": batch["doc_id"].astype("int64")}
+        for name, arr in (
+            ("r_words", r_words),
+            ("r_mwl", r_mwl),
+            ("r_stop", r_stop),
+            ("r_dupline", r_dupline),
+            ("r_dup3", r_dup3),
+            ("keep", keep),
+        ):
+            out[name] = pd.array(arr.astype(np.int64), dtype="int64")
+        return pd.DataFrame(out)
+
+
+def gopher_filter(ds):
+    """Shuffle-free composite Gopher quality filter — see
+    :class:`GopherFilter`."""
+    return ds.map_batches(GopherFilter(), batch_format="pandas")
+
+
 # The helpers pass INSTANCES (stateless elastic tasks): the per-stage state
 # here is compiled regexes — cheap to pickle, so task elasticity beats actor
 # reservation (an actor pool sized to the session CPU count starves the read

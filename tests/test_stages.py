@@ -2216,3 +2216,53 @@ def test_pack_sequences(ray_session):
     assert out.loc[16, ["off", "seq_first", "seq_last"]].tolist() == [12, 1, 1]
     assert out.loc[24, ["off", "seq_first", "seq_last"]].tolist() == [12, 1, 1]
     assert out.loc[1, ["off", "seq_first", "seq_last"]].tolist() == [0, 0, 1]
+
+
+def test_ivf_persistence_reopen(ray_session):
+    import tempfile
+
+    import ray.data
+
+    from searchengines_ray.stages.similarity import IVFIndex
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    queries = np.stack(
+        [np.asarray(v) for v in emb.limit(3).to_pandas()["embedding"]]
+    ).astype(np.float64)
+    path = tempfile.mkdtemp(prefix="ivf-persist-")
+    ivf = IVFIndex(nlist=8).fit(emb).assign(emb, path=path)
+    want = ivf.search(queries, k=5, nprobe=4)
+    # a fresh process-equivalent: reopen from disk, no refit/reassign
+    ivf2 = IVFIndex.load(path)
+    got = ivf2.search(queries, k=5, nprobe=4)
+    assert (ivf2.centroids == ivf.centroids).all()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+def test_gopher_filter(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import gopher_filter
+
+    # 60 distinct-ish words incl. stopwords, no repeated 3-grams
+    good = "the story begins and " + " ".join(
+        f"word{i} tale{i} goes" for i in range(20)
+    )
+    rows = [
+        {"doc_id": 0, "text": good},                       # passes all
+        {"doc_id": 1, "text": "short doc"},                # fails r_words
+        {"doc_id": 2, "text": ("line\n" * 10) + good},     # dup lines
+        {"doc_id": 3, "text": "the and is " * 30},         # dup 3-grams
+    ]
+    out = (
+        gopher_filter(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "keep"] == 1
+    assert out.loc[1, "r_words"] == 0 and out.loc[1, "keep"] == 0
+    assert out.loc[2, "r_dupline"] == 0 and out.loc[2, "keep"] == 0
+    assert out.loc[3, "r_dup3"] == 0 and out.loc[3, "keep"] == 0
