@@ -2476,6 +2476,46 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_canonicalize_urls(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization (the CC curation step before url-dedup):
+    planted noisy urls (upper-case scheme/host, default port, tracking
+    params, fragments, trailing slash) canonicalize through the frozen
+    5-step chain; the oracle CONSTRUCTS the expected canonical form
+    closed-form from doc_id, so a match proves every step fired."""
+    from searchengines_ray.stages.text import canonicalize_urls
+
+    docs = _docs(sf_dir, cols=("doc_id",))
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        urls = []
+        for d in b["doc_id"]:
+            u = f"HTTP://ExAmple{d % 5}.COM"
+            if d % 2 == 0:
+                u += ":80"
+            u += f"/Path{d}"
+            if d % 2 == 1:
+                u += "/"
+            if d % 3 != 0:
+                u += f"?id={d}&utm_source=x"
+                if d % 5 == 0:
+                    u += "&gclid=99"
+            u += f"#frag{d}"
+            urls.append(u)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "url": urls}
+        )
+
+    out = canonicalize_urls(
+        docs.map_batches(plant, batch_format="pandas")
+    ).to_pandas()
+    return (
+        out[["doc_id", "url_canon", "host"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def _q_gopher_filter(sf_dir: str) -> pd.DataFrame:
     """Composite Gopher/MassiveText quality filter (per-rule pass flags +
     conjunction), every rule an integer comparison — zero float rounding
@@ -2777,6 +2817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_buckets": _q_lm_quality_buckets,
         "pack_sequences": _q_pack_sequences,
         "gopher_filter": _q_gopher_filter,
+        "canonicalize_urls": _q_canonicalize_urls,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -5979,6 +6020,22 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "canonicalize_urls": """
+            -- expected canonical form constructed closed-form from the
+            -- planted-noise recipe: lowercased scheme/host, :80 dropped,
+            -- utm_/gclid params filtered (id= survives), fragment gone,
+            -- trailing slash stripped when it ends the url (d%3=0 & odd)
+            SELECT doc_id,
+                   'http://example' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.com/Path' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 3 <> 0 THEN
+                          (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+                          || '?id=' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS url_canon,
+                   'example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                     AS host
+            FROM documents ORDER BY doc_id
         """,
         "gopher_filter": f"""
             -- Gopher rule subset, all-integer comparisons: word count in

@@ -1478,6 +1478,74 @@ def tfidf_keywords(ds, k: int = 3, buckets: int = 64):
     )
 
 
+_TRACKING_PREFIXES = ("utm_", "gclid=", "fbclid=")
+
+
+def canonicalize_url(url: str) -> tuple[str, str]:
+    """One URL -> (canonical form, lowercased host).  The frozen ordered
+    chain (each step SQL-expressible with the same string ops, the
+    PIIRedactor ordered-chain contract):
+
+    1. strip the fragment (first ``#`` to end);
+    2. lowercase the ``scheme://host[:port]`` prefix (up to the first
+       ``/`` after ``://``) — paths/queries keep their case;
+    3. drop default ports (``:80`` for http, ``:443`` for https);
+    4. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``) by
+       splitting on ``&`` and filtering — the whole ``?`` suffix goes
+       when nothing survives;
+    5. strip one trailing ``/`` (never the ``://`` of a bare host).
+    """
+    u = url or ""
+    h = u.find("#")
+    if h >= 0:
+        u = u[:h]
+    p = u.find("://")
+    hostport = ""
+    if p >= 0:
+        rest = p + 3
+        slash = u.find("/", rest)
+        cut = slash if slash >= 0 else len(u)
+        scheme = u[:rest].lower()
+        hostport = u[rest:cut].lower()
+        path = u[cut:]
+        # default-port strip applies to the AUTHORITY only (a ':80'
+        # inside the path must survive)
+        if scheme == "http://" and hostport.endswith(":80"):
+            hostport = hostport[:-3]
+        elif scheme == "https://" and hostport.endswith(":443"):
+            hostport = hostport[:-4]
+        u = scheme + hostport + path
+    q = u.find("?")
+    if q >= 0:
+        base, query = u[:q], u[q + 1 :]
+        kept = [
+            part
+            for part in query.split("&")
+            if not any(part.startswith(t) for t in _TRACKING_PREFIXES)
+        ]
+        u = base + ("?" + "&".join(kept) if kept else "")
+    if u.endswith("/") and not u.endswith("://"):
+        u = u[:-1]
+    host = hostport.split(":")[0]
+    return u, host
+
+
+def canonicalize_urls(ds, url_col: str = "url"):
+    """URL canonicalization pass (the Common-Crawl curation step before
+    url-dedup): adds ``url_canon`` and ``host``.  Embarrassingly parallel
+    map; per-row work is O(len(url)) string ops — the same order as any
+    vectorized kernel on short strings."""
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = [canonicalize_url(u) for u in batch[url_col].fillna("")]
+        out = batch.copy()
+        out["url_canon"] = [p[0] for p in pairs]
+        out["host"] = [p[1] for p in pairs]
+        return out
+
+    return ds.map_batches(canon, batch_format="pandas")
+
+
 def normalize_text(ds):
     """Canonical text cleanup before tokenize/dedup: strip ASCII control
     characters (keep \\n), collapse space/tab runs to one space, trim

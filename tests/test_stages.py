@@ -2266,3 +2266,21 @@ def test_gopher_filter(ray_session):
     assert out.loc[1, "r_words"] == 0 and out.loc[1, "keep"] == 0
     assert out.loc[2, "r_dupline"] == 0 and out.loc[2, "keep"] == 0
     assert out.loc[3, "r_dup3"] == 0 and out.loc[3, "keep"] == 0
+
+
+def test_canonicalize_url_chain():
+    from searchengines_ray.stages.text import canonicalize_url
+
+    cases = {
+        "HTTP://ExAmple.COM:80/Path?id=1&utm_source=x#f":
+            ("http://example.com/Path?id=1", "example.com"),
+        "https://Host.Org:443/": ("https://host.org", "host.org"),
+        "https://host.org:8443/a": ("https://host.org:8443/a", "host.org"),
+        "http://h.com/a:80/b": ("http://h.com/a:80/b", "h.com"),  # path :80 survives
+        "http://h.com/x?utm_a=1&gclid=2": ("http://h.com/x", "h.com"),
+        "http://h.com/x?a=1&fbclid=9&b=2": ("http://h.com/x?a=1&b=2", "h.com"),
+        "http://h.com": ("http://h.com", "h.com"),
+        "": ("", ""),
+    }
+    for raw, want in cases.items():
+        assert canonicalize_url(raw) == want, (raw, canonicalize_url(raw))
