@@ -283,6 +283,37 @@ class IVFIndex:
         self.path = path
         return self
 
+    def append(self, emb_ds) -> "IVFIndex":
+        """Incrementally add vectors to a persisted index: tag with the
+        EXISTING centroids and write new parquet files into the same
+        ``bucket=<b>/`` partitions (hive layout appends naturally — no
+        rewrite of prior data, no refit).  Search immediately covers old
+        + new.  The IVF recall contract is unchanged as long as appended
+        data is drawn from a similar distribution; re-fit + re-assign
+        when drift degrades probe recall."""
+        if self.path is None or self.centroids is None:
+            raise ValueError("append requires a fitted, assigned index")
+        import ray
+
+        cref = ray.put(self.centroids)
+
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            cent = ray.get(cref)
+            mat = _normalize(_as_matrix(batch["embedding"]))
+            bucket = np.argmax(mat @ cent.T, axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].astype("int64"),
+                    "bucket": bucket.astype(np.int64),
+                    "vec": [v.tobytes() for v in mat],
+                }
+            )
+
+        emb_ds.map_batches(tag, batch_format="pandas").write_parquet(
+            self.path, partition_cols=["bucket"]
+        )
+        return self
+
     @classmethod
     def load(cls, path: str) -> "IVFIndex":
         """Reopen a persisted IVF index (centroids + hive-partitioned

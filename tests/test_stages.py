@@ -2284,3 +2284,39 @@ def test_canonicalize_url_chain():
     }
     for raw, want in cases.items():
         assert canonicalize_url(raw) == want, (raw, canonicalize_url(raw))
+
+
+def test_ivf_incremental_append(ray_session):
+    import tempfile
+
+    import ray.data
+
+    from searchengines_ray.stages.similarity import IVFIndex
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    first = emb.map_batches(
+        lambda b: b.loc[b["vec_id"] % 2 == 0],
+        batch_format="pandas",
+    )
+    second = emb.map_batches(
+        lambda b: b.loc[b["vec_id"] % 2 == 1],
+        batch_format="pandas",
+    )
+    queries = np.stack(
+        [np.asarray(v) for v in emb.limit(3).to_pandas()["embedding"]]
+    ).astype(np.float64)
+
+    # baseline: everything assigned at once
+    p_all = tempfile.mkdtemp(prefix="ivf-all-")
+    ivf_all = IVFIndex(nlist=8).fit(emb).assign(emb, path=p_all)
+    want = ivf_all.search(queries, k=5, nprobe=8)
+
+    # incremental: half assigned, half appended with the SAME centroids
+    p_inc = tempfile.mkdtemp(prefix="ivf-inc-")
+    ivf_inc = IVFIndex(nlist=8).fit(emb).assign(first, path=p_inc)
+    ivf_inc.append(second)
+    got = ivf_inc.search(queries, k=5, nprobe=8)
+    # same fit sample + seed -> same centroids -> identical full search
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
