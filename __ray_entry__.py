@@ -2476,6 +2476,35 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_left_outer_join(sf_dir: str) -> pd.DataFrame:
+    """Distributed LEFT OUTER equi-join (hash_equijoin how='left'):
+    every document row survives; label payload from the vec_id%3==0
+    slice of embeddings, unmatched rows take the typed -1 placeholder.
+    One coarse key-hash shuffle."""
+    import ray.data
+
+    from searchengines_ray.stages.joins import hash_equijoin
+
+    docs = _docs(sf_dir, cols=("doc_id", "n_chars"))
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(
+        lambda b: b.loc[b["vec_id"] % 3 == 0].astype(
+            {"vec_id": "int64", "label": "int64"}
+        ),
+        batch_format="pandas",
+    )
+    out = hash_equijoin(
+        docs, emb, "doc_id", "vec_id", right_cols=("label",), how="left"
+    ).to_pandas()
+    return (
+        out[["doc_id", "n_chars", "r_label"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def _q_canonicalize_urls(sf_dir: str) -> pd.DataFrame:
     """URL canonicalization (the CC curation step before url-dedup):
     planted noisy urls (upper-case scheme/host, default port, tracking
@@ -2818,6 +2847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "gopher_filter": _q_gopher_filter,
         "canonicalize_urls": _q_canonicalize_urls,
+        "left_outer_join": _q_left_outer_join,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -6020,6 +6050,17 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "left_outer_join": """
+            -- LEFT OUTER equi-join; unmatched payload = the typed -1
+            -- placeholder (the repo's no-match sentinel contract)
+            SELECT d.doc_id, d.n_chars,
+                   CAST(COALESCE(e.label, -1) AS BIGINT) AS r_label
+            FROM documents d
+            LEFT JOIN (SELECT vec_id, label FROM embeddings
+                       WHERE vec_id % 3 = 0) e
+              ON d.doc_id = e.vec_id
+            ORDER BY d.doc_id
         """,
         "canonicalize_urls": """
             -- expected canonical form constructed closed-form from the

@@ -290,7 +290,11 @@ def hash_equijoin(
 ):
     """Generic distributed equi-join — the plain relational join Ray
     Data's Dataset API lacks.  ``how``: ``inner`` (1:N, left columns +
-    ``r_<col>`` payload), ``semi`` (left rows WITH a match, each once,
+    ``r_<col>`` payload), ``left`` (outer: every left row survives;
+    unmatched payload takes the typed placeholder — ``-1`` for ints,
+    ``''`` for strings, NaT/NaN otherwise — so callers needing to
+    distinguish a real ``-1`` should join a non-negative id or test a
+    string payload), ``semi`` (left rows WITH a match, each once,
     left columns only), or ``anti`` (left rows WITHOUT a match — the
     blocklist-subtract primitive used by dedup survivor filtering).
 
@@ -306,8 +310,8 @@ def hash_equijoin(
     """
     import zlib
 
-    if how not in ("inner", "semi", "anti"):
-        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     # Schema hints (name -> numpy/arrow dtype) spare a ``.schema()``
     # call, which on a LAZY dataset partially executes its upstream
     # chain — fatal in iterative loops (pagerank: O(iters^2)
@@ -375,7 +379,18 @@ def hash_equijoin(
             group["_side"] == 1,
             [left_on] + [f"_r_{c}" for c in rpayload],
         ]
-        out = left.merge(right, on=left_on)
+        out = left.merge(
+            right, on=left_on, how="left" if how == "left" else "inner"
+        )
+        if how == "left":
+            # unmatched payload -> the typed placeholder; the merge
+            # upcasts int columns to float on NaN, so restore the dtype
+            for c in rpayload:
+                col = f"_r_{c}"
+                ph = _placeholder(right_types[c], 1)
+                if out[col].isna().any():
+                    out[col] = out[col].fillna(ph.iloc[0])
+                out[col] = out[col].astype(ph.dtype)
         return out.rename(
             columns={f"_r_{c}": f"r_{c}" for c in rpayload}
         )

@@ -2320,3 +2320,34 @@ def test_ivf_incremental_append(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_hash_equijoin_left_outer(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.joins import hash_equijoin
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {
+            "k": pd.array([1, 2, 3, 4], dtype="int64"),
+            "v": pd.array([10, 20, 30, 40], dtype="int64"),
+        }
+    ))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {
+            "k": pd.array([1, 1, 3], dtype="int64"),
+            "w": pd.array([100, 101, 300], dtype="int64"),
+            "s": ["a", "b", "c"],
+        }
+    ))
+    out = (
+        hash_equijoin(left, right, "k", "k", right_cols=("w", "s"),
+                      how="left")
+        .to_pandas()
+        .sort_values(["k", "r_w"])
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 1, 2, 3, 4]
+    assert out["r_w"].tolist() == [100, 101, -1, 300, -1]
+    assert out["r_s"].tolist() == ["a", "b", "", "c", ""]
+    assert str(out["r_w"].dtype) == "int64"  # no float upcast leak
