@@ -390,3 +390,39 @@ def test_update_index_incremental(tmp_path_factory, ray_session):
             ray.data.from_arrow(half_b.drop_columns(["html"])), inc_dir,
             config=AnalyzerConfig(lowercase=True, stop=False, stem=False),
         )
+
+
+def test_merge_commit_failure_preserves_sources(
+    corpus, tmp_path, ray_session, monkeypatch
+):
+    """Round-4 ADVICE fix: if the merge's commit rename fails for any
+    reason OTHER than a concurrent commit of the same segment, the error
+    must propagate and the SOURCE segments must survive (previously the
+    OSError was swallowed and the sources deleted -> silent postings
+    loss)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from searchengines_ray.index import compact
+    from searchengines_ray.index.shard import list_segments
+
+    out, _, _ = corpus
+    merged_dir = str(tmp_path / "failmerge")
+    shutil.copytree(out, merged_dir)
+    before = list_segments(merged_dir)
+    group = before[:2]
+
+    real_rename = compact.os.rename
+
+    def bad_rename(src, dst):
+        if "seg-m" in dst:
+            raise OSError(13, "Permission denied (injected)")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(compact.os, "rename", bad_rename)
+    with _pytest.raises(OSError):
+        compact.merge_group(merged_dir, group)
+    monkeypatch.undo()
+    after = list_segments(merged_dir)
+    assert after == before  # nothing deleted, nothing committed

@@ -2351,3 +2351,15 @@ def test_hash_equijoin_left_outer(ray_session):
     assert out["r_w"].tolist() == [100, 101, -1, 300, -1]
     assert out["r_s"].tolist() == ["a", "b", "", "c", ""]
     assert str(out["r_w"].dtype) == "int64"  # no float upcast leak
+
+
+def test_pagerank_scale_precondition(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.graph import pagerank
+
+    edges = ray.data.from_items([{"src": 1, "dst": 2}])
+    with pytest.raises(ValueError):
+        pagerank(edges, scale=2**53)
+    with pytest.raises(ValueError):
+        pagerank(edges, scale=0)
