@@ -2476,6 +2476,43 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_bloom_blocklist(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter membership pre-filter: build the m=2^17-bit filter
+    over the blocklist corpus's distinct tokens (docs with doc_id%7==0),
+    then test every distinct token of the doc_id%11==0 slice.
+    Deterministic INCLUDING false positives — the SQL oracle computes
+    the identical bit union from the same mod-(2^31-1) char folds."""
+    from searchengines_ray.stages.sketch import bloom_build, bloom_member
+
+    def slice_of(mod: int):
+        return _docs(sf_dir).map_batches(
+            lambda b, m=mod: b.loc[b["doc_id"] % m == 0],
+            batch_format="pandas",
+        )
+
+    def plant_novel(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # the shared synthetic vocabulary makes every real token a member
+        # — append one novel word per doc so the 0 verdicts (and any
+        # deterministic false positive) are exercised too
+        b["text"] = b["text"].fillna("") + " novelw" + b[
+            "doc_id"
+        ].astype(str)
+        return b
+
+    bits = bloom_build(slice_of(7), m=1 << 17, k=4)
+    out = bloom_member(
+        slice_of(11).map_batches(plant_novel, batch_format="pandas"),
+        bits,
+        k=4,
+    ).to_pandas()
+    return (
+        out.sort_values("term")
+        .reset_index(drop=True)
+        .astype({"in_bloom": "int64"})
+    )
+
+
 def _q_left_outer_join(sf_dir: str) -> pd.DataFrame:
     """Distributed LEFT OUTER equi-join (hash_equijoin how='left'):
     every document row survives; label payload from the vec_id%3==0
@@ -2848,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "canonicalize_urls": _q_canonicalize_urls,
         "left_outer_join": _q_left_outer_join,
+        "bloom_blocklist": _q_bloom_blocklist,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -6050,6 +6088,60 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "bloom_blocklist": """
+            -- Bloom bit union + membership verdicts, bit positions
+            -- (h1 + i*h2) % 2^17 with h1/h2 the frozen 131/137 char
+            -- folds; BOOL_AND over the k=4 probes reproduces the engine
+            -- exactly, false positives included
+            WITH blw AS (
+              SELECT DISTINCT
+                unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS w
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            f AS (
+              SELECT w,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(w, ''),
+                                 c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 131 + c) % 2147483647) AS h1,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(w, ''),
+                                 c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 137 + c) % 2147483647) AS h2
+              FROM blw WHERE w <> ''
+            ),
+            bits AS MATERIALIZED (
+              SELECT DISTINCT (h1 + t.i * h2) % 131072 AS bit
+              FROM f, range(0, 4) t(i)
+            ),
+            qw AS (
+              SELECT DISTINCT
+                unnest(regexp_extract_all(
+                  lower(text || ' novelw' || CAST(doc_id AS VARCHAR)),
+                  '[0-9a-z]+')) AS w
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            qf AS (
+              SELECT w,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(w, ''),
+                                 c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 131 + c) % 2147483647) AS h1,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(w, ''),
+                                 c -> CAST(unicode(c) AS BIGINT))),
+                  (a, c) -> (a * 137 + c) % 2147483647) AS h2
+              FROM qw WHERE w <> ''
+            ),
+            qb AS (
+              SELECT w, (h1 + t.i * h2) % 131072 AS bit
+              FROM qf, range(0, 4) t(i)
+            )
+            SELECT w AS term,
+                   CAST(BOOL_AND(bit IN (SELECT bit FROM bits))
+                        AS BIGINT) AS in_bloom
+            FROM qb GROUP BY w ORDER BY term
         """,
         "left_outer_join": """
             -- LEFT OUTER equi-join; unmatched payload = the typed -1

@@ -188,3 +188,98 @@ def hll_estimate(registers: pd.DataFrame, p: int = 8) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ------------------------------------------------------------- Bloom ----
+
+
+def bloom_build(ds, text_col: str = "text", m: int = 1 << 17,
+                k: int = 4) -> np.ndarray:
+    """Build a Bloom filter over the corpus's DISTINCT tokens — the
+    bounded membership side-structure for blocklist / decontamination
+    pre-filters at scale (the bitset is ``m`` bits regardless of corpus
+    size, mergeable by OR).
+
+    Deterministic and SQL-REPLICABLE including false positives: bit
+    positions are ``(h1 + i*h2) % m`` for ``i in 0..k-1`` with h1/h2 the
+    mod-(2^31-1) polynomial char folds at bases 131/137 (the frozen
+    fingerprint contract), so DuckDB computes the identical bit union
+    and the identical membership verdicts.
+
+    Scale shape: each batch contributes its distinct SET BIT INDICES
+    (<= batch_vocab * k ints, capped by m); one coarse distinct
+    aggregation; the driver holds the m-bit array only.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, _, _, _ = _flat_word_stream(list(batch[text_col]))
+        words = [w for w in vocab if w]
+        if not words:
+            return pd.DataFrame({"bit": pd.array([], dtype="int64")})
+        h1 = _poly_word_hashes(words, 131)
+        h2 = _poly_word_hashes(words, 137)
+        bits = np.unique(
+            np.concatenate(
+                [(h1 + np.int64(i) * h2) % np.int64(m) for i in range(k)]
+            )
+        )
+        return pd.DataFrame({"bit": pd.array(bits, dtype="int64")})
+
+    uniq = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bit")
+        .count()
+        .to_pandas()  # <= m rows by construction
+    )
+    arr = np.zeros(m, dtype=bool)
+    if len(uniq):
+        arr[uniq["bit"].to_numpy().astype(np.int64)] = True
+    return arr
+
+
+def bloom_member(ds, bloom_bits: np.ndarray, text_col: str = "text",
+                 k: int = 4):
+    """Membership test of every distinct token of ``ds`` against a built
+    Bloom bitset (broadcast ONCE via ``ray.put``): returns one row per
+    distinct (within-partition-deduped, globally grouped) token —
+    ``(term, in_bloom)``.  Exact-by-contract: verdicts equal the SQL
+    bit-union semantics, false positives included."""
+    import ray
+
+    m = len(bloom_bits)
+    bref = ray.put(np.packbits(bloom_bits))
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        packed = ray.get(bref)
+        vocab, _, _, _ = _flat_word_stream(list(batch[text_col]))
+        words = [w for w in vocab if w]
+        if not words:
+            return pd.DataFrame(
+                {
+                    "term": pd.array([], dtype="object"),
+                    "in_bloom": pd.array([], dtype="int64"),
+                }
+            )
+        h1 = _poly_word_hashes(words, 131)
+        h2 = _poly_word_hashes(words, 137)
+        ok = np.ones(len(words), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.int64(i) * h2) % np.int64(m)
+            ok &= ((packed[pos // 8] >> (7 - pos % 8)) & 1).astype(bool)
+        return pd.DataFrame(
+            {
+                "term": pd.array(words, dtype="object"),
+                "in_bloom": pd.array(
+                    ok.astype(np.int64), dtype="int64"
+                ),
+            }
+        )
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates("term")[["term", "in_bloom"]]
+
+    return (
+        ds.map_batches(check, batch_format="pandas")
+        .groupby("term")
+        .map_groups(dedup, batch_format="pandas")
+    )

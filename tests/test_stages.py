@@ -2363,3 +2363,26 @@ def test_pagerank_scale_precondition(ray_session):
         pagerank(edges, scale=2**53)
     with pytest.raises(ValueError):
         pagerank(edges, scale=0)
+
+
+def test_bloom_filter(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.sketch import bloom_build, bloom_member
+
+    corpus = ray.data.from_items(
+        [{"doc_id": i, "text": f"alpha beta w{i}"} for i in range(10)]
+    )
+    bits = bloom_build(corpus, m=1 << 14, k=4)
+    probe = ray.data.from_items(
+        [{"doc_id": 0, "text": "alpha w3 w9 zzznever qqabsent"}]
+    )
+    got = (
+        bloom_member(probe, bits, k=4)
+        .to_pandas()
+        .set_index("term")["in_bloom"]
+    )
+    assert got["alpha"] == 1 and got["w3"] == 1 and got["w9"] == 1
+    # absent words: overwhelmingly 0 at this fill factor (42 set bits of
+    # 16384); a deterministic FP would fail loudly and get a new word
+    assert got["zzznever"] == 0 and got["qqabsent"] == 0
