@@ -2476,6 +2476,27 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_knn_join(sf_dir: str) -> pd.DataFrame:
+    """Dataset-to-dataset exact k-NN join: left = the vec_id%50==0 slice,
+    right = all embeddings; O(nL*P + nR) replication shuffle, per-group
+    matmul combiner, per-left merge — never an O(nL*nR) exchange."""
+    import ray.data
+
+    from searchengines_ray.stages.similarity import knn_join
+
+    emb = _emb(sf_dir)
+    left = emb.map_batches(
+        lambda b: b.loc[b["vec_id"] % 50 == 0], batch_format="pandas"
+    )
+    out = knn_join(left, emb, k=5, partitions=4)
+    return (
+        out[["query_id", "vec_id", "rank"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def _q_bloom_blocklist(sf_dir: str) -> pd.DataFrame:
     """Bloom-filter membership pre-filter: build the m=2^17-bit filter
     over the blocklist corpus's distinct tokens (docs with doc_id%7==0),
@@ -2886,6 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_urls": _q_canonicalize_urls,
         "left_outer_join": _q_left_outer_join,
         "bloom_blocklist": _q_bloom_blocklist,
+        "knn_join": _q_knn_join,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -6088,6 +6110,30 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "knn_join": """
+            -- exact two-sided kNN join, (cosine desc, vec_id asc) ranks
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id % 50 = 0
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS cosine
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "bloom_blocklist": """
             -- Bloom bit union + membership verdicts, bit positions

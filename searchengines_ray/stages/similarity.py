@@ -187,6 +187,98 @@ def cosine_similarity_join(
     )
 
 
+def knn_join(left_ds, right_ds, k: int = 5, partitions: int = 8):
+    """Exact k-nearest-neighbor JOIN between two embedding datasets: for
+    every LEFT vector the top-k RIGHT vectors by cosine — the two-sided
+    variant of :func:`cosine_topk` (whose query side is a driver-held
+    matrix).  Needed when the query side is itself corpus-sized
+    (dataset-to-dataset linking, e.g. align candidate docs to a
+    reference embedding corpus).
+
+    Plan (the :func:`cosine_similarity_join` replication shape, made
+    asymmetric): the right side partitions by ``vec_id % P`` (each row
+    to ONE group); every left row replicates to ALL P groups — the
+    shuffle is O(nL * P + nR) rows, never O(nL * nR).  Each group runs
+    one blockwise matmul and keeps a per-left partial top-k (combiner,
+    tie-broken (cosine desc, vec_id asc) via ``_topk_tiebreak``); a
+    per-left ``map_groups`` merges the P partials.  Returns
+    ``(query_id, vec_id, cosine, rank)`` with query_id = left vec_id.
+    Pick P ~ sqrt(nR x nL / per-task budget) at scale.
+    """
+    P = partitions
+
+    def expand_left(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        ids = batch["vec_id"].astype("int64").to_numpy()
+        frames = []
+        for g in range(P):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "g": np.full(len(ids), g, dtype=np.int64),
+                        "side": np.zeros(len(ids), dtype=np.int8),
+                        "vec_id": ids,
+                        "vec": [v.tobytes() for v in vecs],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def expand_right(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        ids = batch["vec_id"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "g": ids % P,
+                "side": np.ones(len(ids), dtype=np.int8),
+                "vec_id": ids,
+                "vec": [v.tobytes() for v in vecs],
+            }
+        )
+
+    def group_topk(group: pd.DataFrame) -> pd.DataFrame:
+        left = group.loc[group["side"] == 0].drop_duplicates("vec_id")
+        right = group.loc[group["side"] == 1].drop_duplicates("vec_id")
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.array([], dtype="int64"),
+                    "vec_id": pd.array([], dtype="int64"),
+                    "cosine": pd.array([], dtype="float64"),
+                }
+            )
+        lm = np.stack(
+            [np.frombuffer(v, dtype=np.float64) for v in left["vec"]]
+        )
+        rm = np.stack(
+            [np.frombuffer(v, dtype=np.float64) for v in right["vec"]]
+        )
+        lids = left["vec_id"].to_numpy()
+        rids = right["vec_id"].to_numpy()
+        sims = lm @ rm.T
+        qs, vs, cs = [], [], []
+        for li in range(len(lids)):
+            sel = _topk_tiebreak(sims[li], rids, k)
+            qs.append(np.full(len(sel), lids[li], dtype=np.int64))
+            vs.append(rids[sel])
+            cs.append(sims[li][sel])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qs),
+                "vec_id": np.concatenate(vs),
+                "cosine": np.concatenate(cs),
+            }
+        )
+
+    partials = (
+        left_ds.map_batches(expand_left, batch_format="pandas")
+        .union(right_ds.map_batches(expand_right, batch_format="pandas"))
+        .groupby("g")
+        .map_groups(group_topk, batch_format="pandas")
+    )
+    return _merge_topk(partials, k)
+
+
 class IVFIndex:
     """Inverted-file ANN: coarse k-means buckets + per-bucket exact search.
 

@@ -2386,3 +2386,24 @@ def test_bloom_filter(ray_session):
     # absent words: overwhelmingly 0 at this fill factor (42 set bits of
     # 16384); a deterministic FP would fail loudly and get a new word
     assert got["zzznever"] == 0 and got["qqabsent"] == 0
+
+
+def test_knn_join_matches_cosine_topk(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import cosine_topk, knn_join
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    left_df = emb.limit(4).to_pandas()
+    queries = np.stack(
+        [np.asarray(v) for v in left_df["embedding"]]
+    ).astype(np.float64)
+    want = cosine_topk(emb, queries, k=5)  # query_id = positional 0..3
+    left = ray.data.from_pandas(left_df)
+    got = knn_join(left, emb, k=5, partitions=3)
+    qids = left_df["vec_id"].tolist()
+    for pos, qid in enumerate(qids):
+        w = want[want.query_id == pos].sort_values("rank")
+        g = got[got.query_id == qid].sort_values("rank")
+        assert g["vec_id"].tolist() == w["vec_id"].tolist(), qid
+        assert np.allclose(g["cosine"].to_numpy(), w["cosine"].to_numpy())
