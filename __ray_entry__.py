@@ -2476,6 +2476,63 @@ def _q_inspect_termvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_html_extract(sf_dir: str) -> pd.DataFrame:
+    """HTML -> text extraction with the input contract's BYTE-IDENTITY
+    invariant: each doc's text is entity-escaped, wrapped in markup with
+    script/style/comment noise, extracted back by sources/pages.py
+    extract_text, and hashed with the 131 char fold; the oracle hashes
+    the ORIGINAL text — a match proves extraction recovered every byte."""
+    from searchengines_ray.sources.pages import extract_pages
+
+    docs = _docs(sf_dir)
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        htmls = []
+        for t in b["text"].fillna(""):
+            esc = (
+                t.replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+            body = "<p>" + esc.replace("\n", "</p>\n<p>") + "</p>"
+            htmls.append(
+                (
+                    "<html><head><title></title>"
+                    "<script>var a = '<p>not text</p>';</script>"
+                    "<style>p{margin:0}</style></head><body>"
+                    + body
+                    + "<!-- crawler noise --></body></html>"
+                ).encode()
+            )
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "html": htmls}
+        )
+
+    def hash_out(b: pd.DataFrame) -> pd.DataFrame:
+        hs = []
+        for t in b["text"]:
+            h = 0
+            for c in t:
+                h = (h * 131 + ord(c)) % 2147483647
+            hs.append(h)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars_extracted": pd.array(
+                    [len(t) for t in b["text"]], dtype="int64"
+                ),
+                "text_hash": pd.array(hs, dtype="int64"),
+            }
+        )
+
+    out = (
+        extract_pages(docs.map_batches(plant, batch_format="pandas"))
+        .map_batches(hash_out, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn_join(sf_dir: str) -> pd.DataFrame:
     """Dataset-to-dataset exact k-NN join: left = the vec_id%50==0 slice,
     right = all embeddings; O(nL*P + nR) replication shuffle, per-group
@@ -2908,6 +2965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_join": _q_left_outer_join,
         "bloom_blocklist": _q_bloom_blocklist,
         "knn_join": _q_knn_join,
+        "html_extract": _q_html_extract,
         "inspect_postings": _q_inspect_postings,
         "inspect_termvector": _q_inspect_termvector,
         # search-engine core (SURVEY.md §2)
@@ -6110,6 +6168,20 @@ def _oracle_sql_impl() -> dict[str, str]:
             JOIN r ON l.user_id = r.user_id
                AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts
             ORDER BY l.event_id, iv_event_id
+        """,
+        "html_extract": """
+            -- byte-identity invariant: the oracle hashes the ORIGINAL
+            -- text with the same 131 char fold the engine applies to the
+            -- EXTRACTED text — equal hashes prove lossless extraction
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_extracted,
+                   CASE WHEN text = '' OR text IS NULL THEN 0
+                   ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ''),
+                                    c -> CAST(unicode(c) AS BIGINT))),
+                     (a, c) -> (a * 131 + c) % 2147483647) END
+                     AS text_hash
+            FROM documents ORDER BY doc_id
         """,
         "knn_join": """
             -- exact two-sided kNN join, (cosine desc, vec_id asc) ranks

@@ -130,3 +130,72 @@ def dedup_pages_pandas(tbl: pa.Table):
         .drop_duplicates("url", keep="first")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------ HTML text extraction ----
+
+_HTML_SCRIPT_RE = None  # compiled lazily (module import stays light)
+
+
+def _html_res():
+    global _HTML_SCRIPT_RE
+    if _HTML_SCRIPT_RE is None:
+        import re
+
+        _HTML_SCRIPT_RE = (
+            re.compile(r"(?is)<script\b[^>]*>.*?</script>"),
+            re.compile(r"(?is)<style\b[^>]*>.*?</style>"),
+            re.compile(r"(?s)<!--.*?-->"),
+            re.compile(r"<[^>]*>"),
+            re.compile(r"&#x([0-9a-fA-F]+);|&#([0-9]+);"),
+        )
+    return _HTML_SCRIPT_RE
+
+
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&amp;", "&"))  # &amp; LAST (double-escape)
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic HTML -> text extraction (the per-row invariant of
+    the input contract: extraction must recover the page text
+    BYTE-IDENTICALLY).  Frozen ordered chain:
+
+    1. utf-8 decode (errors='replace' — WARC payloads carry junk bytes);
+    2. drop <script>/<style> blocks (case-insensitive, non-greedy);
+    3. drop comments;
+    4. drop every remaining tag (``<[^>]*>``);
+    5. unescape numeric entities then the five core named entities,
+       ``&amp;`` last so double-escapes resolve correctly.
+
+    NO whitespace collapsing — byte fidelity is the contract; cleanup
+    belongs to the downstream ``normalize_text`` stage.
+    """
+    script, style, comment, tag, nument = _html_res()
+    s = (html or b"").decode("utf-8", errors="replace")
+    s = script.sub("", s)
+    s = style.sub("", s)
+    s = comment.sub("", s)
+    s = tag.sub("", s)
+    s = nument.sub(
+        lambda m: chr(int(m.group(1), 16)) if m.group(1)
+        else chr(int(m.group(2))),
+        s,
+    )
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def extract_pages(ds, html_col: str = "html", out_col: str = "text"):
+    """map_batches stage: add/overwrite ``out_col`` with the extracted
+    text of ``html_col``.  Embarrassingly parallel; per-row work is a
+    fixed regex chain over the page bytes."""
+    import pandas as pd
+
+    def ex(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out[out_col] = [extract_text(h) for h in batch[html_col]]
+        return out
+
+    return ds.map_batches(ex, batch_format="pandas")

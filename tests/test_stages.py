@@ -2407,3 +2407,25 @@ def test_knn_join_matches_cosine_topk(ray_session):
         g = got[got.query_id == qid].sort_values("rank")
         assert g["vec_id"].tolist() == w["vec_id"].tolist(), qid
         assert np.allclose(g["cosine"].to_numpy(), w["cosine"].to_numpy())
+
+
+def test_html_extract_byte_identity():
+    from searchengines_ray.sources.pages import extract_text
+
+    cases = {
+        b"<p>plain</p>": "plain",
+        b"<script>var a='<b>x</b>';</script>hi": "hi",
+        b"<STYLE>p{}</STYLE>ok": "ok",
+        b"<!-- c -->a<br/>b": "ab",
+        b"&lt;tag&gt; &amp;amp; &#65;&#x42; &#39;q&quot;": "<tag> &amp; AB 'q\"",
+        b"": "",
+        b"line1\nline2": "line1\nline2",  # whitespace untouched
+    }
+    for html, want in cases.items():
+        assert extract_text(html) == want, (html, extract_text(html))
+    # round trip: escape + wrap + extract recovers the exact bytes
+    t = "a & b < c > d\n'quoted' \"str\" &#65; end"
+    esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    html = ("<html><head><script>s</script></head><body><p>"
+            + esc.replace("\n", "</p>\n<p>") + "</p></body></html>").encode()
+    assert extract_text(html) == t
