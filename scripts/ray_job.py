@@ -74,7 +74,17 @@ def main(argv=None) -> None:
     report: dict = {"job": "searchengines_ray.build+query"}
     t0 = time.perf_counter()
     pages = ray.data.read_parquet(args.pages)
-    if "url" not in pages.schema().names:
+    names = pages.schema().names
+    if "text" not in names and "html" in names:
+        # raw-crawl input: extract page text (byte-identity contract)
+        from searchengines_ray.sources.pages import extract_pages
+
+        pages = extract_pages(pages)
+        report["extracted_from_html"] = True
+    # reuse the pre-extraction name list: .schema() on the now-lazy
+    # dataset would partially execute it (repo lesson), and extraction
+    # never adds a url column
+    if "url" not in names:
         # documents-table input (doc_id, text, ...): derive the pages
         # shape the same way the gate does (deterministic url per doc_id)
         import pyarrow as pa
