@@ -196,6 +196,33 @@ def _q_bm25_topk_merged(sf_dir: str) -> pd.DataFrame:
     return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
 
 
+def _q_bm25_topk_pfor(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-20 served from an index whose postings are compressed
+    with the patched-frame-of-reference codec (``codec="pfor"`` —
+    bit-packed delta blocks with per-block exception patches; the LEB128
+    ``vb`` varint codec is pinned codec-independent in tests/test_codecs).
+    The north rule names 'varint/PForDelta blocks' literally; this entry
+    proves the codec is a storage property only — it must match the SAME
+    SQL oracle as bm25_topk_simple."""
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|pfor|v6".encode(), digest_size=6
+    ).hexdigest()
+    out = f"/tmp/seray_index/{tag}"
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        os.makedirs(out, exist_ok=True)
+        build_index(
+            pages_from_documents(sf_dir),
+            out,
+            config=SIMPLE_ANALYZER,
+            docs_per_segment=512,
+            dedup=False,
+            termstats=False,  # dfs-phase global stats: the scale path
+            codec="pfor",
+        )
+    eng = SearchEngine(out, config=SIMPLE_ANALYZER, num_searchers=0)
+    return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
+
+
 def _q_bm25_topk_incremental(sf_dir: str) -> pd.DataFrame:
     """BM25 top-20 served from an INCREMENTALLY built index: half the
     corpus (even doc_ids) via build_index, the other half appended later
@@ -2953,6 +2980,7 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # newest-first so driver samples cover the least-proven operators
+        "bm25_topk_pfor": _q_bm25_topk_pfor,
         "image_decode_real": _q_image_decode_real,
         "image_resize_real": _q_image_resize_real,
         "ltr_ranklib_flow": _q_ltr_ranklib_flow,
@@ -3850,6 +3878,7 @@ def oracle_sql() -> dict[str, str]:
     # compaction is bit-identical by contract: same oracle as the
     # small-segment index (the entry builds 64-doc segments, then merges)
     sqls["bm25_topk_merged"] = sqls["bm25_topk_simple"]
+    sqls["bm25_topk_pfor"] = sqls["bm25_topk_simple"]
     # incremental half+half build is exactly a one-shot build by contract
     sqls["bm25_topk_incremental"] = sqls["bm25_topk_simple"]
     sqls["ltr_norm"] = _ltr_norm_sql(sqls["ltr_features_simple"])

@@ -61,6 +61,7 @@ def cmd_build(args) -> None:
         dedup=args.dedup,
         keep_forward=args.forward,
         termstats=not args.no_termstats,
+        codec=args.codec,
     )
     print(
         json.dumps(
@@ -224,6 +225,13 @@ def main(argv=None) -> None:
     b.add_argument("--simple", action="store_true")
     b.add_argument("--no-termstats", action="store_true")
     b.add_argument("--docs-per-segment", type=int, default=2000)
+    b.add_argument(
+        "--codec",
+        default="bw",
+        choices=("bw", "vb", "pfor"),
+        help="posting compression: byte-width blocks / LEB128 varint / "
+        "patched frame-of-reference",
+    )
     b.set_defaults(fn=cmd_build)
 
     r = sub.add_parser("run")

@@ -101,6 +101,7 @@ def write_segment(
     out_dir: str,
     config: AnalyzerConfig = DEFAULT_ANALYZER,
     keep_forward: bool = False,
+    codec: str = "bw",
 ) -> pa.Table:
     """Tokenize one batch of pages and write one SPIMI segment.
 
@@ -117,14 +118,14 @@ def write_segment(
     gc.disable()
     try:
         return _write_segment_inner(
-            batch, out_dir, config, keep_forward, t0
+            batch, out_dir, config, keep_forward, t0, codec
         )
     finally:
         if gc_was_enabled:
             gc.enable()
 
 
-def _write_segment_inner(batch, out_dir, config, keep_forward, t0):
+def _write_segment_inner(batch, out_dir, config, keep_forward, t0, codec):
     import pyarrow.compute as pc
 
     from ..analysis import tokenize_arrow_batch
@@ -218,10 +219,10 @@ def _write_segment_inner(batch, out_dir, config, keep_forward, t0):
             cols["term"].append(vocab[term_sids[ti]])
             cols["df"].append(len(docs_a))
             cols["ctf"].append(int(tfs_a.sum()))
-            cols["docs"].append(encode.encode_doc_ids(docs_a))
-            cols["tfs"].append(encode.encode_values(tfs_a))
+            cols["docs"].append(encode.encode_doc_ids(docs_a, codec))
+            cols["tfs"].append(encode.encode_values(tfs_a, codec))
             cols["positions"].append(
-                encode.encode_values(flat_pos.astype(np.uint64))
+                encode.encode_values(flat_pos.astype(np.uint64), codec)
             )
             bmd, bmt, bml = encode.block_maxes(
                 docs_a, tfs_a, dl_f[docs_a.astype(np.int64)]
@@ -283,6 +284,7 @@ def _write_segment_inner(batch, out_dir, config, keep_forward, t0):
         "doc_count": {f: int((doclens[f] > 0).sum()) for f in FIELDS},
         "sum_field_len": {f: int(doclens[f].sum()) for f in FIELDS},
         "input_hash": seg_id,
+        "codec": codec,
         "wall_s": round(time.perf_counter() - t0, 4),
         "bytes": sum(
             os.path.getsize(os.path.join(tmp_dir, p))
@@ -373,11 +375,16 @@ def build_index(
     dedup: bool = False,
     keep_forward: bool = False,
     termstats: bool = True,
+    codec: str = "bw",
 ) -> dict:
     """Build a full index from a pages Dataset (or parquet path).
 
     Returns the global stats dict (also persisted to ``stats.json``).
     Pass ``dedup=True`` for inputs that may contain url recrawls.
+    ``codec`` selects the posting compression (``encode.CODECS``: ``bw``
+    byte-width blocks, ``vb`` LEB128 varint, ``pfor`` patched
+    frame-of-reference); serving results are codec-independent by
+    contract (pinned in tests).
 
     ``termstats=False`` skips the merged global (field,term)->(df,ctf)
     table: the query engine then computes exact global stats at query time
@@ -405,12 +412,15 @@ def build_index(
     if dedup:
         pages = dedup_pages(pages)
 
+    if codec not in encode.CODECS:
+        raise ValueError(f"unknown posting codec {codec!r}")
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
     fn = partial(
         write_segment,
         out_dir=out_dir,
         config=config,
         keep_forward=keep_forward,
+        codec=codec,
     )
     # One manifest row per segment.  The driver never holds per-segment
     # rows (at 10^12 docs / small segments that is 10^8+ rows): sums come
@@ -448,6 +458,7 @@ def build_index(
             "stem": config.stem,
         },
         "n_postings": int(_s("n_postings")),
+        "codec": codec,
         "build_wall_s_sum": float(_s("wall_s")),
     }
     with open(os.path.join(out_dir, STATS_FILE), "w") as f:
@@ -572,6 +583,10 @@ def update_index(
         out_dir=out_dir,
         config=config,
         keep_forward=keep_forward,
+        # appended segments inherit the index's posting codec (mixed-codec
+        # indexes serve fine — the reader dispatches per segment — but a
+        # homogeneous index keeps compaction single-codec)
+        codec=prev.get("codec", "bw"),
     )
     pages.map_batches(
         fn, batch_format="pyarrow", batch_size=docs_per_segment

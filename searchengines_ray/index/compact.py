@@ -146,6 +146,18 @@ def _merge_group_inner(
         pq.read_table(os.path.join(seg_root, s, "postings.parquet"))
         for s in seg_names
     ]
+    # per-source posting codec (mixed-codec groups can arise from
+    # incremental appends); the merged segment is written with the codec
+    # of the first source — deterministic, and homogeneous-input merges
+    # stay codec-preserving
+    codecs = []
+    for s in seg_names:
+        try:
+            with open(os.path.join(seg_root, s, "MANIFEST.json")) as f:
+                codecs.append(json.load(f).get("codec", "bw"))
+        except OSError:
+            codecs.append("bw")
+    out_codec = codecs[0]
 
     merged_dm = pa.concat_tables(dms)
     merged_dm = merged_dm.take(pc.sort_indices(merged_dm.column("doc_id")))
@@ -197,10 +209,14 @@ def _merge_group_inner(
         parts_d, parts_t, parts_p = [], [], []
         for j in range(a, b):
             s, r = int(segs_np[j]), int(rows_np[j])
-            d = encode.decode_doc_ids(docs_cols[s][r].as_py())
+            d = encode.decode_doc_ids(docs_cols[s][r].as_py(), codecs[s])
             parts_d.append(maps[s][d.astype(np.int64)])
-            parts_t.append(encode.decode_values(tfs_cols[s][r].as_py()))
-            parts_p.append(encode.decode_values(pos_cols[s][r].as_py()))
+            parts_t.append(
+                encode.decode_values(tfs_cols[s][r].as_py(), codecs[s])
+            )
+            parts_p.append(
+                encode.decode_values(pos_cols[s][r].as_py(), codecs[s])
+            )
         docs = np.concatenate(parts_d).astype(np.int64)
         tfs = np.concatenate(parts_t).astype(np.int64)
         flat_pos = np.concatenate(parts_p)
@@ -212,10 +228,14 @@ def _merge_group_inner(
         cols["term"].append(trm[a])
         cols["df"].append(len(docs))
         cols["ctf"].append(int(tfs_o.sum()))
-        cols["docs"].append(encode.encode_doc_ids(docs.astype(np.uint64)))
-        cols["tfs"].append(encode.encode_values(tfs_o.astype(np.uint64)))
+        cols["docs"].append(
+            encode.encode_doc_ids(docs.astype(np.uint64), out_codec)
+        )
+        cols["tfs"].append(
+            encode.encode_values(tfs_o.astype(np.uint64), out_codec)
+        )
         cols["positions"].append(
-            encode.encode_values(flat_pos.astype(np.uint64))
+            encode.encode_values(flat_pos.astype(np.uint64), out_codec)
         )
         bmd, bmt, bml = encode.block_maxes(
             docs.astype(np.uint64), tfs_o.astype(np.uint64), doclen[fname][docs]
@@ -248,6 +268,7 @@ def _merge_group_inner(
         "doc_count": {f: int((doclen[f] > 0).sum()) for f in FIELDS},
         "sum_field_len": {f: int(doclen[f].sum()) for f in FIELDS},
         "input_hash": name[5:],
+        "codec": out_codec,
         "merged_from": seg_names,
         "wall_s": round(time.perf_counter() - t0, 4),
         "bytes": sum(

@@ -1,19 +1,33 @@
-"""Posting-list compression: delta-encoded docid gaps in byte-width-packed
-blocks carrying block-max metadata.
+"""Posting-list compression: delta-encoded docid gaps, three selectable
+codecs, all carrying the same block-max metadata.
 
 Replaces what Lucene's codec did for the reference (the reference never
 encodes postings itself — it reads Lucene's; SURVEY.md §4.3 specifies this
 designed-from-scratch layout).
 
-Format (little-endian, numpy-vectorized encode/decode, no Python per-value
-loops):
+Codecs (little-endian, numpy-vectorized encode/decode, no Python
+per-value loops; the codec name is stamped into each segment's
+MANIFEST.json so readers dispatch per segment and mixed-codec indexes
+serve correctly):
 
-``encode_doc_ids`` — sorted uint64 docids, blocks of 128:
+``bw`` (default) — blocks of 128:
     per block: ``base:u64 | count:u16 | width:u8`` then ``count-1`` deltas
     (``arr[i]-arr[i-1]``, first element stored as base) packed at the block's
     minimal byte width (1/2/4/8).
-``encode_values`` — small positive ints (tfs, positions), same block format
-    but absolute values (no delta), base unused.
+``vb`` — LEB128 variable-byte stream (7 value bits + continuation bit per
+    byte): delta mode stores the first value then the gaps, each as an
+    independent varint; no block structure (block-max arrays still give
+    WAND its 128-value block geometry — they are stored separately).
+``pfor`` — patched frame-of-reference (NewPFD-style): blocks of 128,
+    per block ``base:u64 | count:u16 | bits:u1 | nexc:u1`` then
+    ``ceil(n*bits/8)`` bytes of little-endian bit-packed low ``bits`` of
+    each value, then ``nexc`` (exception index:u8, full value:u8*8) patches
+    for values that did not fit.  ``bits`` minimizes the block's exact byte
+    cost (packed + 9 bytes/exception), ties to the smaller width —
+    deterministic, so encode(decode(x)) is stable.
+
+``encode_values`` uses the same codec machinery but absolute values
+(tfs, flat positions — no delta), base unused/zero.
 
 Block-max metadata for block-max WAND (computed at build time WITHOUT a
 second global pass — the bound ``tf/(tf+k1((1-b)+b*dl/avg))`` is monotone
@@ -101,22 +115,205 @@ def _decode_blocks(buf: bytes, delta: bool) -> np.ndarray:
     return np.concatenate(chunks)
 
 
-def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
-    """Sorted docids -> delta blocks."""
-    return _encode_blocks(np.asarray(doc_ids, dtype=np.uint64), delta=True)
+# --------------------------------------------------------- vb (LEB128)
 
 
-def decode_doc_ids(buf: bytes) -> np.ndarray:
-    return _decode_blocks(buf, delta=True)
+def _vb_encode_stream(vals: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 byte stream (vectorized: loops over the max
+    byte count, <=10, never over values)."""
+    n = len(vals)
+    if n == 0:
+        return b""
+    v = vals.astype(np.uint64)
+    nb = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += tmp != 0
+        tmp = tmp >> np.uint64(7)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nb[:-1], out=starts[1:])
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        m = nb > j
+        byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(
+            np.uint8
+        )
+        out[starts[m] + j] = byte | ((nb[m] - 1 > j).astype(np.uint8) << 7)
+    return out.tobytes()
 
 
-def encode_values(vals: np.ndarray) -> bytes:
-    """Positive small ints (tfs / flat positions) -> absolute blocks."""
-    return _encode_blocks(np.asarray(vals, dtype=np.uint64), delta=False)
+def _vb_decode_stream(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero((b & 0x80) == 0)[0]
+    n = len(ends)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(int(lens.max())):
+        m = lens > j
+        vals[m] |= (
+            b[starts[m] + j].astype(np.uint64) & np.uint64(0x7F)
+        ) << np.uint64(7 * j)
+    return vals
 
 
-def decode_values(buf: bytes) -> np.ndarray:
-    return _decode_blocks(buf, delta=False)
+def _vb_encode(arr: np.ndarray, delta: bool) -> bytes:
+    if len(arr) == 0:
+        return b""
+    if delta:
+        body = np.concatenate(
+            ([arr[0]], np.diff(arr).astype(np.uint64))
+        ).astype(np.uint64)
+    else:
+        body = arr
+    return _vb_encode_stream(body)
+
+
+def _vb_decode(buf: bytes, delta: bool) -> np.ndarray:
+    vals = _vb_decode_stream(buf)
+    if delta and len(vals):
+        return np.cumsum(vals, dtype=np.uint64)
+    return vals
+
+
+# ------------------------------------------------- pfor (patched FOR)
+
+_PFOR_HEADER = np.dtype(
+    [("base", "<u8"), ("count", "<u2"), ("bits", "u1"), ("nexc", "u1")]
+)
+_ALL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _bitlen(v: np.ndarray) -> np.ndarray:
+    bl = np.zeros(len(v), dtype=np.int64)
+    tmp = v.copy()
+    while tmp.any():
+        bl += tmp != 0
+        tmp = tmp >> np.uint64(1)
+    return bl
+
+
+def _bitpack(vals: np.ndarray, bits: int) -> bytes:
+    if bits == 0 or len(vals) == 0:
+        return b""
+    mat = (
+        (vals[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.uint8)
+    return np.packbits(mat.ravel(), bitorder="little").tobytes()
+
+
+def _bitunpack(buf: memoryview, n: int, bits: int) -> np.ndarray:
+    if bits == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=n * bits,
+        bitorder="little",
+    )
+    mat = raw.reshape(n, bits).astype(np.uint64)
+    return (mat << np.arange(bits, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def _pfor_encode(arr: np.ndarray, delta: bool) -> bytes:
+    out = []
+    n = len(arr)
+    for start in range(0, n, BLOCK):
+        blk = arr[start : start + BLOCK]
+        if delta:
+            base = int(blk[0])
+            body = np.diff(blk).astype(np.uint64)
+        else:
+            base = 0
+            body = blk.astype(np.uint64)
+        nb = len(body)
+        bl = _bitlen(body)
+        maxbl = int(bl.max()) if nb else 0
+        hist = np.bincount(bl, minlength=maxbl + 1)
+        fits = np.cumsum(hist)  # fits[b] = #values with bitlen <= b
+        cand = np.arange(maxbl + 1)
+        nexc = nb - fits[cand]
+        cost = (nb * cand + 7) // 8 + nexc * 9
+        bits = int(np.argmin(cost))  # argmin ties to the smaller width
+        mask = _ALL64 if bits == 64 else np.uint64((1 << bits) - 1)
+        exc_idx = np.nonzero(bl > bits)[0]
+        hdr = np.zeros(1, dtype=_PFOR_HEADER)
+        hdr["base"] = base
+        hdr["count"] = len(blk)
+        hdr["bits"] = bits
+        hdr["nexc"] = len(exc_idx)
+        out.append(hdr.tobytes())
+        out.append(_bitpack(body & mask, bits))
+        if len(exc_idx):
+            out.append(exc_idx.astype(np.uint8).tobytes())
+            out.append(body[exc_idx].astype("<u8").tobytes())
+    return b"".join(out)
+
+
+def _pfor_decode(buf: bytes, delta: bool) -> np.ndarray:
+    pos = 0
+    hs = _PFOR_HEADER.itemsize
+    mv = memoryview(buf)
+    chunks = []
+    while pos < len(buf):
+        hdr = np.frombuffer(mv, dtype=_PFOR_HEADER, count=1, offset=pos)[0]
+        pos += hs
+        count, bits, nexc = (
+            int(hdr["count"]),
+            int(hdr["bits"]),
+            int(hdr["nexc"]),
+        )
+        nb = count - 1 if delta else count
+        packed_len = (nb * bits + 7) // 8
+        body = _bitunpack(mv[pos : pos + packed_len], nb, bits)
+        pos += packed_len
+        if nexc:
+            exc_idx = np.frombuffer(mv, dtype=np.uint8, count=nexc, offset=pos)
+            pos += nexc
+            exc_val = np.frombuffer(mv, dtype="<u8", count=nexc, offset=pos)
+            pos += nexc * 8
+            body[exc_idx.astype(np.int64)] = exc_val
+        if delta:
+            blk = np.empty(count, dtype=np.uint64)
+            blk[0] = hdr["base"]
+            if nb:
+                blk[1:] = hdr["base"] + np.cumsum(body)
+            chunks.append(blk)
+        else:
+            chunks.append(body)
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(chunks)
+
+
+# ------------------------------------------------------------ dispatch
+
+CODECS = ("bw", "vb", "pfor")
+
+_ENC = {"bw": _encode_blocks, "vb": _vb_encode, "pfor": _pfor_encode}
+_DEC = {"bw": _decode_blocks, "vb": _vb_decode, "pfor": _pfor_decode}
+
+
+def encode_doc_ids(doc_ids: np.ndarray, codec: str = "bw") -> bytes:
+    """Sorted docids -> delta-encoded postings under ``codec``."""
+    return _ENC[codec](np.asarray(doc_ids, dtype=np.uint64), True)
+
+
+def decode_doc_ids(buf: bytes, codec: str = "bw") -> np.ndarray:
+    return _DEC[codec](buf, True)
+
+
+def encode_values(vals: np.ndarray, codec: str = "bw") -> bytes:
+    """Positive small ints (tfs / flat positions) -> absolute encoding."""
+    return _ENC[codec](np.asarray(vals, dtype=np.uint64), False)
+
+
+def decode_values(buf: bytes, codec: str = "bw") -> np.ndarray:
+    return _DEC[codec](buf, False)
 
 
 def block_maxes(

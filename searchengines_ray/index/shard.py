@@ -50,6 +50,14 @@ class Segment:
     def __init__(self, seg_dir: str, decode_cache: int = 4096):
         self.seg_dir = seg_dir
         self.name = os.path.basename(seg_dir)
+        # posting codec is a per-segment property (MANIFEST.json) so a
+        # mixed-codec index — e.g. bw segments plus vb-appended ones —
+        # serves correctly; absent tag = the original bw layout
+        try:
+            with open(os.path.join(seg_dir, "MANIFEST.json")) as f:
+                self.codec = json.load(f).get("codec", "bw")
+        except OSError:
+            self.codec = "bw"
         dm = pq.read_table(
             os.path.join(seg_dir, "docmeta.parquet"), memory_map=True
         )
@@ -85,13 +93,13 @@ class Segment:
         if row is not None:
             out = PostingList(
                 encode.decode_doc_ids(
-                    self._tbl.column("docs")[row].as_py()
+                    self._tbl.column("docs")[row].as_py(), self.codec
                 ).astype(np.int64),
                 encode.decode_values(
-                    self._tbl.column("tfs")[row].as_py()
+                    self._tbl.column("tfs")[row].as_py(), self.codec
                 ).astype(np.int64),
                 encode.decode_values(
-                    self._tbl.column("positions")[row].as_py()
+                    self._tbl.column("positions")[row].as_py(), self.codec
                 ).astype(np.int32),
                 bm=(
                     np.asarray(self._tbl.column("bm_max_doc")[row].as_py()),
