@@ -713,6 +713,27 @@ def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Quality-aware near-dup consolidation: per verified-pair component
+    the (n_word_tokens desc, doc_id asc)-BEST doc survives — curation
+    semantics (keep the richest capture of a recrawl cluster) instead of
+    keep-min-id.  Pairs stay a Dataset end-to-end; only candidate-bounded
+    (id, comp, quality) rows reach the driver."""
+    from searchengines_ray.stages.dedup import (
+        dedup_keep_best_survivors,
+        minhash_dedup_pairs_ds,
+    )
+    from searchengines_ray.stages.text import token_counts
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dedup_pairs_ds(docs, threshold=0.5)
+    quality = token_counts(docs)
+    out = dedup_keep_best_survivors(
+        docs, pairs, quality, quality_col="n_word_tokens"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.dedup import simhash_dup_pairs
 
@@ -2981,6 +3002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # newest-first so driver samples cover the least-proven operators
         "bm25_topk_pfor": _q_bm25_topk_pfor,
+        "dedup_keep_best": _q_dedup_keep_best,
         "image_decode_real": _q_image_decode_real,
         "image_resize_real": _q_image_resize_real,
         "ltr_ranklib_flow": _q_ltr_ranklib_flow,
@@ -5062,6 +5084,44 @@ def _oracle_sql_impl() -> dict[str, str]:
               SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a
             ),
             dropped AS (SELECT DISTINCT s AS doc_id FROM reach WHERE d < s)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id
+        """,
+        "dedup_keep_best": f"""
+            -- quality-aware consolidation over the same exact jaccard>=0.5
+            -- pair graph as minhash_dedup: per component the
+            -- (n_word_tokens desc, doc_id asc)-best member survives
+            WITH RECURSIVE {_SHINGLE_PAIRS},
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM dup_pairs
+            ),
+            reach(s, d) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a
+            ),
+            labels AS (
+              SELECT s AS doc_id, LEAST(s, MIN(d)) AS comp
+              FROM reach GROUP BY s
+            ),
+            q AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '[0-9a-z]+'))
+                          AS BIGINT) AS quality
+              FROM documents
+            ),
+            ranked AS (
+              SELECT l.doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY l.comp
+                       ORDER BY q.quality DESC, l.doc_id ASC
+                     ) AS rn
+              FROM labels l JOIN q USING (doc_id)
+            ),
+            dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id

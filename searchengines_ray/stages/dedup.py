@@ -831,13 +831,14 @@ def minhash_dedup_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def _nonroot_ids_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized min-hook union-find over edge arrays: returns the sorted
-    non-root node ids (every node whose component root — the component's
-    MINIMUM id — is not itself).  O(E · log V) numpy sweeps, no per-pair
-    Python; 5M pairs consolidate in well under a second."""
+def _labels_np(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-hook union-find over edge arrays: returns
+    ``(nodes, comp)`` — every node id appearing in a pair (ascending) and
+    its component label (the component's MINIMUM id).  O(E · log V) numpy
+    sweeps, no per-pair Python; 5M pairs consolidate in well under a
+    second."""
     if len(a) == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     nodes, inv = np.unique(
         np.concatenate([a, b]).astype(np.int64), return_inverse=True
     )
@@ -861,7 +862,14 @@ def _nonroot_ids_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         np.minimum.at(parent, hi[mask], lo[mask])
     # nodes[] ascending => index order == id order => root index holds the
     # component's min id
-    return nodes[parent != np.arange(len(nodes), dtype=np.int64)]
+    return nodes, nodes[parent]
+
+
+def _nonroot_ids_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sorted non-root node ids (every node whose component root is not
+    itself) — the keep-min-id drop set."""
+    nodes, comp = _labels_np(a, b)
+    return nodes[comp != nodes]
 
 
 def _dropset_from_pairs(pairs: pd.DataFrame) -> set[int]:
@@ -921,6 +929,100 @@ def minhash_dedup_survivors(ds, pairs):
     import ray
 
     dref = ray.put(dedup_drop_ids(pairs))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(dref)
+        docs = batch["doc_id"].to_numpy().astype(np.int64)
+        out = batch.loc[~np.isin(docs, drop), ["doc_id"]]
+        return out.astype({"doc_id": "int64"})
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def _component_labels(pairs, driver_max_pairs: Optional[int] = None):
+    """``(nodes, comp)`` int64 arrays for a pair DataFrame or Dataset —
+    the same bounded-driver / distributed-CC split as
+    :func:`dedup_drop_ids`.  Both arrays are candidate-bounded (one entry
+    per doc that appears in a pair), never corpus- or pair-graph-sized."""
+    if isinstance(pairs, pd.DataFrame):
+        return _labels_np(
+            pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+        )
+    limit = DRIVER_CC_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if pairs.count() <= limit:
+        df = pairs.to_pandas()
+        return _labels_np(df["doc_a"].to_numpy(), df["doc_b"].to_numpy())
+    from .graph import connected_components
+
+    lab = connected_components(pairs).to_pandas()  # candidate-bounded rows
+    nodes = lab["node"].to_numpy().astype(np.int64)
+    comp = lab["root"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)  # node-ascending, matching _labels_np
+    return nodes[order], comp[order]
+
+
+def keep_best_drop_ids(
+    pairs,
+    quality,
+    quality_col: str = "quality",
+    driver_max_pairs: Optional[int] = None,
+) -> np.ndarray:
+    """Quality-aware near-dup consolidation: per connected component keep
+    the (quality desc, doc_id asc)-BEST member — not the minimum id — and
+    drop the rest.  This is the curation-grade variant of
+    :func:`dedup_drop_ids`: when boilerplate recrawls cluster, the
+    highest-quality capture survives instead of the accidental lowest id
+    (the keep-first rule of the reference's url dedup,
+    ``/root/reference/QryEval/Idx.java`` external-id uniqueness, only
+    orders by id because Lucene has no quality signal).
+
+    ``quality`` is a ``(doc_id, <quality_col>)`` DataFrame or Dataset with
+    integer scores.  Only the CANDIDATE docs' scores are ever pulled to
+    the driver (broadcast id-array filter) — the corpus and the pair graph
+    stay distributed; a doc missing from ``quality`` scores -1 (sorts
+    last, deterministic)."""
+    nodes, comp = _component_labels(pairs, driver_max_pairs)
+    if len(nodes) == 0:
+        return np.empty(0, dtype=np.int64)
+    if isinstance(quality, pd.DataFrame):
+        qdf = quality[["doc_id", quality_col]]
+    else:
+        import ray
+
+        nref = ray.put(nodes)  # sorted ascending (np.unique order)
+
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            cand = ray.get(nref)
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            idx = np.searchsorted(cand, ids)
+            idx[idx == len(cand)] = 0
+            m = cand[idx] == ids
+            return batch.loc[m, ["doc_id", quality_col]]
+
+        qdf = quality.map_batches(pick, batch_format="pandas").to_pandas()
+    d = pd.DataFrame({"doc_id": nodes, "comp": comp}).merge(
+        qdf, on="doc_id", how="left"
+    )
+    d[quality_col] = (
+        d[quality_col].fillna(-1).astype(np.int64)
+    )
+    d = d.sort_values(
+        ["comp", quality_col, "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    drop = d.loc[d["comp"].duplicated(), "doc_id"].to_numpy()
+    return np.sort(drop.astype(np.int64))
+
+
+def dedup_keep_best_survivors(ds, pairs, quality, quality_col: str = "quality"):
+    """Dataset of surviving doc_ids under quality-aware consolidation —
+    the streaming-filter twin of :func:`minhash_dedup_survivors` with the
+    :func:`keep_best_drop_ids` drop set."""
+    import ray
+
+    dref = ray.put(keep_best_drop_ids(pairs, quality, quality_col))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         drop = ray.get(dref)

@@ -212,6 +212,58 @@ def test_dedup_drop_ids_adaptive_paths(ray_session):
     assert dedup_drop_ids(pairs_pd).tolist() == want
 
 
+def test_keep_best_drop_ids_paths(ray_session):
+    """Quality-aware consolidation keeps the (quality desc, id asc)-best
+    member per component — identical through the driver union-find path,
+    the forced distributed-CC path, and a Dataset quality side (only
+    candidate rows pulled)."""
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        dedup_keep_best_survivors,
+        keep_best_drop_ids,
+    )
+
+    # comp {1,3,7}: qualities 5/9/9 -> keep 3 (tie 3 vs 7 breaks id asc)
+    # comp {10,11,12}: qualities 2/8/4 -> keep 11
+    # comp {500,900}: 900 missing from quality (-1) -> keep 500
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [1, 3, 10, 11, 500],
+            "doc_b": [3, 7, 11, 12, 900],
+        }
+    ).astype("int64")
+    quality = pd.DataFrame(
+        {
+            "doc_id": [1, 3, 7, 10, 11, 12, 999],
+            "quality": [5, 9, 9, 2, 8, 4, 100],
+        }
+    ).astype("int64")
+    want = [1, 7, 10, 12, 900]
+    assert keep_best_drop_ids(pairs, quality).tolist() == want
+    pairs_ds = ray.data.from_pandas(pairs).repartition(3)
+    quality_ds = ray.data.from_pandas(quality).repartition(2)
+    assert keep_best_drop_ids(pairs_ds, quality_ds).tolist() == want
+    assert (
+        keep_best_drop_ids(
+            pairs_ds, quality_ds, driver_max_pairs=0
+        ).tolist()
+        == want
+    )
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 3, 7, 10, 11, 12, 500, 900, 999]}).astype(
+            "int64"
+        )
+    )
+    surv = (
+        dedup_keep_best_survivors(docs, pairs, quality)
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert surv == [3, 11, 500, 999]
+
+
 def test_simhash_pairs(ray_session):
     import ray.data
 
