@@ -713,6 +713,17 @@ def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training, 5 merge rounds (Sennrich et
+    al. 2016).  The word-frequency table stays a Dataset end-to-end;
+    each round is one combiner-first pair aggregation (per-batch
+    distinct pairs on the wire) + one vectorized greedy merge map; the
+    driver sees one candidate row per bucket per round."""
+    from searchengines_ray.stages.text import bpe_train
+
+    return bpe_train(_docs(sf_dir), num_merges=5)
+
+
 def _q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
     """Quality-aware near-dup consolidation: per verified-pair component
     the (n_word_tokens desc, doc_id asc)-BEST doc survives — curation
@@ -3002,6 +3013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # newest-first so driver samples cover the least-proven operators
         "bm25_topk_pfor": _q_bm25_topk_pfor,
+        "bpe_merges": _q_bpe_merges,
         "dedup_keep_best": _q_dedup_keep_best,
         "image_decode_real": _q_image_decode_real,
         "image_resize_real": _q_image_resize_real,
@@ -3331,6 +3343,58 @@ _SHINGLE_PAIRS = r"""
 
 
 _SHINGLE_PAIRS_AUG = _SHINGLE_PAIRS.replace("FROM documents", "FROM aug")
+
+
+def _bpe_sql(k: int) -> str:
+    """BPE-trainer oracle: k unrolled rounds, each = exact weighted
+    adjacent-pair counts (overlaps included) + (cnt desc, lhs, rhs)
+    argmax + a recursive left-fold that applies the merge greedily
+    ('aaa' -> [aa, a]; the fold's replace-last rule is provably
+    equivalent to the scan-and-skip rule because a merged token can
+    never equal its own left part).  Every fd{{t}} recursive member
+    references ONLY itself — the best pair rides in as columns — so the
+    MATERIALIZED boundaries (spl/b) never hit the recursive-member
+    materialization bug documented in CLAUDE.md."""
+    parts = [
+        """w0g AS MATERIALIZED (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS f FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS word,
+               1 AS c FROM documents
+      ) GROUP BY word),
+    spl0 AS MATERIALIZED (
+      SELECT f, list_transform(generate_series(1, length(word)),
+                               i -> word[i]) AS sp
+      FROM w0g)"""
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f"""
+    pos{t} AS (SELECT f, sp, unnest(generate_series(1, len(sp)-1)) AS i
+               FROM spl{t-1}),
+    p{t} AS (SELECT sp[i] AS lhs, sp[i+1] AS rhs,
+                    CAST(SUM(f) AS BIGINT) AS cnt
+             FROM pos{t} GROUP BY 1,2),
+    b{t} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{t}
+                          ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+    fd{t}(f, sp, l, r, pos, acc) AS (
+      SELECT s.f, s.sp, b.lhs, b.rhs, 1, s.sp[1] FROM spl{t-1} s, b{t} b
+      UNION ALL
+      SELECT f, sp, l, r, pos+1,
+        CASE WHEN sp[pos+1] = r AND (acc = l OR ends_with(acc, '|' || l))
+             THEN acc || r ELSE acc || '|' || sp[pos+1] END
+      FROM fd{t} WHERE pos < len(sp)),
+    spl{t} AS MATERIALIZED (SELECT f, string_split(acc, '|') AS sp
+                            FROM fd{t} WHERE pos = len(sp))"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT {t} AS merge_rank, lhs, rhs, cnt FROM b{t}"
+        for t in range(1, k + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + f" SELECT * FROM ({final}) ORDER BY merge_rank"
+    )
 
 _URL_EXPR = (
     "'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
@@ -5088,6 +5152,7 @@ def _oracle_sql_impl() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id
         """,
+        "bpe_merges": _bpe_sql(5),
         "dedup_keep_best": f"""
             -- quality-aware consolidation over the same exact jaccard>=0.5
             -- pair graph as minhash_dedup: per component the

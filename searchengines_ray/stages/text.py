@@ -786,6 +786,208 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
     )
 
 
+def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
+    """Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+    2016) over the corpus word stream — the tokenizer-training op of an
+    LLM data pipeline.
+
+    Contract (SQL-replicable; the oracle unrolls one recursive fold per
+    merge): words are ``[0-9a-z]+`` tokens of ``lower(text)`` with corpus
+    frequencies; a word starts as its character sequence; each round
+    counts ALL adjacent symbol pairs weighted by word frequency (overlaps
+    included: ``aaa`` contributes ``(a,a)`` twice), picks the
+    (count desc, lhs asc, rhs asc) best pair, and merges it greedily
+    left-to-right in every word (``aaa`` -> ``[aa, a]``).  Returns the
+    merge table ``(merge_rank, lhs, rhs, cnt)``; fewer than ``num_merges``
+    rows iff the corpus runs out of adjacent pairs.
+
+    Scale design: the word-frequency table stays a DATASET end-to-end
+    (the unique-word tail is corpus-sized at web scale — the unigram-LM
+    capped-vocab lesson applies to the WORDS, so none of them ever land
+    on the driver); each round is one combiner-first pair aggregation
+    (per-batch distinct pairs only cross the wire) into ``buckets`` hash
+    groups plus one vectorized merge map over the words; the driver holds
+    at most one (lhs, rhs, cnt) row per bucket per round.  Words are
+    symbol strings joined by ``|`` (symbols are ``[0-9a-z]+`` so the
+    separator never collides).
+    """
+    import zlib
+
+    def _pair_empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lhs": pd.array([], dtype="object"),
+                "rhs": pd.array([], dtype="object"),
+                "cnt": pd.array([], dtype="int64"),
+                "_b": pd.array([], dtype="int32"),
+            }
+        )
+
+    def wc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "word": pd.array([], dtype="object"),
+                "f": pd.array([], dtype="int64"),
+                "_b": pd.array([], dtype="int32"),
+            }
+        )
+        vocab, vids, _, _ = _flat_word_stream(list(batch["text"]))
+        if not len(vids):
+            return empty
+        cnt = np.bincount(vids, minlength=len(vocab)).astype(np.int64)
+        words = np.asarray(vocab, dtype=object)
+        m = cnt > 0
+        words, cnt = words[m], cnt[m]
+        bb = np.fromiter(
+            (zlib.crc32(w.encode()) % buckets for w in words),
+            np.int32,
+            len(words),
+        )
+        return pd.DataFrame(
+            {
+                "word": pd.Series(words, dtype=object),
+                "f": pd.array(cnt, dtype="int64"),
+                "_b": pd.array(bb, dtype="int32"),
+            }
+        )
+
+    def wc_agg(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("word", as_index=False)["f"].sum()
+        return pd.DataFrame(
+            {
+                "f": agg["f"].astype("int64"),
+                "syms": pd.Series(
+                    ["|".join(w) for w in agg["word"]], dtype=object
+                ),
+            }
+        )
+
+    words = (
+        ds.map_batches(wc_partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(wc_agg, batch_format="pandas")
+        .materialize()
+    )
+
+    def _flat_syms(batch: pd.DataFrame):
+        """(flat symbol array, parent word index) for a batch of
+        '|'-joined symbol strings — one join+split, no per-word loop."""
+        syms = batch["syms"]
+        lens = syms.str.count(r"\|").to_numpy() + 1
+        joined = "\x01".join(syms.tolist())
+        flat = np.array(joined.replace("\x01", "|").split("|"), dtype=object)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        return flat, parent
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _pair_empty()
+        f = batch["f"].to_numpy().astype(np.int64)
+        flat, parent = _flat_syms(batch)
+        if len(flat) < 2:
+            return _pair_empty()
+        same = parent[:-1] == parent[1:]
+        if not same.any():
+            return _pair_empty()
+        df = pd.DataFrame(
+            {
+                "lhs": flat[:-1][same],
+                "rhs": flat[1:][same],
+                "cnt": f[parent[:-1][same]],
+            }
+        )
+        agg = df.groupby(["lhs", "rhs"], as_index=False)["cnt"].sum()
+        agg["_b"] = pd.array(
+            [
+                zlib.crc32((a + "\x01" + b).encode()) % buckets
+                for a, b in zip(agg["lhs"], agg["rhs"])
+            ],
+            dtype="int32",
+        )
+        agg["cnt"] = agg["cnt"].astype("int64")
+        return agg
+
+    def bucket_best(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["lhs", "rhs"], as_index=False)["cnt"].sum()
+        agg = agg.sort_values(
+            ["cnt", "lhs", "rhs"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(1)
+        return agg[["lhs", "rhs", "cnt"]]
+
+    merges = []
+    for t in range(num_merges):
+        cand = (
+            words.map_batches(pair_partial, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(bucket_best, batch_format="pandas")
+            .to_pandas()
+        )
+        if cand.empty:
+            break
+        cand = cand.sort_values(
+            ["cnt", "lhs", "rhs"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        lhs = str(cand.iloc[0]["lhs"])
+        rhs = str(cand.iloc[0]["rhs"])
+        merges.append(
+            {
+                "merge_rank": t + 1,
+                "lhs": lhs,
+                "rhs": rhs,
+                "cnt": int(cand.iloc[0]["cnt"]),
+            }
+        )
+
+        def apply(batch: pd.DataFrame, lhs=lhs, rhs=rhs) -> pd.DataFrame:
+            if not len(batch):
+                return batch[["f", "syms"]]
+            f = batch["f"].to_numpy().astype(np.int64)
+            flat, parent = _flat_syms(batch)
+            n = len(f)
+            if len(flat) < 2:
+                return batch[["f", "syms"]].reset_index(drop=True)
+            match = (
+                (parent[:-1] == parent[1:])
+                & (flat[:-1] == lhs)
+                & (flat[1:] == rhs)
+            )
+            idx = np.nonzero(match)[0]
+            if not len(idx):
+                return batch[["f", "syms"]].reset_index(drop=True)
+            # greedy overlap resolution: within each run of consecutive
+            # match positions take every other one from the run start
+            # (runs never span words — adjacency implies same parent)
+            run_start = np.ones(len(idx), dtype=bool)
+            run_start[1:] = np.diff(idx) > 1
+            first = idx[run_start][np.cumsum(run_start) - 1]
+            sel = idx[((idx - first) % 2) == 0]
+            keep = np.ones(len(flat), dtype=bool)
+            keep[sel + 1] = False
+            flat2 = flat.copy()
+            flat2[sel] = lhs + rhs
+            s = (
+                pd.Series(flat2[keep], dtype=object)
+                .groupby(parent[keep])
+                .agg("|".join)
+            )
+            return pd.DataFrame(
+                {
+                    "f": pd.array(f, dtype="int64"),
+                    "syms": s.reindex(np.arange(n)).to_numpy(),
+                }
+            )
+
+        words = words.map_batches(apply, batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        merges, columns=["merge_rank", "lhs", "rhs", "cnt"]
+    ).astype({"merge_rank": "int64", "cnt": "int64"})
+
+
 def ngram_contamination(ds, benchmark_texts: list[str], n: int = 5):
     """GPT-3-style exact n-gram decontamination: flag every corpus doc
     sharing at least one word n-gram with a benchmark/eval suite

@@ -212,6 +212,39 @@ def test_dedup_drop_ids_adaptive_paths(ray_session):
     assert dedup_drop_ids(pairs_pd).tolist() == want
 
 
+def test_bpe_train_greedy_and_ties(ray_session):
+    """BPE trainer contract: overlapping pair counts ('aaa' yields (a,a)
+    twice), greedy left-to-right merge ('aaaa' -> [aa, aa] so round 2 can
+    pick (aa, aa)), and (cnt desc, lhs asc, rhs asc) tie-break."""
+    import ray.data
+
+    from searchengines_ray.stages.text import bpe_train
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["aaaa aaaa aaaa", "bc bc bc bc bc xyz"],
+        }
+    )
+    out = bpe_train(ray.data.from_pandas(docs), num_merges=3)
+    # round 1: (a,a) appears 3 per 'aaaa' x3 = 9; (b,c) = 5
+    assert out.iloc[0].tolist() == [1, "a", "a", 9]
+    # after greedy merge 'aaaa' -> [aa, aa]: (aa,aa) = 3; (b,c) = 5 wins
+    assert out.iloc[1].tolist() == [2, "b", "c", 5]
+    # round 3: (aa,aa)=3 beats (x,y)=(y,z)=1
+    assert out.iloc[2].tolist() == [3, "aa", "aa", 3]
+
+    # tie-break: (a,b) and (b,a) tie at 2 in 'abab' x2 -> lhs asc wins
+    docs2 = pd.DataFrame({"doc_id": [1], "text": ["ababx ababx"]})
+    out2 = bpe_train(ray.data.from_pandas(docs2), num_merges=1)
+    assert out2.iloc[0].tolist() == [1, "a", "b", 4]
+
+    # early stop: single-char vocabulary has no pairs after round 0
+    docs3 = pd.DataFrame({"doc_id": [1], "text": ["a b c a b"]})
+    out3 = bpe_train(ray.data.from_pandas(docs3), num_merges=3)
+    assert len(out3) == 0
+
+
 def test_keep_best_drop_ids_paths(ray_session):
     """Quality-aware consolidation keeps the (quality desc, id asc)-best
     member per component — identical through the driver union-find path,
