@@ -713,6 +713,17 @@ def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_mixture_plan(sf_dir: str) -> pd.DataFrame:
+    """Pile/DoReMi-style token-budget mixture plan over the corpus
+    source registry: distributed token inventory (per-batch combiner),
+    driver arithmetic over a handful of source rows — all integer."""
+    from searchengines_ray.stages.sample import mixture_plan
+
+    return mixture_plan(
+        _docs(sf_dir, cols=("source", "text")), max_epochs=2
+    )
+
+
 def _q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE tokenizer training, 5 merge rounds (Sennrich et
     al. 2016).  The word-frequency table stays a Dataset end-to-end;
@@ -3014,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest-first so driver samples cover the least-proven operators
         "bm25_topk_pfor": _q_bm25_topk_pfor,
         "bpe_merges": _q_bpe_merges,
+        "mixture_plan": _q_mixture_plan,
         "dedup_keep_best": _q_dedup_keep_best,
         "image_decode_real": _q_image_decode_real,
         "image_resize_real": _q_image_resize_real,
@@ -5153,6 +5165,58 @@ def _oracle_sql_impl() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "bpe_merges": _bpe_sql(5),
+        "mixture_plan": """
+            -- Pile-style token-budget mixture plan: budget = total // 2,
+            -- weight = 1 + length(source) % 3, epoch cap = 2x tokens,
+            -- one proportional redistribution pass re-clipped at the cap.
+            -- All-integer (// on non-negatives: Python == DuckDB).
+            WITH tok AS (
+              SELECT source,
+                     CAST(SUM(len(regexp_extract_all(lower(text),
+                                                     '[0-9a-z]+')))
+                          AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ),
+            w AS (
+              SELECT source, tokens,
+                     CAST(1 + length(source) % 3 AS BIGINT) AS weight
+              FROM tok
+            ),
+            base AS (
+              SELECT source, tokens, weight,
+                     (SELECT SUM(tokens) FROM w) // 2 AS budget,
+                     (weight * ((SELECT SUM(tokens) FROM w) // 2))
+                       // (SELECT SUM(weight) FROM w) AS desired,
+                     2 * tokens AS cap
+              FROM w
+            ),
+            b2 AS (
+              SELECT *, LEAST(desired, cap) AS alloc0,
+                     (cap >= desired) AS uncapped
+              FROM base
+            ),
+            agg AS (
+              SELECT SUM(alloc0) AS s_alloc,
+                     SUM(CASE WHEN uncapped THEN weight ELSE 0 END) AS uw
+              FROM b2
+            ),
+            fin AS (
+              SELECT source, tokens, weight, desired,
+                     CASE WHEN uncapped AND (SELECT uw FROM agg) > 0
+                          THEN LEAST(cap, alloc0 +
+                               ((budget - (SELECT s_alloc FROM agg))
+                                * weight) // (SELECT uw FROM agg))
+                          ELSE alloc0 END AS alloc
+              FROM b2
+            )
+            SELECT source, tokens, weight,
+                   CAST(desired AS BIGINT) AS desired,
+                   CAST(alloc AS BIGINT) AS alloc,
+                   CAST(CASE WHEN tokens = 0 THEN 0
+                        ELSE (alloc * 1000000) // tokens END AS BIGINT)
+                     AS epochs_ppm
+            FROM fin ORDER BY source
+        """,
         "dedup_keep_best": f"""
             -- quality-aware consolidation over the same exact jaccard>=0.5
             -- pair graph as minhash_dedup: per component the

@@ -185,3 +185,94 @@ def consistent_sample(ds, k: int, key: str = "doc_id"):
             lambda g: bottomk(g)[cols], batch_format="pandas"
         )
     )
+
+
+def mixture_plan(
+    ds,
+    budget_tokens: int | None = None,
+    max_epochs: int = 2,
+    source_col: str = "source",
+) -> pd.DataFrame:
+    """Static corpus mixture planning — the DoReMi / Pile-style step that
+    turns per-source token inventories into a sampling plan under a total
+    token budget with an epoch cap (a source can be repeated at most
+    ``max_epochs`` times; Gao et al. 2020 "The Pile" weights corpora by
+    epochs over the mix exactly this way).
+
+    Contract (all-integer, SQL-replicable, single redistribution pass):
+    tokens are the ``[0-9a-z]+`` word counts of ``lower(text)``; source
+    weight = ``1 + length(source) % 3`` (a stand-in for an externally
+    supplied priority — deterministic and auditable in SQL);
+    ``desired = (weight * budget) // sum(weights)``;
+    ``cap = max_epochs * tokens``; ``alloc0 = min(desired, cap)``; the
+    leftover budget is redistributed ONCE to uncapped sources
+    proportionally to weight and re-clipped at the cap (no iterative
+    water-filling — one pass, documented).  ``budget_tokens=None``
+    defaults to half the corpus total.  ``epochs_ppm`` reports the
+    resulting repeat factor in parts-per-million (integer floor).
+
+    Scale: token counting is a per-batch combiner (one tiny
+    (source, tokens) row per batch per source crosses the wire); the plan
+    arithmetic runs on the driver over the SOURCE REGISTRY — bounded by
+    the number of corpora in the mix (dozens at web scale), never by
+    docs or tokens.
+    """
+    from .text import _flat_word_stream
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "source": pd.array([], dtype="object"),
+                    "tokens": pd.array([], dtype="int64"),
+                }
+            )
+        _, _, _, counts = _flat_word_stream(list(batch["text"]))
+        df = pd.DataFrame(
+            {
+                "source": batch[source_col].to_numpy(),
+                "tokens": counts.astype(np.int64),
+            }
+        )
+        return df.groupby("source", as_index=False)["tokens"].sum()
+
+    per = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)["tokens"]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    tokens = per["tokens"].to_numpy().astype(np.int64)
+    weight = (
+        1 + per["source"].str.len().to_numpy().astype(np.int64) % 3
+    )
+    total = int(tokens.sum())
+    budget = total // 2 if budget_tokens is None else int(budget_tokens)
+    wsum = int(weight.sum())
+    desired = (weight * budget) // max(wsum, 1)
+    cap = max_epochs * tokens
+    alloc0 = np.minimum(desired, cap)
+    uncapped = cap >= desired
+    uw = int(weight[uncapped].sum())
+    leftover = budget - int(alloc0.sum())
+    extra = np.where(
+        uncapped & (uw > 0), (leftover * weight) // max(uw, 1), 0
+    )
+    alloc = np.where(
+        uncapped, np.minimum(cap, alloc0 + extra), alloc0
+    ).astype(np.int64)
+    epochs_ppm = np.where(
+        tokens > 0, (alloc * 1_000_000) // np.maximum(tokens, 1), 0
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "source": per["source"],
+            "tokens": tokens,
+            "weight": weight.astype(np.int64),
+            "desired": desired.astype(np.int64),
+            "alloc": alloc,
+            "epochs_ppm": epochs_ppm,
+        }
+    )

@@ -212,6 +212,35 @@ def test_dedup_drop_ids_adaptive_paths(ray_session):
     assert dedup_drop_ids(pairs_pd).tolist() == want
 
 
+def test_mixture_plan_cap_and_redistribution(ray_session):
+    """A tiny source whose epoch cap binds gives its leftover budget to
+    the uncapped sources proportionally to weight (one pass, re-clipped);
+    the arithmetic is all-integer."""
+    import ray.data
+
+    from searchengines_ray.stages.sample import mixture_plan
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "source": ["big", "big", "big", "tiny"],
+            "text": ["w " * 500, "w " * 300, "w " * 200, "w w w w"],
+        }
+    )
+    out = mixture_plan(
+        ray.data.from_pandas(docs), budget_tokens=600, max_epochs=2
+    ).set_index("source")
+    # weights: len('big')=3 -> 1+0=1; len('tiny')=4 -> 1+1=2; wsum=3
+    assert out.loc["big", "weight"] == 1
+    assert out.loc["tiny", "weight"] == 2
+    # desired: big (1*600)//3=200, tiny (2*600)//3=400; tiny caps at 2*4=8
+    assert out.loc["tiny", "alloc"] == 8
+    assert out.loc["tiny", "epochs_ppm"] == 2_000_000
+    # leftover 600-208=392 goes to big (sole uncapped, uw=1), clip at cap
+    assert out.loc["big", "alloc"] == min(2 * 1000, 200 + 392)
+    assert out.loc["big", "tokens"] == 1000
+
+
 def test_bpe_train_greedy_and_ties(ray_session):
     """BPE trainer contract: overlapping pair counts ('aaa' yields (a,a)
     twice), greedy left-to-right merge ('aaaa' -> [aa, aa] so round 2 can
