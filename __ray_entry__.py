@@ -713,6 +713,22 @@ def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR hashed-unigram importance weights (target = lang='en'):
+    two streaming passes, a 128-bucket model on the driver (never a
+    vocabulary), integer per-doc weights."""
+    from searchengines_ray.stages.text import dsir_weights
+
+    out = dsir_weights(
+        _docs(sf_dir, cols=("doc_id", "text", "lang")), target_lang="en"
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "dsir_milliweight": "int64"})
+    )
+
+
 def _q_mixture_plan(sf_dir: str) -> pd.DataFrame:
     """Pile/DoReMi-style token-budget mixture plan over the corpus
     source registry: distributed token inventory (per-batch combiner),
@@ -3025,6 +3041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest-first so driver samples cover the least-proven operators
         "bm25_topk_pfor": _q_bm25_topk_pfor,
         "bpe_merges": _q_bpe_merges,
+        "dsir_weights": _q_dsir_weights,
         "mixture_plan": _q_mixture_plan,
         "dedup_keep_best": _q_dedup_keep_best,
         "image_decode_real": _q_image_decode_real,
@@ -5165,6 +5182,54 @@ def _oracle_sql_impl() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "bpe_merges": _bpe_sql(5),
+        "dsir_weights": """
+            -- DSIR hashed-unigram importance weights: bucket = the
+            -- fingerprints base-131 char fold mod 128; bucket score =
+            -- floor(1e6*ln(((t+1.0)*(R+128))/((r+1.0)*(T+128)))) as
+            -- BIGINT (one ln per bucket, same libm as the engine); doc
+            -- weight = order-free integer sum of its tokens' scores.
+            WITH w AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, lang, unnest(ws) AS t FROM w),
+            tb AS (
+              SELECT doc_id, lang,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(t, ''),
+                                        c -> CAST(unicode(c) AS BIGINT))),
+                       (a, c) -> (a * 131 + c) % 2147483647) % 128 AS b
+              FROM tok
+            ),
+            cnt AS (
+              SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS t
+              FROM tb GROUP BY b
+            ),
+            tot AS (
+              SELECT CAST(SUM(r) AS BIGINT) AS rtot,
+                     CAST(SUM(t) AS BIGINT) AS ttot
+              FROM cnt
+            ),
+            scores AS (
+              SELECT b,
+                     CAST(floor(1000000 * ln(
+                       ((t + 1.0) * (rtot + 128))
+                       / ((r + 1.0) * (ttot + 128)))) AS BIGINT) AS s
+              FROM cnt, tot
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.sw, 0) AS BIGINT) AS dsir_milliweight
+            FROM documents d
+            LEFT JOIN (
+              SELECT doc_id, SUM(s) AS sw
+              FROM tb JOIN scores USING (b) GROUP BY doc_id
+            ) agg USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "mixture_plan": """
             -- Pile-style token-budget mixture plan: budget = total // 2,
             -- weight = 1 + length(source) % 3, epoch cap = 2x tokens,

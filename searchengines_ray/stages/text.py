@@ -988,6 +988,100 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
     ).astype({"merge_rank": "int64", "cnt": "int64"})
 
 
+def dsir_weights(ds, target_lang: str = "en", buckets: int = 128):
+    """Data Selection via Importance Resampling (Xie et al. 2023, NeurIPS
+    — DSIR): per-doc log importance weight of a hashed-unigram bag-of-words
+    model of the TARGET distribution (here: docs whose ``lang`` equals
+    ``target_lang``) against the RAW corpus distribution.
+
+    Contract (SQL-replicable): token buckets are the mod-(2^31-1)
+    base-131 polynomial char fold (the :class:`Fingerprinter` hash) mod
+    ``buckets``; with ``r``/``t`` the raw/target token counts of a bucket
+    and ``R``/``T`` their totals, the bucket score is
+    ``floor(1e6 * ln(((t+1.0)*(R+buckets)) / ((r+1.0)*(T+buckets))))``
+    as an INTEGER (add-one smoothing on both sides; the float work is one
+    ``ln`` per BUCKET, driver-side, mirrored expression tree — per-doc
+    sums are pure int64 and order-free).  A doc's weight is the sum of
+    its tokens' bucket scores (``dsir_milliweight``); resampling keeps
+    the top quantile, which needs no further float math.
+
+    Scale: one combiner pass emits <= ``buckets`` (bucket, raw, tgt) rows
+    per batch; the driver holds two ``buckets``-long vectors, never a
+    vocabulary (the capped-vocab unigram-LM lesson — hashing makes the
+    model size corpus-independent by construction, which is DSIR's own
+    design rationale).  Scoring is a second shuffle-free pass with the
+    128-int score table broadcast in the closure.
+    """
+    import math
+
+    def bucket_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "b": pd.array([], dtype="int64"),
+                "raw": pd.array([], dtype="int64"),
+                "tgt": pd.array([], dtype="int64"),
+            }
+        )
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        if not len(vids):
+            return empty
+        wb = _poly_word_hashes(vocab, 131) % buckets
+        tok_b = wb[vids]
+        raw = np.bincount(tok_b, minlength=buckets)
+        is_t = (
+            batch["lang"].fillna("").to_numpy(dtype=object) == target_lang
+        )
+        tgt = np.bincount(tok_b[is_t[parent]], minlength=buckets)
+        return pd.DataFrame(
+            {
+                "b": np.arange(buckets, dtype=np.int64),
+                "raw": raw.astype(np.int64),
+                "tgt": tgt.astype(np.int64),
+            }
+        )
+
+    per = (
+        ds.map_batches(bucket_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("b", as_index=False)[["raw", "tgt"]]
+        .sum()
+    )
+    r = np.zeros(buckets, dtype=np.int64)
+    t = np.zeros(buckets, dtype=np.int64)
+    r[per["b"].to_numpy()] = per["raw"].to_numpy()
+    t[per["b"].to_numpy()] = per["tgt"].to_numpy()
+    rtot, ttot = int(r.sum()), int(t.sum())
+    scores = np.array(
+        [
+            math.floor(
+                1_000_000
+                * math.log(
+                    ((int(t[b]) + 1.0) * (rtot + buckets))
+                    / ((int(r[b]) + 1.0) * (ttot + buckets))
+                )
+            )
+            for b in range(buckets)
+        ],
+        dtype=np.int64,
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        out = np.zeros(n, dtype=np.int64)
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        if len(vids):
+            wb = _poly_word_hashes(vocab, 131) % buckets
+            np.add.at(out, parent, scores[wb[vids]])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "dsir_milliweight": pd.array(out, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def ngram_contamination(ds, benchmark_texts: list[str], n: int = 5):
     """GPT-3-style exact n-gram decontamination: flag every corpus doc
     sharing at least one word n-gram with a benchmark/eval suite

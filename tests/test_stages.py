@@ -212,6 +212,44 @@ def test_dedup_drop_ids_adaptive_paths(ray_session):
     assert dedup_drop_ids(pairs_pd).tolist() == want
 
 
+def test_dsir_weights_direction_and_zero(ray_session):
+    """A doc made of target-heavy tokens outweighs one made of tokens the
+    target never uses; an empty doc scores exactly 0; values are stable
+    integers (milli-log units)."""
+    import ray.data
+
+    from searchengines_ray.stages.text import dsir_weights
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", "xx", "xx"],
+            "text": [
+                "good good targety tokens here",
+                "good targety prose",
+                "spammy spammy junk junk junk",
+                "",
+            ],
+        }
+    )
+    out = (
+        dsir_weights(ray.data.from_pandas(docs), target_lang="en")
+        .to_pandas()
+        .set_index("doc_id")["dsir_milliweight"]
+    )
+    assert out.loc[4] == 0
+    # target-only vocab scores above raw-only vocab
+    assert out.loc[1] > out.loc[3]
+    assert out.loc[2] > out.loc[3]
+    # deterministic across re-runs
+    out2 = (
+        dsir_weights(ray.data.from_pandas(docs), target_lang="en")
+        .to_pandas()
+        .set_index("doc_id")["dsir_milliweight"]
+    )
+    assert out.equals(out2)
+
+
 def test_mixture_plan_cap_and_redistribution(ray_session):
     """A tiny source whose epoch cap binds gives its leftover budget to
     the uncapped sources proportionally to weight (one pass, re-clipped);
