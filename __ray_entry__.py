@@ -713,6 +713,19 @@ def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """RAG chunk table: 64-token windows, stride 48, per-chunk rolling
+    content hash (fingerprints contract) — shuffle-free vectorized pass."""
+    from searchengines_ray.stages.text import chunk_documents
+
+    out = chunk_documents(_docs(sf_dir), chunk_tokens=64, stride=48)
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR hashed-unigram importance weights (target = lang='en'):
     two streaming passes, a 128-bucket model on the driver (never a
@@ -3041,6 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest-first so driver samples cover the least-proven operators
         "bm25_topk_pfor": _q_bm25_topk_pfor,
         "bpe_merges": _q_bpe_merges,
+        "chunk_documents": _q_chunk_documents,
         "dsir_weights": _q_dsir_weights,
         "mixture_plan": _q_mixture_plan,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -5182,6 +5196,40 @@ def _oracle_sql_impl() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "bpe_merges": _bpe_sql(5),
+        "chunk_documents": """
+            -- 64-token / stride-48 chunks; chunk_hash = base-1000003 fold
+            -- over base-131 word hashes (fingerprints contract per chunk)
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+              FROM documents
+            ),
+            wh AS (
+              SELECT doc_id,
+                     list_transform(ws, t ->
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(t, ''),
+                                          c -> CAST(unicode(c) AS BIGINT))),
+                         (a, c) -> (a * 131 + c) % 2147483647)) AS whs
+              FROM w
+            ),
+            st AS (
+              SELECT doc_id, whs,
+                     unnest(generate_series(0, len(whs)-1, 48)) AS start
+              FROM wh
+            )
+            SELECT doc_id,
+                   CAST(start // 48 AS BIGINT) AS chunk_idx,
+                   CAST(start AS BIGINT) AS start_tok,
+                   CAST(LEAST(64, len(whs) - start) AS BIGINT) AS n_tok,
+                   CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                                  whs[start+1 : start+64]),
+                     (a, c) -> (a * 1000003 + c) % 2147483647)
+                     AS BIGINT) AS chunk_hash
+            FROM st ORDER BY doc_id, chunk_idx
+        """,
         "dsir_weights": """
             -- DSIR hashed-unigram importance weights: bucket = the
             -- fingerprints base-131 char fold mod 128; bucket score =

@@ -988,6 +988,77 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
     ).astype({"merge_rank": "int64", "cnt": "int64"})
 
 
+def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48):
+    """RAG / long-context chunking: slide a ``chunk_tokens`` window with
+    ``stride`` over each doc's word stream and emit one row per chunk
+    with an SQL-replicable content hash (retrieval-index ingestion needs
+    the chunk table plus a stable id to dedup re-ingested chunks).
+
+    Contract: tokens are the ``[0-9a-z]+`` words of ``lower(text)``;
+    chunk c covers tokens ``[c*stride, c*stride + chunk_tokens)`` for
+    every start < n_tokens (the tail chunk may be short); ``chunk_hash``
+    is the base-1000003 polynomial fold (mod 2^31-1) over the chunk's
+    base-131 word hashes — the :class:`Fingerprinter` content-hash
+    contract applied per chunk.  Empty docs emit no chunks.
+
+    Shuffle-free and fully vectorized: the per-batch fold loops over the
+    ``chunk_tokens`` window positions (a constant), never over chunks or
+    tokens in Python.
+    """
+
+    def chunker(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "chunk_idx": pd.array([], dtype="int64"),
+                "start_tok": pd.array([], dtype="int64"),
+                "n_tok": pd.array([], dtype="int64"),
+                "chunk_hash": pd.array([], dtype="int64"),
+            }
+        )
+        vocab, vids, parent, counts = _flat_word_stream(
+            list(batch["text"])
+        )
+        if not len(vids):
+            return empty
+        wh = _poly_word_hashes(vocab, 131)
+        tok_h = wh[vids]
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        n = counts.astype(np.int64)
+        doc_start = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=doc_start[1:])
+        n_chunks = (n + stride - 1) // stride  # ceil(n/stride), 0 for n=0
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        cdoc = np.repeat(np.arange(len(n)), n_chunks)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks
+        )
+        start = cidx * stride
+        clen = np.minimum(chunk_tokens, n[cdoc] - start)
+        base = doc_start[cdoc] + start
+        acc = np.zeros(total, dtype=np.int64)
+        for j in range(chunk_tokens):
+            active = j < clen
+            if not active.any():
+                break
+            acc[active] = (
+                acc[active] * 1000003 + tok_h[base[active] + j]
+            ) % 2147483647
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids[cdoc], dtype="int64"),
+                "chunk_idx": pd.array(cidx, dtype="int64"),
+                "start_tok": pd.array(start, dtype="int64"),
+                "n_tok": pd.array(clen, dtype="int64"),
+                "chunk_hash": pd.array(acc, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(chunker, batch_format="pandas")
+
+
 def dsir_weights(ds, target_lang: str = "en", buckets: int = 128):
     """Data Selection via Importance Resampling (Xie et al. 2023, NeurIPS
     — DSIR): per-doc log importance weight of a hashed-unigram bag-of-words
