@@ -206,6 +206,19 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     ngram_counts(docs, n=2, top_k=50).materialize()
     timings["ngram_counts"] = time.perf_counter() - t0
 
+    from searchengines_ray.stages.text import bpe_train, dsir_weights
+
+    t0 = time.perf_counter()
+    bpe_train(docs, num_merges=3)
+    timings["bpe_train_3"] = time.perf_counter() - t0
+
+    docs_l = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    t0 = time.perf_counter()
+    dsir_weights(docs_l).materialize()
+    timings["dsir_weights"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "SPIMI index build + BM25 query batch + data pipelines",

@@ -45,6 +45,8 @@ def main(argv=None) -> None:
                    help="serving wants ~50k-doc segments (BASELINE.md)")
     p.add_argument("--dedup", action="store_true",
                    help="url-dedup shuffle before the build")
+    p.add_argument("--codec", default="bw", choices=("bw", "vb", "pfor"),
+                   help="posting compression codec")
     p.add_argument("--no-termstats", action="store_true",
                    help="scale design: skip the merged vocabulary table "
                         "(global df/ctf come from the query-time dfs phase)")
@@ -109,6 +111,7 @@ def main(argv=None) -> None:
         docs_per_segment=args.docs_per_segment,
         dedup=args.dedup,
         termstats=not args.no_termstats,
+        codec=args.codec,
     )
     build_s = time.perf_counter() - t0
     report.update(
