@@ -713,6 +713,18 @@ def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bpe_segment(sf_dir: str) -> pd.DataFrame:
+    """Train 5 BPE merges, then segment every doc with them (vocab-level
+    application — each unique word segmented once, per-doc sums are
+    bincounts).  n_subwords is what token-budget accounting consumes."""
+    from searchengines_ray.stages.text import bpe_apply, bpe_train
+
+    docs = _docs(sf_dir)
+    merges = bpe_train(docs, num_merges=5)
+    out = bpe_apply(docs, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     """RAG chunk table: 64-token windows, stride 48, per-chunk rolling
     content hash (fingerprints contract) — shuffle-free vectorized pass."""
@@ -3054,6 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest-first so driver samples cover the least-proven operators
         "bm25_topk_pfor": _q_bm25_topk_pfor,
         "bpe_merges": _q_bpe_merges,
+        "bpe_segment": _q_bpe_segment,
         "chunk_documents": _q_chunk_documents,
         "dsir_weights": _q_dsir_weights,
         "mixture_plan": _q_mixture_plan,
@@ -3405,7 +3418,7 @@ def _bpe_sql(k: int) -> str:
                1 AS c FROM documents
       ) GROUP BY word),
     spl0 AS MATERIALIZED (
-      SELECT f, list_transform(generate_series(1, length(word)),
+      SELECT word, f, list_transform(generate_series(1, length(word)),
                                i -> word[i]) AS sp
       FROM w0g)"""
     ]
@@ -3419,24 +3432,51 @@ def _bpe_sql(k: int) -> str:
              FROM pos{t} GROUP BY 1,2),
     b{t} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{t}
                           ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
-    fd{t}(f, sp, l, r, pos, acc) AS (
-      SELECT s.f, s.sp, b.lhs, b.rhs, 1, s.sp[1] FROM spl{t-1} s, b{t} b
+    fd{t}(word, f, sp, l, r, pos, acc) AS (
+      SELECT s.word, s.f, s.sp, b.lhs, b.rhs, 1, s.sp[1]
+      FROM spl{t-1} s, b{t} b
       UNION ALL
-      SELECT f, sp, l, r, pos+1,
+      SELECT word, f, sp, l, r, pos+1,
         CASE WHEN sp[pos+1] = r AND (acc = l OR ends_with(acc, '|' || l))
              THEN acc || r ELSE acc || '|' || sp[pos+1] END
       FROM fd{t} WHERE pos < len(sp)),
-    spl{t} AS MATERIALIZED (SELECT f, string_split(acc, '|') AS sp
+    spl{t} AS MATERIALIZED (SELECT word, f, string_split(acc, '|') AS sp
                             FROM fd{t} WHERE pos = len(sp))"""
         )
+    body = "WITH RECURSIVE " + ",".join(parts)
     final = " UNION ALL ".join(
         f"SELECT {t} AS merge_rank, lhs, rhs, cnt FROM b{t}"
         for t in range(1, k + 1)
     )
+    return body + f" SELECT * FROM ({final}) ORDER BY merge_rank"
+
+
+def _bpe_apply_sql(k: int) -> str:
+    """Per-doc subword counts after k trained merges: the _bpe_sql chain
+    (word carried through the folds) joined back to the per-doc token
+    stream — segmentation happens once per UNIQUE word, mirroring the
+    engine's vocab-level application."""
+    train = _bpe_sql(k)
+    body = train[: train.index(" SELECT * FROM (")]
     return (
-        "WITH RECURSIVE "
-        + ",".join(parts)
-        + f" SELECT * FROM ({final}) ORDER BY merge_rank"
+        body
+        + f""",
+    wlen AS (SELECT word, CAST(len(sp) AS BIGINT) AS ls FROM spl{k}),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS word
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(ls) AS n_sub
+      FROM tok JOIN wlen USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_extract_all(lower(d.text), '[0-9a-z]+'))
+                AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_sub, 0) AS BIGINT) AS n_subwords
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id"""
     )
 
 _URL_EXPR = (
@@ -5196,6 +5236,7 @@ def _oracle_sql_impl() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "bpe_merges": _bpe_sql(5),
+        "bpe_segment": _bpe_apply_sql(5),
         "chunk_documents": """
             -- 64-token / stride-48 chunks; chunk_hash = base-1000003 fold
             -- over base-131 word hashes (fingerprints contract per chunk)

@@ -786,6 +786,33 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
     )
 
 
+def _merge_pair(flat: np.ndarray, parent: np.ndarray, lhs: str, rhs: str):
+    """Greedy left-to-right merge of (lhs, rhs) over a flat symbol stream
+    with word boundaries given by ``parent``.  Overlap resolution: within
+    each run of consecutive match positions take every other one from the
+    run start (runs never span words — adjacency implies same parent).
+    Returns the merged (flat, parent)."""
+    if len(flat) < 2:
+        return flat, parent
+    match = (
+        (parent[:-1] == parent[1:])
+        & (flat[:-1] == lhs)
+        & (flat[1:] == rhs)
+    )
+    idx = np.nonzero(match)[0]
+    if not len(idx):
+        return flat, parent
+    run_start = np.ones(len(idx), dtype=bool)
+    run_start[1:] = np.diff(idx) > 1
+    first = idx[run_start][np.cumsum(run_start) - 1]
+    sel = idx[((idx - first) % 2) == 0]
+    keep = np.ones(len(flat), dtype=bool)
+    keep[sel + 1] = False
+    flat2 = flat.copy()
+    flat2[sel] = lhs + rhs
+    return flat2[keep], parent[keep]
+
+
 def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
     """Distributed byte-pair-encoding tokenizer training (Sennrich et al.
     2016) over the corpus word stream — the tokenizer-training op of an
@@ -948,30 +975,12 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
             f = batch["f"].to_numpy().astype(np.int64)
             flat, parent = _flat_syms(batch)
             n = len(f)
-            if len(flat) < 2:
+            flat2, parent2 = _merge_pair(flat, parent, lhs, rhs)
+            if flat2 is flat:
                 return batch[["f", "syms"]].reset_index(drop=True)
-            match = (
-                (parent[:-1] == parent[1:])
-                & (flat[:-1] == lhs)
-                & (flat[1:] == rhs)
-            )
-            idx = np.nonzero(match)[0]
-            if not len(idx):
-                return batch[["f", "syms"]].reset_index(drop=True)
-            # greedy overlap resolution: within each run of consecutive
-            # match positions take every other one from the run start
-            # (runs never span words — adjacency implies same parent)
-            run_start = np.ones(len(idx), dtype=bool)
-            run_start[1:] = np.diff(idx) > 1
-            first = idx[run_start][np.cumsum(run_start) - 1]
-            sel = idx[((idx - first) % 2) == 0]
-            keep = np.ones(len(flat), dtype=bool)
-            keep[sel + 1] = False
-            flat2 = flat.copy()
-            flat2[sel] = lhs + rhs
             s = (
-                pd.Series(flat2[keep], dtype=object)
-                .groupby(parent[keep])
+                pd.Series(flat2, dtype=object)
+                .groupby(parent2)
                 .agg("|".join)
             )
             return pd.DataFrame(
@@ -986,6 +995,57 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
     return pd.DataFrame(
         merges, columns=["merge_rank", "lhs", "rhs", "cnt"]
     ).astype({"merge_rank": "int64", "cnt": "int64"})
+
+
+def bpe_apply(ds, merges: pd.DataFrame):
+    """Segment every doc with a trained BPE merge table (the application
+    half of :func:`bpe_train`): returns ``(doc_id, n_words, n_subwords)``
+    — the post-tokenizer length is what sequence packing and token-budget
+    accounting actually consume.
+
+    The merges (a few thousand rows at most — tokenizer-sized, not
+    corpus-sized) ride into the map tasks as a closure broadcast; merge
+    application runs at the VOCAB level per batch (each unique word is
+    segmented once, the per-doc sum is a bincount over token ids — the
+    tokenize_arrow_batch pattern), so the cost is per-unique-word, never
+    per-token.  Shuffle-free."""
+    pairs = [
+        (str(r.lhs), str(r.rhs))
+        for r in merges.sort_values("merge_rank").itertuples()
+    ]
+
+    def segment(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        n_words = np.zeros(n, dtype=np.int64)
+        n_sub = np.zeros(n, dtype=np.int64)
+        vocab, vids, parent, counts = _flat_word_stream(
+            list(batch["text"])
+        )
+        if len(vids):
+            n_words = counts.astype(np.int64)
+            # vocab-level segmentation: flat char stream over UNIQUE words
+            wlens = np.fromiter(
+                (len(w) for w in vocab), np.int64, len(vocab)
+            )
+            flat = np.array(list("".join(vocab)), dtype=object)
+            wparent = np.repeat(np.arange(len(vocab)), wlens)
+            for lhs, rhs in pairs:
+                flat, wparent = _merge_pair(flat, wparent, lhs, rhs)
+            symcount = np.bincount(
+                wparent, minlength=len(vocab)
+            ).astype(np.int64)
+            n_sub = np.bincount(
+                parent, weights=symcount[vids], minlength=n
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_words": pd.array(n_words, dtype="int64"),
+                "n_subwords": pd.array(n_sub, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(segment, batch_format="pandas")
 
 
 def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48):

@@ -311,6 +311,26 @@ def test_bpe_train_greedy_and_ties(ray_session):
     out3 = bpe_train(ray.data.from_pandas(docs3), num_merges=3)
     assert len(out3) == 0
 
+    # application: after (a,a) then (b,c) then (aa,aa), 'aaaa' is ONE
+    # subword, 'bc' is one, 'xyz' stays three chars
+    from searchengines_ray.stages.text import bpe_apply
+
+    seg = (
+        bpe_apply(ray.data.from_pandas(docs), out)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert seg.loc[1].tolist() == [3, 3]  # 'aaaa' x3 -> 1 subword each
+    assert seg.loc[2].tolist() == [6, 8]  # 5x'bc' -> 5 + 'xyz' -> 3
+    seg0 = (
+        bpe_apply(
+            ray.data.from_pandas(docs), out.iloc[0:0]
+        )  # no merges: chars
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert seg0.loc[1, "n_subwords"] == 12  # 3 x 4 chars
+
 
 def test_keep_best_drop_ids_paths(ray_session):
     """Quality-aware consolidation keeps the (quality desc, id asc)-best
