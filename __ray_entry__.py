@@ -713,6 +713,20 @@ def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_anchor_text(sf_dir: str) -> pd.DataFrame:
+    """Inlink-field construction: deterministic synthetic link graph
+    (doc d emits d%3 links, target (d*7+j*13)%N, anchor = j-th source
+    word), one dst-bucketed exchange, ordered per-target anchor concat.
+    The reference's Lucene index ships this pre-built ('inlink' field,
+    QryParser.java:159-165) — this is the stage that builds it."""
+    from searchengines_ray.stages.graph import anchor_text_agg, synth_links
+
+    docs = _docs(sf_dir)
+    links = synth_links(docs, docs.count())
+    out = anchor_text_agg(links).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bpe_segment(sf_dir: str) -> pd.DataFrame:
     """Train 5 BPE merges, then segment every doc with them (vocab-level
     application — each unique word segmented once, per-doc sums are
@@ -3065,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # newest-first so driver samples cover the least-proven operators
         "bm25_topk_pfor": _q_bm25_topk_pfor,
+        "anchor_text": _q_anchor_text,
         "bpe_merges": _q_bpe_merges,
         "bpe_segment": _q_bpe_segment,
         "chunk_documents": _q_chunk_documents,
@@ -5234,6 +5249,31 @@ def _oracle_sql_impl() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id
+        """,
+        "anchor_text": """
+            -- inlink-field build over the deterministic synthetic link
+            -- graph: anchors co-locate by target, ordered (src, j) concat
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+              FROM documents
+            ),
+            lk AS (
+              SELECT doc_id AS src, ws,
+                     unnest(generate_series(1, doc_id % 3)) AS j
+              FROM w
+            ),
+            links AS (
+              SELECT src, j,
+                     (src * 7 + j * 13)
+                       % (SELECT COUNT(*) FROM documents) AS dst,
+                     CASE WHEN len(ws) >= j THEN ws[j] ELSE '' END AS anchor
+              FROM lk
+            )
+            SELECT CAST(dst AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+                   string_agg(anchor, ' ' ORDER BY src, j) AS inlink_text
+            FROM links GROUP BY dst ORDER BY doc_id
         """,
         "bpe_merges": _bpe_sql(5),
         "bpe_segment": _bpe_apply_sql(5),

@@ -716,3 +716,102 @@ def triangle_count(
         close_count, batch_format="pandas"
     ).sum("n")
     return int(total or 0)
+
+
+def anchor_text_agg(links_ds, buckets: int = 64):
+    """Inlink / anchor-text field construction — the web-index build
+    stage the reference got for free from its pre-built Lucene index
+    (the ``inlink`` field of ``QryEval/QryParser.java:159-165`` is
+    exactly per-target aggregated anchor text).
+
+    Input: a links Dataset ``(src, dst, j, anchor)`` (``j`` = the link's
+    position within its source page — part of the deterministic order).
+    Output: one row per linked-to target:
+    ``(doc_id, n_inlinks, inlink_text)`` with
+    ``inlink_text = anchors ordered by (src, j)`` joined by spaces.
+
+    Scale: one dst-bucketed exchange (the unavoidable shuffle — anchors
+    must co-locate by target), vectorized per-bucket pandas aggregation
+    (the bucket-hash + map_groups pattern; never a Ray-native fine-key
+    groupby).  Hub pages with millions of inlinks make a bucket heavy
+    but never a driver structure.
+    """
+    import pandas as pd
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["src", "dst", "j", "anchor"]].copy()
+        out["_b"] = (
+            out["dst"].to_numpy().astype(np.int64) % buckets
+        ).astype(np.int32)
+        return out
+
+    def agg(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dst", "src", "j"], kind="mergesort")
+        per = g.groupby("dst", sort=True)
+        return pd.DataFrame(
+            {
+                "doc_id": per.size().index.to_numpy().astype(np.int64),
+                "n_inlinks": per.size().to_numpy().astype(np.int64),
+                "inlink_text": per["anchor"].agg(" ".join).to_numpy(),
+            }
+        )
+
+    return (
+        links_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
+def synth_links(docs_ds, n_docs: int):
+    """Deterministic link fixture over a documents Dataset: doc d emits
+    ``d % 3`` links, link j targets ``(d*7 + j*13) % n_docs`` with the
+    j-th word of d's text as anchor ('' when the text is shorter) — the
+    SQL oracle replays the same arithmetic."""
+    import pandas as pd
+
+    def gen(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        nl = ids % 3
+        total = int(nl.sum())
+        if not total:
+            return pd.DataFrame(
+                {
+                    "src": pd.array([], dtype="int64"),
+                    "dst": pd.array([], dtype="int64"),
+                    "j": pd.array([], dtype="int64"),
+                    "anchor": pd.array([], dtype="object"),
+                }
+            )
+        src = np.repeat(ids, nl)
+        j = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(nl)[:-1])), nl)
+            + 1
+        )
+        dst = (src * 7 + j * 13) % n_docs
+        # j-th word of the source text (vectorized split once per row)
+        words = [
+            __import__("re").findall(r"[0-9a-z]+", t.lower())
+            for t in batch["text"]
+        ]
+        wmap = {int(d): w for d, w in zip(ids, words)}
+        anchor = np.array(
+            [
+                wmap[int(s)][int(k) - 1]
+                if len(wmap[int(s)]) >= int(k)
+                else ""
+                for s, k in zip(src, j)
+            ],
+            dtype=object,
+        )
+        return pd.DataFrame(
+            {
+                "src": pd.array(src, dtype="int64"),
+                "dst": pd.array(dst, dtype="int64"),
+                "j": pd.array(j, dtype="int64"),
+                "anchor": pd.Series(anchor, dtype=object),
+            }
+        )
+
+    return docs_ds.map_batches(gen, batch_format="pandas")
