@@ -3455,8 +3455,15 @@ def _bpe_sql(k: int) -> str:
         CASE WHEN sp[pos+1] = r AND (acc = l OR ends_with(acc, '|' || l))
              THEN acc || r ELSE acc || '|' || sp[pos+1] END
       FROM fd{t} WHERE pos < len(sp)),
-    spl{t} AS MATERIALIZED (SELECT word, f, string_split(acc, '|') AS sp
-                            FROM fd{t} WHERE pos = len(sp))"""
+    spl{t} AS MATERIALIZED (
+      SELECT word, f, string_split(acc, '|') AS sp
+      FROM fd{t} WHERE pos = len(sp)
+      UNION ALL
+      -- merge exhaustion: when round {t} finds no pair (b{t} empty) the
+      -- fold seeds nothing — carry the words through unchanged so later
+      -- rounds and the bpe_segment join see the true segmentation
+      SELECT word, f, sp FROM spl{t-1}
+      WHERE NOT EXISTS (SELECT 1 FROM b{t}))"""
         )
     body = "WITH RECURSIVE " + ",".join(parts)
     final = " UNION ALL ".join(

@@ -901,22 +901,8 @@ def dedup_drop_ids(pairs, driver_max_pairs: Optional[int] = None) -> np.ndarray:
     a toy-scale run would otherwise pay; above it, distributed min-label
     propagation (:func:`..graph.connected_components`) keeps the pair
     graph off the driver entirely."""
-    if isinstance(pairs, pd.DataFrame):
-        return np.sort(
-            _nonroot_ids_np(
-                pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
-            )
-        )
-    limit = DRIVER_CC_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
-    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
-    if pairs.count() <= limit:
-        df = pairs.to_pandas()
-        return np.sort(
-            _nonroot_ids_np(df["doc_a"].to_numpy(), df["doc_b"].to_numpy())
-        )
-    from .graph import connected_components, nonroot_ids
-
-    return nonroot_ids(connected_components(pairs))
+    nodes, comp = _component_labels(pairs, driver_max_pairs)
+    return np.sort(nodes[comp != nodes])
 
 
 def minhash_dedup_survivors(ds, pairs):

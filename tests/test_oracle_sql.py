@@ -118,3 +118,22 @@ def test_shingle_pairs_template_anchor():
             entrymod._shingle_pairs_sql("somesrc")
         finally:
             entrymod._SHINGLE_PAIRS = orig
+
+
+def test_bpe_oracle_survives_merge_exhaustion(con):
+    """When the pair vocabulary exhausts before num_merges rounds, the
+    unrolled oracle must carry words through the dead rounds (an empty
+    b{t} used to cross-join the fold seed to empty, cascading spl{t..k}
+    to empty and reporting n_subwords=0 for every doc)."""
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["ab ab ab", "ab ab"]}
+    )
+    c = duckdb.connect()
+    c.register("documents", docs)
+    # round 1 merges (a,b); rounds 2..5 find no pairs
+    merges = c.execute(entrymod._bpe_sql(5)).df()
+    assert merges["merge_rank"].tolist() == [1]
+    assert merges.iloc[0]["lhs"] == "a" and merges.iloc[0]["rhs"] == "b"
+    seg = c.execute(entrymod._bpe_apply_sql(5)).df()
+    assert seg["n_subwords"].tolist() == [3, 2]
+    assert seg["n_words"].tolist() == [3, 2]
