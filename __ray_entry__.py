@@ -2670,7 +2670,7 @@ def _q_knn_join(sf_dir: str) -> pd.DataFrame:
     left = emb.map_batches(
         lambda b: b.loc[b["vec_id"] % 50 == 0], batch_format="pandas"
     )
-    out = knn_join(left, emb, k=5, partitions=4)
+    out = knn_join(left, emb, k=5, partitions=4).to_pandas()
     return (
         out[["query_id", "vec_id", "rank"]]
         .sort_values(["query_id", "rank"])

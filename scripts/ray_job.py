@@ -62,10 +62,13 @@ def main(argv=None) -> None:
     import ray
 
     if not ray.is_initialized():
-        # under `ray job submit` the address env var targets the cluster;
-        # standalone it falls back to a local session
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 include_dashboard=False, ignore_reinit_error=True)
+        # under `ray job submit` RAY_ADDRESS targets the cluster; when it
+        # is unset, pass NO address so ray.init starts a local session
+        # (address="auto" raises ConnectionError without a running
+        # cluster instead of falling back)
+        addr = os.environ.get("RAY_ADDRESS")
+        kw = {"address": addr} if addr else {}
+        ray.init(include_dashboard=False, ignore_reinit_error=True, **kw)
 
     import ray.data
 

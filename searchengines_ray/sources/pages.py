@@ -147,13 +147,23 @@ def _html_res():
             re.compile(r"(?is)<style\b[^>]*>.*?</style>"),
             re.compile(r"(?s)<!--.*?-->"),
             re.compile(r"<[^>]*>"),
-            re.compile(r"&#x([0-9a-fA-F]+);|&#([0-9]+);"),
+            re.compile(
+                r"&(?:#x([0-9a-fA-F]+)|#([0-9]+)|(amp|lt|gt|quot|apos));"
+            ),
         )
     return _HTML_SCRIPT_RE
 
 
-_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-             ("&#39;", "'"), ("&amp;", "&"))  # &amp; LAST (double-escape)
+_NAMED_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
+                   "apos": "'"}
+
+
+def _entity_sub(m) -> str:
+    if m.group(1):
+        return chr(int(m.group(1), 16))
+    if m.group(2):
+        return chr(int(m.group(2)))
+    return _NAMED_ENTITIES[m.group(3)]
 
 
 def extract_text(html: bytes) -> str:
@@ -165,37 +175,44 @@ def extract_text(html: bytes) -> str:
     2. drop <script>/<style> blocks (case-insensitive, non-greedy);
     3. drop comments;
     4. drop every remaining tag (``<[^>]*>``);
-    5. unescape numeric entities then the five core named entities,
-       ``&amp;`` last so double-escapes resolve correctly.
+    5. unescape entities (numeric hex/dec + the five core named ones)
+       in ONE simultaneous regex pass — replacement output is never
+       re-scanned, so ``&#38;lt;`` correctly yields the literal
+       ``&lt;`` and ``&amp;amp;`` yields ``&amp;`` (a sequential
+       decode chain double-decodes whichever form runs first).
 
     NO whitespace collapsing — byte fidelity is the contract; cleanup
     belongs to the downstream ``normalize_text`` stage.
     """
-    script, style, comment, tag, nument = _html_res()
+    script, style, comment, tag, ent = _html_res()
     s = (html or b"").decode("utf-8", errors="replace")
     s = script.sub("", s)
     s = style.sub("", s)
     s = comment.sub("", s)
     s = tag.sub("", s)
-    s = nument.sub(
-        lambda m: chr(int(m.group(1), 16)) if m.group(1)
-        else chr(int(m.group(2))),
-        s,
-    )
-    for ent, ch in _ENTITIES:
-        s = s.replace(ent, ch)
-    return s
+    return ent.sub(_entity_sub, s)
 
 
-def extract_pages(ds, html_col: str = "html", out_col: str = "text"):
+def extract_pages(
+    ds, html_col: str = "html", out_col: str = "text",
+    keep_html: bool = False,
+):
     """map_batches stage: add/overwrite ``out_col`` with the extracted
     text of ``html_col``.  Embarrassingly parallel; per-row work is a
-    fixed regex chain over the page bytes."""
+    fixed regex chain over the page bytes.
+
+    The raw bytes column is DROPPED by default: html is the heaviest
+    column of a crawl table and everything downstream (tokenize, index,
+    dedup) consumes only the text — carrying it through the pipeline is
+    the single biggest wasted byte-mover at 100 TB.  Pass
+    ``keep_html=True`` only when a later stage re-reads the bytes."""
     import pandas as pd
 
     def ex(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
         out[out_col] = [extract_text(h) for h in batch[html_col]]
+        if not keep_html and html_col != out_col:
+            out = out.drop(columns=[html_col])
         return out
 
     return ds.map_batches(ex, batch_format="pandas")

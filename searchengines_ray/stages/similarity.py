@@ -42,21 +42,45 @@ def _topk_tiebreak(s: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     return cand[order]
 
 
-def _merge_topk(partials, k: int) -> pd.DataFrame:
-    """Per-query merge of partial top-k rows: (cosine desc, vec_id asc)
-    tie-break — frozen rule so distributed and single-process runs agree."""
+def _merge_topk_ds(partials, k: int, buckets: int = 64):
+    """Per-query merge of partial top-k rows as a DATASET: (cosine desc,
+    vec_id asc) tie-break — frozen rule so distributed and
+    single-process runs agree.  Queries hash into ``buckets`` coarse
+    groups merged by ONE vectorized pandas callback each (a
+    groupby('query_id').map_groups here would pay one Python callback
+    per query — the fine-key anti-pattern)."""
 
-    def per_query(group: pd.DataFrame) -> pd.DataFrame:
+    def add_b(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_b"] = (
+            batch["query_id"].to_numpy().astype(np.int64) % buckets
+        ).astype(np.int32)
+        return batch
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(
-            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            ["query_id", "cosine", "vec_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g["rank"] = (g.groupby("query_id").cumcount() + 1).astype(
+            np.int64
+        )
+        g = g.loc[g["rank"] <= k]
         return g[["query_id", "vec_id", "cosine", "rank"]]
 
     return (
-        partials.groupby("query_id")
-        .map_groups(per_query, batch_format="pandas")
+        partials.map_batches(add_b, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _merge_topk(partials, k: int) -> pd.DataFrame:
+    """Driver-side convenience over :func:`_merge_topk_ds` — only for
+    ops whose query side is a bounded driver-held matrix (cosine_topk,
+    IVF search)."""
+    return (
+        _merge_topk_ds(partials, k)
         .to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
@@ -201,9 +225,11 @@ def knn_join(left_ds, right_ds, k: int = 5, partitions: int = 8):
     shuffle is O(nL * P + nR) rows, never O(nL * nR).  Each group runs
     one blockwise matmul and keeps a per-left partial top-k (combiner,
     tie-broken (cosine desc, vec_id asc) via ``_topk_tiebreak``); a
-    per-left ``map_groups`` merges the P partials.  Returns
-    ``(query_id, vec_id, cosine, rank)`` with query_id = left vec_id.
-    Pick P ~ sqrt(nR x nL / per-task budget) at scale.
+    query-bucketed vectorized merge folds the P partials.  Returns a
+    DATASET ``(query_id, vec_id, cosine, rank)`` with query_id = left
+    vec_id — nL*k rows is corpus-sized when the left is, so it never
+    lands on the driver here.  Pick P ~ sqrt(nR x nL / per-task
+    budget) at scale.
     """
     P = partitions
 
@@ -276,7 +302,9 @@ def knn_join(left_ds, right_ds, k: int = 5, partitions: int = 8):
         .groupby("g")
         .map_groups(group_topk, batch_format="pandas")
     )
-    return _merge_topk(partials, k)
+    # a corpus-sized left means corpus-sized results: stay a Dataset
+    # (the caller decides whether its left is small enough to collect)
+    return _merge_topk_ds(partials, k)
 
 
 class IVFIndex:

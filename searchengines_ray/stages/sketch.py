@@ -272,6 +272,13 @@ def bloom_member(ds, bloom_bits: np.ndarray, text_col: str = "text",
                 "in_bloom": pd.array(
                     ok.astype(np.int64), dtype="int64"
                 ),
+                # coarse dedup key: the fine-key groupby('term') shape
+                # costs one Python callback per distinct token (the
+                # sessionize 150s->11s lesson); 64 hash buckets dedup the
+                # same rows in 64 vectorized callbacks
+                "_b": pd.array(
+                    (h1 % np.int64(64)).astype(np.int32), dtype="int32"
+                ),
             }
         )
 
@@ -280,6 +287,6 @@ def bloom_member(ds, bloom_bits: np.ndarray, text_col: str = "text",
 
     return (
         ds.map_batches(check, batch_format="pandas")
-        .groupby("term")
+        .groupby("_b")
         .map_groups(dedup, batch_format="pandas")
     )

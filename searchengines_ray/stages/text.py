@@ -306,6 +306,37 @@ class Fingerprinter:
         )
 
 
+def _distinct_kgram_counts(
+    vids: np.ndarray, parent: np.ndarray, n_docs: int, k: int
+) -> np.ndarray:
+    """Per-doc count of DISTINCT word k-grams, exactly — dedup over the
+    (doc, vid_1..vid_k) id tuples (batch-local exact word ids, no
+    hashing), so the count matches the SQL oracle's
+    ``list_distinct`` over gram STRINGS even when two words share a
+    crc32/rolling hash.  One lexsort over the gram matrix; no Python
+    per-gram work."""
+    out = np.zeros(n_docs, dtype=np.int64)
+    m = len(vids) - k + 1
+    if m <= 0:
+        return out
+    valid = parent[:m] == parent[k - 1 :]
+    if not valid.any():
+        return out
+    cols = [vids[i : m + i][valid] for i in range(k)]
+    par = parent[:m][valid]
+    order = np.lexsort(tuple(reversed(cols)) + (par,))
+    par_s = par[order]
+    first = np.ones(len(par_s), dtype=bool)
+    if len(par_s) > 1:
+        diff = par_s[1:] != par_s[:-1]
+        for c in cols:
+            cs = c[order]
+            diff |= cs[1:] != cs[:-1]
+        first[1:] = diff
+    np.add.at(out, par_s[first], 1)
+    return out
+
+
 class RepetitionSignals:
     """Gopher/MassiveText-style within-document repetition quality signals:
 
@@ -319,14 +350,13 @@ class RepetitionSignals:
     """
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from .dedup import _batch_shingle_sets
-
         texts = ["" if t is None else t for t in batch["text"]]
         n = len(texts)
-        _, _, parent, counts = _flat_word_stream(texts)
+        _, vids, parent, counts = _flat_word_stream(texts)
         total3 = np.maximum(counts - 2, 0).astype(np.float64)
-        sets = _batch_shingle_sets(texts, 3)
-        distinct3 = np.asarray([len(s) for s in sets], dtype=np.float64)
+        distinct3 = _distinct_kgram_counts(vids, parent, n, 3).astype(
+            np.float64
+        )
         dup3 = np.zeros(n, dtype=np.float64)
         has3 = counts >= 3
         dup3[has3] = 1.0 - distinct3[has3] / total3[has3]
@@ -368,13 +398,13 @@ class GopherFilter:
       ``2*(total3 - distinct3) <= total3`` (docs under 3 words pass)
 
     Every rule is an INTEGER comparison, so the distributed result is
-    exact and the SQL mirror shares no float rounding at all.  One fused
-    shuffle-free pass (flat token stream + shingle sets reused).
+    exact and the SQL mirror shares no float rounding at all — distinct
+    3-grams count exact id TUPLES (``_distinct_kgram_counts``), not
+    rolling hashes, so a hash collision can never flip a verdict.  One
+    fused shuffle-free pass over the flat token stream.
     """
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from .dedup import _batch_shingle_sets
-
         texts = ["" if t is None else t for t in batch["text"]]
         n = len(texts)
         vocab, vids, parent, counts = _flat_word_stream(texts)
@@ -394,8 +424,7 @@ class GopherFilter:
             sum_wlen = np.zeros(n, dtype=np.int64)
             n_stop = np.zeros(n, dtype=np.int64)
         total3 = np.maximum(n_words - 2, 0)
-        sets = _batch_shingle_sets(texts, 3)
-        distinct3 = np.asarray([len(s) for s in sets], dtype=np.int64)
+        distinct3 = _distinct_kgram_counts(vids, parent, n, 3)
         n_lines = np.zeros(n, dtype=np.int64)
         distinct_l = np.zeros(n, dtype=np.int64)
         for i, t in enumerate(texts):

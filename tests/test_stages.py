@@ -2572,7 +2572,7 @@ def test_knn_join_matches_cosine_topk(ray_session):
     ).astype(np.float64)
     want = cosine_topk(emb, queries, k=5)  # query_id = positional 0..3
     left = ray.data.from_pandas(left_df)
-    got = knn_join(left, emb, k=5, partitions=3)
+    got = knn_join(left, emb, k=5, partitions=3).to_pandas()
     qids = left_df["vec_id"].tolist()
     for pos, qid in enumerate(qids):
         w = want[want.query_id == pos].sort_values("rank")
@@ -2590,6 +2590,9 @@ def test_html_extract_byte_identity():
         b"<STYLE>p{}</STYLE>ok": "ok",
         b"<!-- c -->a<br/>b": "ab",
         b"&lt;tag&gt; &amp;amp; &#65;&#x42; &#39;q&quot;": "<tag> &amp; AB 'q\"",
+        # numeric-escaped ampersand must NOT double-decode (single-pass)
+        b"&#38;lt; &#38;amp; &#x26;gt;": "&lt; &amp; &gt;",
+        b"&apos;x&apos;": "'x'",
         b"": "",
         b"line1\nline2": "line1\nline2",  # whitespace untouched
     }
