@@ -223,6 +223,89 @@ def _q_bm25_topk_pfor(sf_dir: str) -> pd.DataFrame:
     return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
 
 
+def _deleted_ids(sf_dir: str) -> np.ndarray:
+    import ray.data
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        .map_batches(
+            lambda b: b.loc[b["doc_id"] % 37 == 0, ["doc_id"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+
+def _q_bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-20 over a TOMBSTONED index (doc_id % 37 == 0 deleted via
+    delete_docs): deleted docs vanish from results immediately while
+    df/ctf/doclen statistics keep pre-delete values until purge — the
+    Lucene liveDocs semantics (Idx.java numDocs vs maxDoc).  Served
+    through the ACTOR scatter/gather path (each searcher actor loads the
+    tombstone set itself at startup).  Oracle = the full-corpus scoring
+    SQL with deleted docs excluded before ranking."""
+    from searchengines_ray.index.compact import delete_docs
+
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|tomb|v6".encode(), digest_size=6
+    ).hexdigest()
+    out = f"/tmp/seray_index/{tag}"
+    if not os.path.exists(os.path.join(out, "DONE")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        build_index(
+            pages_from_documents(sf_dir),
+            out,
+            config=SIMPLE_ANALYZER,
+            docs_per_segment=512,
+            dedup=False,
+            termstats=False,
+        )
+        delete_docs(out, _deleted_ids(sf_dir))
+        open(os.path.join(out, "DONE"), "w").close()
+    eng = SearchEngine(out, config=SIMPLE_ANALYZER, num_searchers=2)
+    return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
+
+
+def _q_bm25_topk_purged(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-20 after PURGE: purge_deleted rewrites every segment
+    holding a tombstoned doc (one Ray task each), recomputes global
+    stats from the surviving manifests and clears the tombstones — the
+    index must be rank-identical to a fresh build over the surviving
+    corpus, so the oracle is the standard scoring SQL over the FILTERED
+    documents table (post-purge df/ctf/doclen)."""
+    from searchengines_ray.index.compact import delete_docs, purge_deleted
+
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|purge|v6".encode(), digest_size=6
+    ).hexdigest()
+    out = f"/tmp/seray_index/{tag}"
+    if not os.path.exists(os.path.join(out, "DONE")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        build_index(
+            pages_from_documents(sf_dir),
+            out,
+            config=SIMPLE_ANALYZER,
+            docs_per_segment=512,
+            dedup=False,
+            termstats=False,
+        )
+        delete_docs(out, _deleted_ids(sf_dir))
+        purge_deleted(out)
+        open(os.path.join(out, "DONE"), "w").close()
+    eng = SearchEngine(out, config=SIMPLE_ANALYZER, num_searchers=0)
+    return _simple_ranked(eng.search_batch(BM25_QUERIES, BM25(), k=None))
+
+
 def _q_bm25_topk_incremental(sf_dir: str) -> pd.DataFrame:
     """BM25 top-20 served from an INCREMENTALLY built index: half the
     corpus (even doc_ids) via build_index, the other half appended later
@@ -3079,6 +3162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # newest-first so driver samples cover the least-proven operators
         "bm25_topk_pfor": _q_bm25_topk_pfor,
+        "bm25_topk_deleted": _q_bm25_topk_deleted,
+        "bm25_topk_purged": _q_bm25_topk_purged,
         "anchor_text": _q_anchor_text,
         "bpe_merges": _q_bpe_merges,
         "bpe_segment": _q_bpe_segment,
@@ -4070,6 +4155,16 @@ def oracle_sql() -> dict[str, str]:
     # small-segment index (the entry builds 64-doc segments, then merges)
     sqls["bm25_topk_merged"] = sqls["bm25_topk_simple"]
     sqls["bm25_topk_pfor"] = sqls["bm25_topk_simple"]
+    # tombstoned serving: full-corpus statistics, deleted docs excluded
+    # from the ranking only (the liveDocs contract)
+    sqls["bm25_topk_deleted"] = sqls["bm25_topk_simple"].replace(
+        "FROM scores", "FROM scores WHERE doc_id % 37 <> 0"
+    )
+    # purged index: statistics AND results are those of the surviving
+    # corpus (both _TOKS and the corpus CTE read the filtered table)
+    sqls["bm25_topk_purged"] = sqls["bm25_topk_simple"].replace(
+        "FROM documents", "FROM documents WHERE doc_id % 37 <> 0"
+    )
     # incremental half+half build is exactly a one-shot build by contract
     sqls["bm25_topk_incremental"] = sqls["bm25_topk_simple"]
     sqls["ltr_norm"] = _ltr_norm_sql(sqls["ltr_features_simple"])

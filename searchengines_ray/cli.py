@@ -213,6 +213,53 @@ def cmd_inspect(args) -> None:
     )
 
 
+def cmd_delete(args) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .index.compact import delete_docs
+    from .index.shard import segment_dirs
+
+    ids = []
+    if args.doc_ids:
+        ids.extend(int(x) for x in args.doc_ids.split(","))
+    if args.urls:
+        # resolve through the index's own docmeta (authoritative url ->
+        # docid map — ids may be caller-assigned, not url hashes); a
+        # pruned two-column scan, bounded work for an offline admin op
+        want = set(args.urls.split(","))
+        for d in segment_dirs(args.index):
+            dm = pq.read_table(
+                os.path.join(d, "docmeta.parquet"),
+                columns=["doc_id", "url"],
+            )
+            for did, u in zip(
+                dm.column("doc_id").to_pylist(), dm.column("url").to_pylist()
+            ):
+                if u in want:
+                    ids.append(int(did))
+                    want.discard(u)
+            if not want:
+                break
+        if want:
+            raise SystemExit(f"urls not in index: {sorted(want)}")
+    n = delete_docs(args.index, ids)
+    print(json.dumps({"tombstoned": n}))
+
+
+def cmd_purge(args) -> None:
+    _ensure_ray()
+    from .index.compact import purge_deleted
+
+    stats = purge_deleted(args.index)
+    print(
+        json.dumps(
+            {"n_docs": stats["n_docs"], "n_segments": stats["n_segments"]}
+        )
+    )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="searchengines_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -260,6 +307,22 @@ def main(argv=None) -> None:
     )
     i.add_argument("--postings", action="store_true")
     i.set_defaults(fn=cmd_inspect)
+
+    d = sub.add_parser(
+        "delete", help="tombstone docs (results exclude them immediately; "
+        "stats keep pre-delete values until purge)"
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", help="comma-separated global doc ids")
+    d.add_argument("--urls", help="comma-separated urls (hashed to ids)")
+    d.set_defaults(fn=cmd_delete)
+
+    g = sub.add_parser(
+        "purge", help="rewrite segments without tombstoned docs and "
+        "recompute global stats (post-purge == fresh build over survivors)"
+    )
+    g.add_argument("--index", required=True)
+    g.set_defaults(fn=cmd_purge)
 
     args = p.parse_args(argv)
     args.fn(args)

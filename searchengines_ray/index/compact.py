@@ -35,6 +35,7 @@ import hashlib
 import json
 import os
 import shutil
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -105,10 +106,18 @@ def _permute_position_blocks(
     return flat[off + within]
 
 
-def merge_group(index_dir: str, seg_names: list[str]) -> pa.Table:
+def merge_group(
+    index_dir: str,
+    seg_names: list[str],
+    drop: Optional[np.ndarray] = None,
+) -> pa.Table:
     """Merge one group of segments into a single new segment; returns a
     one-row manifest table.  Idempotent (skips if the merged segment is
-    already committed); deletes sources after commit either way."""
+    already committed); deletes sources after commit either way.
+
+    ``drop`` (sorted global doc_ids) purges those docs during the merge
+    — the segment name is then salted with the drop-set hash so a purge
+    of a single segment never collides with its own source name."""
     if pa.cpu_count() != 1:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
@@ -118,7 +127,11 @@ def merge_group(index_dir: str, seg_names: list[str]) -> pa.Table:
     for s in seg_names:
         h.update(s.encode())
         h.update(b"\x00")
-    name = f"seg-m{h.hexdigest()}"
+    prefix = "m"
+    if drop is not None and len(drop):
+        prefix = "p"
+        h.update(np.asarray(drop, dtype="<i8").tobytes())
+    name = f"seg-{prefix}{h.hexdigest()}"
     seg_dir = os.path.join(seg_root, name)
     manifest_path = os.path.join(seg_dir, "MANIFEST.json")
     if os.path.exists(manifest_path):
@@ -126,14 +139,18 @@ def merge_group(index_dir: str, seg_names: list[str]) -> pa.Table:
             m = json.load(f)
         m["resumed"] = True
     else:
-        m = _merge_group_inner(seg_root, seg_names, seg_dir, name)
+        m = _merge_group_inner(seg_root, seg_names, seg_dir, name, drop)
     for src in seg_names:  # post-commit cleanup (repair_merges covers crashes)
         shutil.rmtree(os.path.join(seg_root, src), ignore_errors=True)
     return _manifest_table(m)
 
 
 def _merge_group_inner(
-    seg_root: str, seg_names: list[str], seg_dir: str, name: str
+    seg_root: str,
+    seg_names: list[str],
+    seg_dir: str,
+    name: str,
+    drop: Optional[np.ndarray] = None,
 ) -> dict:
     import time
 
@@ -159,10 +176,26 @@ def _merge_group_inner(
             codecs.append("bw")
     out_codec = codecs[0]
 
-    merged_dm = pa.concat_tables(dms)
+    # purge support: per-source alive mask over LOCAL doc indices; dead
+    # docs vanish from docmeta, postings, forward index and manifest
+    # counts — post-purge statistics are those of a fresh build over the
+    # surviving corpus (pinned in tests)
+    if drop is not None and len(drop):
+        alive = [
+            ~np.isin(dm.column("doc_id").to_numpy(), drop) for dm in dms
+        ]
+    else:
+        alive = [None] * len(dms)
+    dms_f = [
+        dm.filter(pa.array(a)) if a is not None else dm
+        for dm, a in zip(dms, alive)
+    ]
+    merged_dm = pa.concat_tables(dms_f)
     merged_dm = merged_dm.take(pc.sort_indices(merged_dm.column("doc_id")))
     new_ids = merged_dm.column("doc_id").to_numpy()
-    # per-source local idx -> merged local idx (doc_ids globally unique)
+    # per-source local idx -> merged local idx (doc_ids globally unique;
+    # entries of dead local ids are garbage but postings filter on the
+    # alive mask before mapping)
     maps = [
         np.searchsorted(new_ids, dm.column("doc_id").to_numpy()) for dm in dms
     ]
@@ -209,15 +242,22 @@ def _merge_group_inner(
         parts_d, parts_t, parts_p = [], [], []
         for j in range(a, b):
             s, r = int(segs_np[j]), int(rows_np[j])
-            d = encode.decode_doc_ids(docs_cols[s][r].as_py(), codecs[s])
-            parts_d.append(maps[s][d.astype(np.int64)])
-            parts_t.append(
-                encode.decode_values(tfs_cols[s][r].as_py(), codecs[s])
-            )
-            parts_p.append(
-                encode.decode_values(pos_cols[s][r].as_py(), codecs[s])
-            )
+            d = encode.decode_doc_ids(
+                docs_cols[s][r].as_py(), codecs[s]
+            ).astype(np.int64)
+            t_v = encode.decode_values(tfs_cols[s][r].as_py(), codecs[s])
+            p_v = encode.decode_values(pos_cols[s][r].as_py(), codecs[s])
+            if alive[s] is not None:
+                m = alive[s][d]
+                if not m.all():
+                    p_v = p_v[np.repeat(m, t_v.astype(np.int64))]
+                    d, t_v = d[m], t_v[m]
+            parts_d.append(maps[s][d])
+            parts_t.append(t_v)
+            parts_p.append(p_v)
         docs = np.concatenate(parts_d).astype(np.int64)
+        if len(docs) == 0:
+            continue  # every posting of this term was tombstoned
         tfs = np.concatenate(parts_t).astype(np.int64)
         flat_pos = np.concatenate(parts_p)
         order = np.argsort(docs, kind="stable")
@@ -253,6 +293,9 @@ def _merge_group_inner(
     fwd_paths = [os.path.join(seg_root, s, "fwd.parquet") for s in seg_names]
     if all(os.path.exists(p) for p in fwd_paths):
         fwd = pa.concat_tables(pq.read_table(p) for p in fwd_paths)
+        if drop is not None and len(drop):
+            keep = ~np.isin(fwd.column("doc_id").to_numpy(), drop)
+            fwd = fwd.filter(pa.array(keep))
         fwd = fwd.take(
             pc.sort_indices(
                 fwd, sort_keys=[("doc_id", "ascending"), ("field", "ascending")]
@@ -320,4 +363,91 @@ def merge_segments(index_dir: str, target_docs: int = 50_000) -> dict:
     stats["n_segments"] = len(list_segments(index_dir))
     with open(os.path.join(index_dir, STATS_FILE), "w") as f:
         json.dump(stats, f, indent=1)
+    return stats
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone the given global doc_ids (takedown / GDPR-erasure
+    lifecycle).  Deletes are RESULT FILTERS until :func:`purge_deleted`
+    rewrites the segments: query results exclude the docs immediately,
+    while df/ctf/doclen statistics keep their pre-delete values — the
+    Lucene liveDocs semantics the reference's Idx reader inherits
+    (numDocs vs maxDoc, ``/root/reference/QryEval/Idx.java:60-63``).
+
+    Atomic + idempotent: the tombstone file name is a content hash of
+    the sorted id set, written tmp-then-rename; re-deleting the same set
+    is a no-op.  Returns the number of ids recorded."""
+    from .shard import TOMBSTONES_DIR
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) == 0:
+        return 0
+    root = os.path.join(index_dir, TOMBSTONES_DIR)
+    os.makedirs(root, exist_ok=True)
+    h = hashlib.blake2b(ids.tobytes(), digest_size=8).hexdigest()
+    final = os.path.join(root, f"del-{h}.parquet")
+    if not os.path.exists(final):
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            os.unlink(tmp)
+            if not os.path.exists(final):
+                raise
+    return int(len(ids))
+
+
+def purge_deleted(index_dir: str, termstats: bool = True) -> dict:
+    """Physically remove tombstoned docs: every segment holding a dead
+    doc is rewritten without it (one Ray task per segment — the
+    compaction machinery with a drop set), global stats are recomputed
+    from the surviving manifests, the termstats table is rebuilt, and
+    the tombstones clear.  Post-purge the index is bit-identical to a
+    fresh build over the surviving corpus (pinned in tests).  Returns
+    the updated stats dict."""
+    import ray.data
+
+    from .build import recompute_stats, _build_termstats, TERMSTATS_DIR
+    from .shard import TOMBSTONES_DIR, load_tombstones
+
+    tomb = load_tombstones(index_dir)
+    stats_path = os.path.join(index_dir, STATS_FILE)
+    if len(tomb) == 0:
+        with open(stats_path) as f:
+            return json.load(f)
+    repair_merges(index_dir)
+    seg_root = os.path.join(index_dir, SEGMENT_DIR)
+    targets = []
+    for s in list_segments(index_dir):
+        ids = (
+            pq.read_table(
+                os.path.join(seg_root, s, "docmeta.parquet"),
+                columns=["doc_id"],
+            )
+            .column("doc_id")
+            .to_numpy()
+        )
+        if np.isin(ids, tomb).any():
+            targets.append(s)
+    if targets:
+        payload = [{"si": i} for i in range(len(targets))]
+
+        def run(batch: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for si in batch["si"]:
+                t = merge_group(index_dir, [targets[int(si)]], drop=tomb)
+                frames.append(t.to_pandas())
+            return pd.concat(frames, ignore_index=True)
+
+        ray.data.from_items(
+            payload, override_num_blocks=len(payload)
+        ).map_batches(run, batch_format="pandas", batch_size=1).materialize()
+
+    stats = recompute_stats(index_dir)
+    ts_dir = os.path.join(index_dir, TERMSTATS_DIR)
+    if termstats and os.path.isdir(ts_dir):
+        shutil.rmtree(ts_dir, ignore_errors=True)
+        _build_termstats(index_dir, list_segments(index_dir))
+    shutil.rmtree(os.path.join(index_dir, TOMBSTONES_DIR), ignore_errors=True)
     return stats

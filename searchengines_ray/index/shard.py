@@ -83,6 +83,22 @@ class Segment:
         self._cache: dict[tuple[str, str], Optional[PostingList]] = {}
         self._cache_cap = decode_cache
         self._fwd = None
+        # tombstone mask over LOCAL doc indices (None = no deletes).
+        # Deletes are result-filters only: postings, df/ctf and doclen
+        # stats keep their pre-delete values until purge_deleted rewrites
+        # the segment (the Lucene liveDocs semantics the reference's
+        # Idx reader inherits: deleted docs vanish from results but
+        # still count in index statistics until merge).
+        self.dead: Optional[np.ndarray] = None
+
+    def set_tombstones(self, tomb_ids: np.ndarray) -> None:
+        """Install the index-level tombstone set (sorted global doc_ids);
+        computes this segment's local dead mask once."""
+        if tomb_ids is None or len(tomb_ids) == 0:
+            self.dead = None
+            return
+        mask = np.isin(self.doc_ids, tomb_ids)
+        self.dead = mask if mask.any() else None
 
     def postings(self, field: str, term: str) -> Optional[PostingList]:
         key = (field, term)
@@ -166,6 +182,28 @@ class Segment:
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, STATS_FILE)) as f:
         return json.load(f)
+
+
+TOMBSTONES_DIR = "tombstones"
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Union of all committed tombstone files as a sorted unique int64
+    array (empty when no deletes).  Deletion lists are explicit inputs
+    (takedowns, GDPR erasure) — bounded by the request volume, never
+    corpus-sized; every searcher loads them once at startup."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join(index_dir, TOMBSTONES_DIR)
+    parts = [
+        pq.read_table(p, columns=["doc_id"]).column("doc_id").to_numpy()
+        for p in sorted(glob.glob(os.path.join(root, "del-*.parquet")))
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts).astype(np.int64))
 
 
 def list_segments(index_dir: str) -> list[str]:

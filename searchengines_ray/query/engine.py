@@ -29,7 +29,13 @@ from typing import Optional, Sequence
 import pandas as pd
 
 from ..analysis import AnalyzerConfig, DEFAULT_ANALYZER
-from ..index.shard import Segment, load_stats, load_termstats, segment_dirs
+from ..index.shard import (
+    Segment,
+    load_stats,
+    load_termstats,
+    load_tombstones,
+    segment_dirs,
+)
 from ..models import RetrievalModel
 from ..parser import Node, parse_query
 from .exec import (
@@ -75,6 +81,10 @@ class LocalSearcher:
         self.stats = load_stats(index_dir)
         dirs = list(seg_dirs) if seg_dirs is not None else segment_dirs(index_dir)
         self.segments = [Segment(d) for d in dirs]
+        tomb = load_tombstones(index_dir)
+        if len(tomb):
+            for seg in self.segments:
+                seg.set_tombstones(tomb)
         # per-batch composite-Iop memo: (batch token) -> per-segment caches;
         # the stats pass and the scoring pass share one evaluation
         self._iop_token = None

@@ -427,6 +427,11 @@ def segment_topk(
     """Per-segment top-k under the (score desc, url asc) composite key
     (``ScoreList.java:90-106``).  Returns [(global doc_id, url, score)]."""
     docs, scores = ev.docs, ev.scores
+    if seg.dead is not None and len(docs):
+        # tombstoned docs drop BEFORE truncation (a deleted doc must not
+        # displace a survivor from the top-k)
+        alive = ~seg.dead[docs]
+        docs, scores = docs[alive], scores[alive]
     if len(docs) == 0:
         return []
     if k is not None and len(docs) > k:

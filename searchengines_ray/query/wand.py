@@ -168,6 +168,13 @@ def bm25_wand_topk(
             break  # even all terms together fall strictly below threshold
         pivot_doc = live[pivot_i].doc()
         if live[0].doc() == pivot_doc:
+            # tombstoned docs never score and never move the threshold —
+            # identical to them not existing (deletes filter results only)
+            if seg.dead is not None and seg.dead[pivot_doc]:
+                for c in live:
+                    if c.doc() == pivot_doc:
+                        c.advance_to(pivot_doc + 1)
+                continue
             # block-max refinement at the pivot doc
             block_acc = 0.0
             for c in live[: pivot_i + 1]:

@@ -5,6 +5,8 @@ the (score desc, url asc) tie-break."""
 
 import os
 
+import numpy as np
+import pyarrow as pa
 import pytest
 
 from searchengines_ray.index.build import build_index
@@ -426,3 +428,81 @@ def test_merge_commit_failure_preserves_sources(
     monkeypatch.undo()
     after = list_segments(merged_dir)
     assert after == before  # nothing deleted, nothing committed
+
+
+def test_tombstone_then_purge_lifecycle(tmp_path_factory, ray_session):
+    """Deletes: tombstoned serving == full serving with deleted docs
+    filtered then re-truncated (scores unchanged — pre-delete stats),
+    through both the in-process and WAND paths; purge: the rewritten
+    index is bit-identical to a fresh build over the surviving corpus
+    (results AND stats)."""
+    import ray.data
+
+    from searchengines_ray.index.build import doc_id_from_url
+    from searchengines_ray.index.compact import delete_docs, purge_deleted
+    from searchengines_ray.index.shard import load_tombstones
+
+    tbl = synth_pages(n=200, seed=41, vocab=250, dup_frac=0.0)
+    urls = tbl.column("url").to_pylist()
+    all_ids = sorted(doc_id_from_url(u) for u in urls)
+    dead = np.asarray(all_ids[::5], dtype=np.int64)  # every 5th doc
+
+    tomb_dir = str(tmp_path_factory.mktemp("idx_tomb"))
+    build_index(
+        ray.data.from_arrow(tbl.drop_columns(["html"])),
+        tomb_dir, docs_per_segment=40, dedup=False,
+    )
+    qs = [(str(i), q) for i, q in enumerate(QUERIES)]
+    full = SearchEngine(tomb_dir, num_searchers=0).search_batch(
+        qs, MODELS[0], k=None
+    )
+
+    assert delete_docs(tomb_dir, dead) == len(dead)
+    assert delete_docs(tomb_dir, dead) == len(dead)  # idempotent re-add
+    assert len(load_tombstones(tomb_dir)) == len(dead)
+    tomb_eng = SearchEngine(tomb_dir, num_searchers=0)
+    got = tomb_eng.search_batch(qs, MODELS[0], k=15)
+    dead_set = set(int(d) for d in dead)
+    want_rows = []
+    for qid in got.qid.unique():  # search_batch emits input order
+        sub = full[full.qid == qid]
+        sub = sub[~sub.doc_id.isin(dead_set)].head(15)
+        want_rows.extend(zip(sub.url.tolist(), sub.score.tolist()))
+    assert list(zip(got.url.tolist(), got.score.tolist())) == want_rows
+
+    # block-max WAND honors tombstones (bag-of-words query, forced WAND)
+    bag = [("w", "w0001 w0002 w0003 w0004")]
+    ex = tomb_eng.search_batch(bag, MODELS[0], k=10, use_wand=False)
+    wd = tomb_eng.search_batch(bag, MODELS[0], k=10, use_wand=True)
+    assert ex.url.tolist() == wd.url.tolist()
+    assert ex.score.tolist() == wd.score.tolist()
+    assert not any(d in dead_set for d in wd.doc_id.tolist())
+
+    # actor path loads tombstones at startup
+    act = SearchEngine(tomb_dir, num_searchers=2).search_batch(
+        qs, MODELS[0], k=15
+    )
+    assert act.url.tolist() == got.url.tolist()
+
+    # purge: bit-identical to a fresh build over the surviving corpus
+    stats_p = purge_deleted(tomb_dir)
+    assert len(load_tombstones(tomb_dir)) == 0
+    keep_mask = [
+        doc_id_from_url(u) not in dead_set for u in urls
+    ]
+    fresh_dir = str(tmp_path_factory.mktemp("idx_fresh"))
+    stats_f = build_index(
+        ray.data.from_arrow(
+            tbl.drop_columns(["html"]).filter(pa.array(keep_mask))
+        ),
+        fresh_dir, docs_per_segment=40, dedup=False,
+    )
+    assert stats_p["n_docs"] == stats_f["n_docs"]
+    assert stats_p["doc_count"] == stats_f["doc_count"]
+    assert stats_p["sum_field_len"] == stats_f["sum_field_len"]
+    assert stats_p["n_postings"] == stats_f["n_postings"]
+    for m in (MODELS[0], MODELS[2]):
+        a = SearchEngine(tomb_dir, num_searchers=0).search_batch(qs, m, k=15)
+        b = SearchEngine(fresh_dir, num_searchers=0).search_batch(qs, m, k=15)
+        assert a.url.tolist() == b.url.tolist()
+        assert a.score.tolist() == b.score.tolist()
