@@ -314,7 +314,11 @@ def main(argv=None) -> None:
     )
     d.add_argument("--index", required=True)
     d.add_argument("--doc-ids", help="comma-separated global doc ids")
-    d.add_argument("--urls", help="comma-separated urls (hashed to ids)")
+    d.add_argument(
+        "--urls",
+        help="comma-separated urls, resolved to doc ids through the "
+        "index's own docmeta (ids may be caller-assigned)",
+    )
     d.set_defaults(fn=cmd_delete)
 
     g = sub.add_parser(

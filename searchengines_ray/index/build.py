@@ -588,6 +588,48 @@ def update_index(
         # homogeneous index keeps compaction single-codec)
         codec=prev.get("codec", "bw"),
     )
+    # delete-then-re-add is the document-update idiom (Lucene liveDocs):
+    # a re-indexed doc must serve again — as ONE copy.  BEFORE appending,
+    # (a) find the appended ids covered by tombstones (distributed filter
+    # against the bounded tombstone set; only covered ids, <= tombstone
+    # count, reach the driver), (b) physically drop the OLD copies from
+    # their segments (otherwise the same doc_id would serve from two
+    # segments), (c) clear those tombstones.
+    from .shard import load_tombstones
+
+    tomb = load_tombstones(out_dir)
+    if len(tomb):
+        import ray
+
+        pages = pages.materialize()  # consumed twice: covered scan + write
+        tref = ray.put(tomb)
+
+        def covered(batch: pa.Table) -> pa.Table:
+            t = ray.get(tref)
+            if "doc_id" in batch.column_names:
+                ids = batch.column("doc_id").to_numpy()
+            else:
+                ids = np.asarray(
+                    [
+                        doc_id_from_url(u)
+                        for u in batch.column("url").to_pylist()
+                    ],
+                    dtype=np.int64,
+                )
+            m = np.isin(ids.astype(np.int64), t)
+            return pa.table({"doc_id": pa.array(ids[m], pa.int64())})
+
+        cov = (
+            pages.map_batches(covered, batch_format="pyarrow")
+            .to_pandas()["doc_id"]
+            .to_numpy()
+        )
+        if len(cov):
+            from .compact import drop_ids_from_segments, remove_tombstones
+
+            drop_ids_from_segments(out_dir, cov)
+            remove_tombstones(out_dir, cov)
+
     pages.map_batches(
         fn, batch_format="pyarrow", batch_size=docs_per_segment
     ).materialize()

@@ -398,6 +398,64 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(len(ids))
 
 
+def drop_ids_from_segments(index_dir: str, ids: np.ndarray) -> None:
+    """Rewrite every segment holding any of ``ids`` without those docs —
+    one Ray task per segment; dead-doc detection runs INSIDE the task (a
+    serial driver scan of every docmeta would be a corpus-sized blocking
+    pass) and untouched segments are left alone.  Shared by
+    :func:`purge_deleted` and the update path's delete-then-re-add
+    handling.  Does NOT touch stats/termstats/tombstones — callers own
+    those."""
+    import ray
+    import ray.data
+
+    segs = list_segments(index_dir)
+    if not segs or len(ids) == 0:
+        return
+    seg_root = os.path.join(index_dir, SEGMENT_DIR)
+    iref = ray.put(np.asarray(ids, dtype=np.int64))
+    payload = [{"si": i} for i in range(len(segs))]
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(iref)
+        frames = []
+        for si in batch["si"]:
+            s = segs[int(si)]
+            seg_ids = (
+                pq.read_table(
+                    os.path.join(seg_root, s, "docmeta.parquet"),
+                    columns=["doc_id"],
+                )
+                .column("doc_id")
+                .to_numpy()
+            )
+            if np.isin(seg_ids, drop).any():
+                frames.append(
+                    merge_group(index_dir, [s], drop=drop).to_pandas()
+                )
+        if not frames:
+            # manifest-shaped empty block (mixed schemas break the
+            # downstream concat)
+            empty = {
+                "segment": pd.array([], dtype="object"),
+                "n_docs": pd.array([], dtype="int64"),
+                "n_terms": pd.array([], dtype="int64"),
+                "n_postings": pd.array([], dtype="int64"),
+                "wall_s": pd.array([], dtype="float64"),
+                "bytes": pd.array([], dtype="int64"),
+                "resumed": pd.array([], dtype="int64"),
+            }
+            for f in FIELDS:
+                empty[f"doc_count_{f}"] = pd.array([], dtype="int64")
+                empty[f"sum_len_{f}"] = pd.array([], dtype="int64")
+            return pd.DataFrame(empty)
+        return pd.concat(frames, ignore_index=True)
+
+    ray.data.from_items(
+        payload, override_num_blocks=len(payload)
+    ).map_batches(run, batch_format="pandas", batch_size=1).materialize()
+
+
 def purge_deleted(index_dir: str, termstats: bool = True) -> dict:
     """Physically remove tombstoned docs: every segment holding a dead
     doc is rewritten without it (one Ray task per segment — the
@@ -417,33 +475,7 @@ def purge_deleted(index_dir: str, termstats: bool = True) -> dict:
         with open(stats_path) as f:
             return json.load(f)
     repair_merges(index_dir)
-    seg_root = os.path.join(index_dir, SEGMENT_DIR)
-    targets = []
-    for s in list_segments(index_dir):
-        ids = (
-            pq.read_table(
-                os.path.join(seg_root, s, "docmeta.parquet"),
-                columns=["doc_id"],
-            )
-            .column("doc_id")
-            .to_numpy()
-        )
-        if np.isin(ids, tomb).any():
-            targets.append(s)
-    if targets:
-        payload = [{"si": i} for i in range(len(targets))]
-
-        def run(batch: pd.DataFrame) -> pd.DataFrame:
-            frames = []
-            for si in batch["si"]:
-                t = merge_group(index_dir, [targets[int(si)]], drop=tomb)
-                frames.append(t.to_pandas())
-            return pd.concat(frames, ignore_index=True)
-
-        ray.data.from_items(
-            payload, override_num_blocks=len(payload)
-        ).map_batches(run, batch_format="pandas", batch_size=1).materialize()
-
+    drop_ids_from_segments(index_dir, tomb)
     stats = recompute_stats(index_dir)
     ts_dir = os.path.join(index_dir, TERMSTATS_DIR)
     if termstats and os.path.isdir(ts_dir):
@@ -451,3 +483,50 @@ def purge_deleted(index_dir: str, termstats: bool = True) -> dict:
         _build_termstats(index_dir, list_segments(index_dir))
     shutil.rmtree(os.path.join(index_dir, TOMBSTONES_DIR), ignore_errors=True)
     return stats
+
+
+def remove_tombstones(index_dir: str, doc_ids: np.ndarray) -> int:
+    """Un-delete: drop the given ids from the tombstone set (the
+    delete-then-re-add document-update idiom — a re-indexed doc must
+    serve again, as Lucene's liveDocs would).  Protocol: write the
+    consolidated survivor file FIRST, then unlink the old files; a crash
+    between the two unions old and new (the re-added ids stay deleted —
+    a semantics regression, never corruption) and the next update run
+    re-clears it.  Returns the number of ids removed."""
+    from .shard import TOMBSTONES_DIR, load_tombstones
+
+    ids = np.asarray(list(doc_ids), dtype=np.int64)
+    tomb = load_tombstones(index_dir)
+    if len(tomb) == 0 or len(ids) == 0:
+        return 0
+    keep = tomb[~np.isin(tomb, ids)]
+    removed = len(tomb) - len(keep)
+    if removed == 0:
+        return 0
+    import glob
+
+    root = os.path.join(index_dir, TOMBSTONES_DIR)
+    old = sorted(glob.glob(os.path.join(root, "del-*.parquet")))
+    kept_name = None
+    if len(keep):
+        h = hashlib.blake2b(
+            np.ascontiguousarray(keep).tobytes(), digest_size=8
+        ).hexdigest()
+        kept_name = os.path.join(root, f"del-{h}.parquet")
+        tmp = kept_name + f".tmp-{os.getpid()}"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(keep, pa.int64())}), tmp
+        )
+        try:
+            os.rename(tmp, kept_name)
+        except OSError:
+            os.unlink(tmp)
+            if not os.path.exists(kept_name):
+                raise
+    for p in old:
+        if p != kept_name:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    return int(removed)

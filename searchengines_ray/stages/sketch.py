@@ -254,10 +254,13 @@ def bloom_member(ds, bloom_bits: np.ndarray, text_col: str = "text",
         vocab, _, _, _ = _flat_word_stream(list(batch[text_col]))
         words = [w for w in vocab if w]
         if not words:
+            # must carry the groupby key too — a keyless empty block
+            # kills the downstream sort ("no such column '_b'")
             return pd.DataFrame(
                 {
                     "term": pd.array([], dtype="object"),
                     "in_bloom": pd.array([], dtype="int64"),
+                    "_b": pd.array([], dtype="int32"),
                 }
             )
         h1 = _poly_word_hashes(words, 131)

@@ -506,3 +506,48 @@ def test_tombstone_then_purge_lifecycle(tmp_path_factory, ray_session):
         b = SearchEngine(fresh_dir, num_searchers=0).search_batch(qs, m, k=15)
         assert a.url.tolist() == b.url.tolist()
         assert a.score.tolist() == b.score.tolist()
+
+
+def test_delete_then_readd_undeletes(tmp_path_factory, ray_session):
+    """Delete-then-re-add is the document-update idiom: update_index
+    clears tombstones covering the appended ids, so the doc serves
+    again (even when the re-added segment content-hash-resumes)."""
+    import ray.data
+
+    from searchengines_ray.index.build import (
+        doc_id_from_url,
+        update_index,
+    )
+    from searchengines_ray.index.compact import delete_docs
+    from searchengines_ray.index.shard import load_tombstones
+
+    tbl = synth_pages(n=120, seed=53, vocab=150, dup_frac=0.0)
+    d = str(tmp_path_factory.mktemp("idx_readd"))
+    build_index(
+        ray.data.from_arrow(tbl.drop_columns(["html"])),
+        d, docs_per_segment=30, dedup=False,
+    )
+    qs = [("0", "w0001 w0002")]
+    full = SearchEngine(d, num_searchers=0).search_batch(
+        qs, MODELS[0], k=5
+    )
+    victim_url = full.url.iloc[0]
+    victim_id = doc_id_from_url(victim_url)
+    delete_docs(d, [victim_id])
+    after = SearchEngine(d, num_searchers=0).search_batch(
+        qs, MODELS[0], k=5
+    )
+    assert victim_url not in after.url.tolist()
+
+    # re-add the victim's page (identical content -> segment resume)
+    idx = tbl.column("url").to_pylist().index(victim_url)
+    update_index(
+        ray.data.from_arrow(tbl.slice(idx, 1).drop_columns(["html"])),
+        d, docs_per_segment=30,
+    )
+    assert len(load_tombstones(d)) == 0
+    back = SearchEngine(d, num_searchers=0).search_batch(
+        qs, MODELS[0], k=5
+    )
+    assert back.url.tolist() == full.url.tolist()
+    assert back.score.tolist() == full.score.tolist()
