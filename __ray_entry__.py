@@ -796,6 +796,33 @@ def _q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_snippets(sf_dir: str) -> pd.DataFrame:
+    """Result highlighting: best 10-token window per (query, top-20 doc)
+    — max distinct query terms, tie earliest.  The target set is the
+    engine's own BM25 top-20 (the oracle recomputes the same ranking in
+    SQL, then scans windows positionally)."""
+    from searchengines_ray.stages.text import snippet_windows
+
+    eng = _engine(sf_dir, simple=True)
+    res = eng.search_batch(BM25_QUERIES, BM25(), k=None)
+    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
+    res = res.sort_values(
+        ["qid", "score_r", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    targets = res.loc[res["rank"] <= 20, ["qid", "doc_id"]]
+    out = snippet_windows(
+        _docs(sf_dir), BM25_QUERIES, targets, window=10
+    ).to_pandas()
+    return (
+        out.sort_values(["qid", "doc_id"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "snip_start": "int64",
+                 "n_matched": "int64"})
+    )
+
+
 def _q_anchor_text(sf_dir: str) -> pd.DataFrame:
     """Inlink-field construction: deterministic synthetic link graph
     (doc d emits d%3 links, target (d*7+j*13)%N, anchor = j-th source
@@ -3164,6 +3191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_pfor": _q_bm25_topk_pfor,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "bm25_topk_purged": _q_bm25_topk_purged,
+        "snippets": _q_snippets,
         "anchor_text": _q_anchor_text,
         "bpe_merges": _q_bpe_merges,
         "bpe_segment": _q_bpe_segment,
@@ -4351,6 +4379,89 @@ def _oracle_sql_impl() -> dict[str, str]:
             )
             SELECT qid, url, CAST(rank AS BIGINT) AS rank, score_r
             FROM ranked WHERE rank <= 20 ORDER BY qid, rank
+        """,
+        "snippets": f"""
+            -- best 10-token highlight window per (query, top-20 doc):
+            -- recompute the BM25 ranking, then positional window scan
+            -- (max distinct query terms, tie earliest start)
+            WITH toks AS ({_TOKS}),
+            doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
+                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
+            scores AS (
+              SELECT q.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (doclen.dl / (fstats.sum_len / fstats.doc_count)))))
+                     ) AS score
+              FROM q
+              JOIN tf ON q.term = tf.term
+              JOIN df ON q.term = df.term
+              JOIN doclen ON tf.doc_id = doclen.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY q.qid, tf.doc_id
+            ),
+            r20 AS (
+              SELECT qid, doc_id FROM (
+                SELECT qid, doc_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY qid
+                         ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                                  'https://example.org/doc/' ||
+                                  lpad(CAST(doc_id AS VARCHAR), 12, '0') ASC
+                       ) AS rank
+                FROM scores
+              ) WHERE rank <= 20
+            ),
+            tp AS (
+              SELECT d.doc_id,
+                     unnest(regexp_extract_all(lower(d.text),
+                                               '[0-9a-z]+')) AS term,
+                     unnest(generate_series(1,
+                       len(regexp_extract_all(lower(d.text),
+                                              '[0-9a-z]+')))) AS pos,
+                     len(regexp_extract_all(lower(d.text),
+                                            '[0-9a-z]+')) AS n
+              FROM documents d
+              WHERE d.doc_id IN (SELECT doc_id FROM r20)
+            ),
+            qd AS (SELECT DISTINCT qid, term FROM q),
+            hits AS (
+              SELECT r.qid, tp.doc_id, tp.term, tp.pos, tp.n
+              FROM r20 r
+              JOIN tp ON tp.doc_id = r.doc_id
+              JOIN qd ON qd.qid = r.qid AND qd.term = tp.term
+            ),
+            dn AS (SELECT DISTINCT qid, doc_id, n FROM hits),
+            starts AS (
+              SELECT qid, doc_id,
+                     unnest(generate_series(1, GREATEST(n - 9, 1))) AS start
+              FROM dn
+            ),
+            wc AS (
+              SELECT s.qid, s.doc_id, s.start,
+                     COUNT(DISTINCT h.term) AS nm
+              FROM starts s
+              JOIN hits h ON h.qid = s.qid AND h.doc_id = s.doc_id
+                         AND h.pos BETWEEN s.start AND s.start + 9
+              GROUP BY 1, 2, 3
+            ),
+            best AS (
+              SELECT qid, doc_id, start, nm,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid, doc_id
+                       ORDER BY nm DESC, start ASC
+                     ) AS rn
+              FROM wc
+            )
+            SELECT qid, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(start AS BIGINT) AS snip_start,
+                   CAST(nm AS BIGINT) AS n_matched
+            FROM best WHERE rn = 1 ORDER BY qid, doc_id
         """,
         "indri_topk_simple": f"""
             -- Indri #AND (geometric mean) with two-stage smoothing over the

@@ -1077,6 +1077,97 @@ def bpe_apply(ds, merges: pd.DataFrame):
     return ds.map_batches(segment, batch_format="pandas")
 
 
+def snippet_windows(
+    docs_ds, queries, targets: pd.DataFrame, window: int = 10
+):
+    """Best-snippet selection (result highlighting): for every
+    (qid, doc_id) result pair, the ``window``-token span covering the
+    most DISTINCT query terms — ties break to the earliest start.  The
+    user-facing piece every search UI needs and the reference never had
+    (Lucene highlighters live outside QryEval).
+
+    Contract: tokens are the ``[0-9a-z]+`` words of ``lower(text)``
+    (1-based positions); window starts range ``1..max(n-window+1, 1)``;
+    query terms are the distinct ``[0-9a-z]+`` tokens of the query
+    string.  Returns ``(qid, doc_id, snip_start, n_matched)`` — all
+    integers except qid.
+
+    Scale: the (qid, doc_id) target set and per-query term lists are
+    RESULT-BOUNDED (k per query), broadcast once via ``ray.put``; the
+    corpus streams through one shuffle-free pass where non-result docs
+    cost a hash probe.  Per-term window coverage is a difference-array
+    sweep, not a per-window scan."""
+    import re as _re
+
+    import ray
+
+    qterms = {
+        str(qid): list(
+            dict.fromkeys(_re.findall(r"[0-9a-z]+", q.lower()))
+        )
+        for qid, q in queries
+    }
+    tmap: dict[int, list[str]] = {}
+    for r in targets.itertuples():
+        tmap.setdefault(int(r.doc_id), []).append(str(r.qid))
+    tref = ray.put((qterms, tmap))
+
+    def snip(batch: pd.DataFrame) -> pd.DataFrame:
+        qt, tm = ray.get(tref)
+        out = {
+            "qid": [],
+            "doc_id": [],
+            "snip_start": [],
+            "n_matched": [],
+        }
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"]
+        for i in range(len(ids)):
+            did = int(ids[i])
+            if did not in tm:
+                continue
+            t = texts.iloc[i]
+            toks = _re.findall(r"[0-9a-z]+", (t or "").lower())
+            n = len(toks)
+            max_start = max(n - window + 1, 1)
+            tok_arr = np.asarray(toks, dtype=object)
+            for qid in tm[did]:
+                cnt = np.zeros(max_start, dtype=np.int64)
+                for term in qt[qid]:
+                    if n == 0:
+                        continue
+                    pos = np.nonzero(tok_arr == term)[0] + 1
+                    if not len(pos):
+                        continue
+                    # windows [s, s+window-1] containing any occurrence:
+                    # union of [p-window+1, p] clipped to [1, max_start],
+                    # materialized once per term via a difference array
+                    lo = np.maximum(pos - window + 1, 1)
+                    hi = np.minimum(pos, max_start)
+                    ok = lo <= hi
+                    if not ok.any():
+                        continue
+                    cov = np.zeros(max_start + 1, dtype=np.int64)
+                    np.add.at(cov, lo[ok] - 1, 1)
+                    np.add.at(cov, hi[ok], -1)
+                    cnt += np.cumsum(cov[:-1]) > 0
+                best = int(np.argmax(cnt))  # first max -> earliest start
+                out["qid"].append(qid)
+                out["doc_id"].append(did)
+                out["snip_start"].append(best + 1)
+                out["n_matched"].append(int(cnt[best]))
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype=object),
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "snip_start": pd.array(out["snip_start"], dtype="int64"),
+                "n_matched": pd.array(out["n_matched"], dtype="int64"),
+            }
+        )
+
+    return docs_ds.map_batches(snip, batch_format="pandas")
+
+
 def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48):
     """RAG / long-context chunking: slide a ``chunk_tokens`` window with
     ``stride`` over each doc's word stream and emit one row per chunk

@@ -212,6 +212,41 @@ def test_dedup_drop_ids_adaptive_paths(ray_session):
     assert dedup_drop_ids(pairs_pd).tolist() == want
 
 
+def test_snippet_windows_tie_and_coverage(ray_session):
+    """Best window = max DISTINCT query terms; ties break earliest;
+    repeated occurrences of one term count once per window."""
+    import ray.data
+
+    from searchengines_ray.stages.text import snippet_windows
+
+    #                 1   2   3   4   5   6   7   8   9   10  11  12  13
+    text = "cat x x x x x x x x x x dog cat"
+    docs = pd.DataFrame({"doc_id": [7], "text": [text]})
+    targets = pd.DataFrame({"qid": ["0"], "doc_id": [7]})
+    out = snippet_windows(
+        ray.data.from_pandas(docs), [("0", "cat dog")], targets, window=10
+    ).to_pandas()
+    # windows of 10: starts 1..4; start 3 covers positions 3-12 = dog(12)
+    # only... start 4 covers 4-13: dog(12)+cat(13) = 2 -> best start 4
+    assert out.iloc[0].tolist() == ["0", 7, 4, 2]
+
+    # tie: 'cat' at 1 and 13 — window=3 gives many 1-matched windows;
+    # earliest start must win
+    out2 = snippet_windows(
+        ray.data.from_pandas(docs), [("0", "cat")], targets, window=3
+    ).to_pandas()
+    assert out2.iloc[0].tolist() == ["0", 7, 1, 1]
+
+    # empty doc: snip_start 1, zero matches (never crashes)
+    docs3 = pd.DataFrame({"doc_id": [8], "text": [""]})
+    out3 = snippet_windows(
+        ray.data.from_pandas(docs3),
+        [("0", "cat")],
+        pd.DataFrame({"qid": ["0"], "doc_id": [8]}),
+    ).to_pandas()
+    assert out3.iloc[0].tolist() == ["0", 8, 1, 0]
+
+
 def test_dsir_weights_direction_and_zero(ray_session):
     """A doc made of target-heavy tokens outweighs one made of tokens the
     target never uses; an empty doc scores exactly 0; values are stable
