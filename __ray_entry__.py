@@ -849,6 +849,52 @@ def _q_bpe_segment(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bpe_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer evaluation: per-language fertility (subwords/word, ppm
+    floor) of the 5-merge BPE — train -> apply -> grouped integer sums;
+    the per-lang aggregate is a per-batch combiner (langs bounded)."""
+    from searchengines_ray.stages.text import bpe_apply, bpe_train
+
+    docs = _docs(sf_dir)
+    merges = bpe_train(docs, num_merges=5)
+    seg = bpe_apply(
+        _docs(sf_dir, cols=("doc_id", "text", "lang")),
+        merges,
+        keep_cols=("lang",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            sum_words=("n_words", "sum"),
+            sum_subwords=("n_subwords", "sum"),
+        )
+        return g
+
+    per = (
+        seg.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", as_index=False)[
+            ["n_docs", "sum_words", "sum_subwords"]
+        ]
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    w = per["sum_words"].to_numpy().astype(np.int64)
+    s = per["sum_subwords"].to_numpy().astype(np.int64)
+    per["fertility_ppm"] = np.where(
+        w > 0, (s * 1_000_000) // np.maximum(w, 1), 0
+    ).astype(np.int64)
+    return per.astype(
+        {
+            "n_docs": "int64",
+            "sum_words": "int64",
+            "sum_subwords": "int64",
+        }
+    )
+
+
 def _q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     """RAG chunk table: 64-token windows, stride 48, per-chunk rolling
     content hash (fingerprints contract) — shuffle-free vectorized pass."""
@@ -3195,6 +3241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": _q_anchor_text,
         "bpe_merges": _q_bpe_merges,
         "bpe_segment": _q_bpe_segment,
+        "bpe_fertility": _q_bpe_fertility,
         "chunk_documents": _q_chunk_documents,
         "dsir_weights": _q_dsir_weights,
         "mixture_plan": _q_mixture_plan,
@@ -3586,11 +3633,10 @@ def _bpe_sql(k: int) -> str:
     return body + f" SELECT * FROM ({final}) ORDER BY merge_rank"
 
 
-def _bpe_apply_sql(k: int) -> str:
-    """Per-doc subword counts after k trained merges: the _bpe_sql chain
-    (word carried through the folds) joined back to the per-doc token
-    stream — segmentation happens once per UNIQUE word, mirroring the
-    engine's vocab-level application."""
+def _bpe_perdoc_body(k: int) -> str:
+    """The _bpe_sql chain (word carried through the folds) extended to a
+    per_doc CTE of subword counts — segmentation happens once per UNIQUE
+    word, mirroring the engine's vocab-level application."""
     train = _bpe_sql(k)
     body = train[: train.index(" SELECT * FROM (")]
     return (
@@ -3605,13 +3651,44 @@ def _bpe_apply_sql(k: int) -> str:
     per_doc AS (
       SELECT doc_id, SUM(ls) AS n_sub
       FROM tok JOIN wlen USING (word) GROUP BY doc_id
+    )"""
     )
+
+
+def _bpe_apply_sql(k: int) -> str:
+    return (
+        _bpe_perdoc_body(k)
+        + """
     SELECT d.doc_id,
            CAST(len(regexp_extract_all(lower(d.text), '[0-9a-z]+'))
                 AS BIGINT) AS n_words,
            CAST(COALESCE(p.n_sub, 0) AS BIGINT) AS n_subwords
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     ORDER BY d.doc_id"""
+    )
+
+
+def _bpe_fertility_sql(k: int) -> str:
+    """Per-language tokenizer fertility (subwords per word, ppm floor) —
+    the standard tokenizer-evaluation metric, grouped over the lang
+    column after the same per-doc segmentation chain."""
+    return (
+        _bpe_perdoc_body(k)
+        + """
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(d.text), '[0-9a-z]+')))
+                AS BIGINT) AS sum_words,
+           CAST(SUM(COALESCE(p.n_sub, 0)) AS BIGINT) AS sum_subwords,
+           CAST(CASE WHEN SUM(len(regexp_extract_all(lower(d.text),
+                                                     '[0-9a-z]+'))) = 0
+                THEN 0
+                ELSE (SUM(COALESCE(p.n_sub, 0)) * 1000000)
+                     // SUM(len(regexp_extract_all(lower(d.text),
+                                                   '[0-9a-z]+')))
+                END AS BIGINT) AS fertility_ppm
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang"""
     )
 
 _URL_EXPR = (
@@ -5490,6 +5567,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_sql(5),
         "bpe_segment": _bpe_apply_sql(5),
+        "bpe_fertility": _bpe_fertility_sql(5),
         "chunk_documents": """
             -- 64-token / stride-48 chunks; chunk_hash = base-1000003 fold
             -- over base-131 word hashes (fingerprints contract per chunk)

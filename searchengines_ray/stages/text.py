@@ -1026,7 +1026,7 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
     ).astype({"merge_rank": "int64", "cnt": "int64"})
 
 
-def bpe_apply(ds, merges: pd.DataFrame):
+def bpe_apply(ds, merges: pd.DataFrame, keep_cols: tuple = ()):
     """Segment every doc with a trained BPE merge table (the application
     half of :func:`bpe_train`): returns ``(doc_id, n_words, n_subwords)``
     — the post-tokenizer length is what sequence packing and token-budget
@@ -1066,13 +1066,14 @@ def bpe_apply(ds, merges: pd.DataFrame):
             n_sub = np.bincount(
                 parent, weights=symcount[vids], minlength=n
             ).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].astype("int64"),
-                "n_words": pd.array(n_words, dtype="int64"),
-                "n_subwords": pd.array(n_sub, dtype="int64"),
-            }
-        )
+        out = {
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_words": pd.array(n_words, dtype="int64"),
+            "n_subwords": pd.array(n_sub, dtype="int64"),
+        }
+        for c in keep_cols:  # passthrough (e.g. lang for fertility evals)
+            out[c] = batch[c]  # same index as the doc_id series
+        return pd.DataFrame(out)
 
     return ds.map_batches(segment, batch_format="pandas")
 
