@@ -368,10 +368,13 @@ def _q_bm25_wand_simple(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _simple_ranked(res: pd.DataFrame, k: int = 20) -> pd.DataFrame:
+def _simple_ranked(
+    res: pd.DataFrame, k: int = 20, keep_doc_id: bool = False
+) -> pd.DataFrame:
     """Shared post-processing for SQL-checked simple-analyzer entries:
     floor scores to 1e-6 IN BOTH ENGINES (ULP-safe), re-rank by
-    (score_r desc, url asc), truncate to k."""
+    (score_r desc, url asc), truncate to k — the CLAUDE.md rule that
+    truncation happens AFTER flooring lives HERE, once."""
     res = res.copy()
     res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
     res = res.sort_values(
@@ -380,9 +383,10 @@ def _simple_ranked(res: pd.DataFrame, k: int = 20) -> pd.DataFrame:
     )
     res["rank"] = res.groupby("qid").cumcount() + 1
     res = res[res["rank"] <= k]
-    return res[["qid", "url", "rank", "score_r"]].reset_index(drop=True).astype(
-        {"rank": "int64"}
+    cols = ["qid", "url", "rank", "score_r"] + (
+        ["doc_id"] if keep_doc_id else []
     )
+    return res[cols].reset_index(drop=True).astype({"rank": "int64"})
 
 
 def _q_indri_topk_simple(sf_dir: str) -> pd.DataFrame:
@@ -804,14 +808,9 @@ def _q_snippets(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.stages.text import snippet_windows
 
     eng = _engine(sf_dir, simple=True)
-    res = eng.search_batch(BM25_QUERIES, BM25(), k=None)
-    res["score_r"] = np.floor(res["score"].to_numpy() * 1e6) / 1e6
-    res = res.sort_values(
-        ["qid", "score_r", "url"], ascending=[True, False, True],
-        kind="mergesort",
-    )
-    res["rank"] = res.groupby("qid").cumcount() + 1
-    targets = res.loc[res["rank"] <= 20, ["qid", "doc_id"]]
+    targets = _simple_ranked(
+        eng.search_batch(BM25_QUERIES, BM25(), k=None), keep_doc_id=True
+    )[["qid", "doc_id"]]
     out = snippet_windows(
         _docs(sf_dir), BM25_QUERIES, targets, window=10
     ).to_pandas()
@@ -881,11 +880,16 @@ def _q_bpe_fertility(sf_dir: str) -> pd.DataFrame:
         .sort_values("lang")
         .reset_index(drop=True)
     )
-    w = per["sum_words"].to_numpy().astype(np.int64)
-    s = per["sum_subwords"].to_numpy().astype(np.int64)
-    per["fertility_ppm"] = np.where(
-        w > 0, (s * 1_000_000) // np.maximum(w, 1), 0
-    ).astype(np.int64)
+    # Python ints: s * 1e6 would wrap numpy int64 past ~9.2e12 subwords
+    # per language (the 100 TB design point), while the oracle computes
+    # in DuckDB HUGEINT
+    per["fertility_ppm"] = pd.array(
+        [
+            (int(s) * 1_000_000) // int(w) if int(w) > 0 else 0
+            for w, s in zip(per["sum_words"], per["sum_subwords"])
+        ],
+        dtype="int64",
+    )
     return per.astype(
         {
             "n_docs": "int64",
@@ -3367,6 +3371,32 @@ _BM25_SQL_QUERIES = " , ".join(
     for t in q.split()
 )
 
+# Shared simple-analyzer BM25 scoring chain (toks..scores) — ONE source
+# for every oracle that ranks with it (bm25_topk_simple, snippets): a
+# parameter/clamp/floor tweak applied in one place cannot desync their
+# target sets.
+_BM25_SCORES_BODY = f"""toks AS ({_TOKS}),
+            doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
+                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
+            scores AS (
+              SELECT q.qid, tf.doc_id,
+                     SUM(GREATEST(0.0, LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (doclen.dl / (fstats.sum_len / fstats.doc_count)))))
+                     ) AS score
+              FROM q
+              JOIN tf ON q.term = tf.term
+              JOIN df ON q.term = df.term
+              JOIN doclen ON tf.doc_id = doclen.doc_id
+              CROSS JOIN corpus CROSS JOIN fstats
+              GROUP BY q.qid, tf.doc_id
+            )"""
+
 
 # ---------------------------------------------------- SQL kstem_lite
 # The full analyzer (ASCII lower + [0-9a-z]+ + 33 Lucene stopwords +
@@ -4422,27 +4452,7 @@ def _oracle_sql_impl() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "bm25_topk_simple": f"""
-            WITH toks AS ({_TOKS}),
-            doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-            corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
-            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
-                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
-            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-                   FROM toks GROUP BY doc_id, term),
-            df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
-            scores AS (
-              SELECT q.qid, tf.doc_id,
-                     SUM(GREATEST(0.0, LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
-                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (doclen.dl / (fstats.sum_len / fstats.doc_count)))))
-                     ) AS score
-              FROM q
-              JOIN tf ON q.term = tf.term
-              JOIN df ON q.term = df.term
-              JOIN doclen ON tf.doc_id = doclen.doc_id
-              CROSS JOIN corpus CROSS JOIN fstats
-              GROUP BY q.qid, tf.doc_id
-            ),
+            WITH {_BM25_SCORES_BODY},
             ranked AS (
               SELECT qid,
                      'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
@@ -4461,27 +4471,7 @@ def _oracle_sql_impl() -> dict[str, str]:
             -- best 10-token highlight window per (query, top-20 doc):
             -- recompute the BM25 ranking, then positional window scan
             -- (max distinct query terms, tie earliest start)
-            WITH toks AS ({_TOKS}),
-            doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-            corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
-            fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
-                              CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
-            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-                   FROM toks GROUP BY doc_id, term),
-            df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-            q(qid, term) AS (VALUES {_BM25_SQL_QUERIES}),
-            scores AS (
-              SELECT q.qid, tf.doc_id,
-                     SUM(GREATEST(0.0, LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
-                         * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (doclen.dl / (fstats.sum_len / fstats.doc_count)))))
-                     ) AS score
-              FROM q
-              JOIN tf ON q.term = tf.term
-              JOIN df ON q.term = df.term
-              JOIN doclen ON tf.doc_id = doclen.doc_id
-              CROSS JOIN corpus CROSS JOIN fstats
-              GROUP BY q.qid, tf.doc_id
-            ),
+            WITH {_BM25_SCORES_BODY},
             r20 AS (
               SELECT qid, doc_id FROM (
                 SELECT qid, doc_id,
@@ -4535,10 +4525,17 @@ def _oracle_sql_impl() -> dict[str, str]:
                      ) AS rn
               FROM wc
             )
-            SELECT qid, CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(start AS BIGINT) AS snip_start,
-                   CAST(nm AS BIGINT) AS n_matched
-            FROM best WHERE rn = 1 ORDER BY qid, doc_id
+            -- LEFT JOIN from the target set: a ranked doc whose text
+            -- contains no RAW query token (possible under stemming /
+            -- field matches) still emits (snip_start=1, n_matched=0),
+            -- matching the stage contract
+            SELECT r.qid, CAST(r.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(b.start, 1) AS BIGINT) AS snip_start,
+                   CAST(COALESCE(b.nm, 0) AS BIGINT) AS n_matched
+            FROM r20 r
+            LEFT JOIN best b ON b.qid = r.qid AND b.doc_id = r.doc_id
+                            AND b.rn = 1
+            ORDER BY r.qid, r.doc_id
         """,
         "indri_topk_simple": f"""
             -- Indri #AND (geometric mean) with two-stage smoothing over the
