@@ -191,6 +191,25 @@ def _merge_group_inner(
         for dm, a in zip(dms, alive)
     ]
     merged_dm = pa.concat_tables(dms_f)
+    if merged_dm.num_rows == 0:
+        # every doc of every source is tombstoned: a fresh build over the
+        # survivors would not contain this segment at all, so commit
+        # NOTHING — merge_group still deletes the sources, and n_segments
+        # shrinks exactly as a fresh build would have it
+        return {
+            "segment": name,
+            "n_docs": 0,
+            "n_terms": 0,
+            "n_postings": 0,
+            "doc_count": {f: 0 for f in FIELDS},
+            "sum_field_len": {f: 0 for f in FIELDS},
+            "codec": out_codec,
+            "merged_from": seg_names,
+            "wall_s": round(time.perf_counter() - t0, 4),
+            "bytes": 0,
+            "resumed": False,
+            "dropped_empty": True,
+        }
     merged_dm = merged_dm.take(pc.sort_indices(merged_dm.column("doc_id")))
     new_ids = merged_dm.column("doc_id").to_numpy()
     # per-source local idx -> merged local idx (doc_ids globally unique;

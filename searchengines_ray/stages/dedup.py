@@ -987,6 +987,12 @@ def keep_best_drop_ids(
             return batch.loc[m, ["doc_id", quality_col]]
 
         qdf = quality.map_batches(pick, batch_format="pandas").to_pandas()
+    # duplicate quality rows would duplicate nodes through the merge and
+    # corrupt the per-component keep-one choice — collapse to one row per
+    # doc_id deterministically (best quality wins, block order irrelevant)
+    qdf = qdf.sort_values(
+        ["doc_id", quality_col], ascending=[True, False], kind="mergesort"
+    ).drop_duplicates("doc_id")
     d = pd.DataFrame({"doc_id": nodes, "comp": comp}).merge(
         qdf, on="doc_id", how="left"
     )

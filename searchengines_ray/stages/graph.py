@@ -792,7 +792,7 @@ def synth_links(docs_ds, n_docs: int):
         dst = (src * 7 + j * 13) % n_docs
         # j-th word of the source text (vectorized split once per row)
         words = [
-            __import__("re").findall(r"[0-9a-z]+", t.lower())
+            __import__("re").findall(r"[0-9a-z]+", ("" if t is None else t).lower())
             for t in batch["text"]
         ]
         wmap = {int(d): w for d, w in zip(ids, words)}

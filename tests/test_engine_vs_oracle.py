@@ -508,6 +508,66 @@ def test_tombstone_then_purge_lifecycle(tmp_path_factory, ray_session):
         assert a.score.tolist() == b.score.tolist()
 
 
+def test_purge_fully_tombstoned_segment(tmp_path_factory, ray_session):
+    """Tombstoning EVERY doc of one segment and purging must drop that
+    segment entirely (no empty-segment commit): n_segments and stats match
+    a fresh build over the survivors, and serving still works."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from searchengines_ray.index.build import SEGMENT_DIR, doc_id_from_url
+    from searchengines_ray.index.compact import delete_docs, purge_deleted
+    from searchengines_ray.index.shard import list_segments
+
+    tbl = synth_pages(n=150, seed=47, vocab=200, dup_frac=0.0)
+    d = str(tmp_path_factory.mktemp("idx_fullseg"))
+    build_index(
+        ray.data.from_arrow(tbl.drop_columns(["html"])),
+        d, docs_per_segment=30, dedup=False,
+    )
+    segs = list_segments(d)
+    assert len(segs) >= 3
+    victim = segs[0]
+    dead = (
+        pq.read_table(
+            os.path.join(d, SEGMENT_DIR, victim, "docmeta.parquet"),
+            columns=["doc_id"],
+        )
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    delete_docs(d, dead)
+    stats_p = purge_deleted(d)
+    after = list_segments(d)
+    assert victim not in after
+    assert len(after) == len(segs) - 1  # dropped, not committed empty
+    with open(os.path.join(d, "stats.json")) as f:
+        assert json.load(f)["n_segments"] == len(after)
+
+    dead_set = set(int(x) for x in dead)
+    keep_mask = [
+        doc_id_from_url(u) not in dead_set
+        for u in tbl.column("url").to_pylist()
+    ]
+    fresh = str(tmp_path_factory.mktemp("idx_fullseg_fresh"))
+    stats_f = build_index(
+        ray.data.from_arrow(
+            tbl.drop_columns(["html"]).filter(pa.array(keep_mask))
+        ),
+        fresh, docs_per_segment=30, dedup=False,
+    )
+    assert stats_p["n_docs"] == stats_f["n_docs"]
+    assert stats_p["n_postings"] == stats_f["n_postings"]
+    qs = [(str(i), q) for i, q in enumerate(QUERIES[:6])]
+    a = SearchEngine(d, num_searchers=0).search_batch(qs, MODELS[0], k=10)
+    b = SearchEngine(fresh, num_searchers=0).search_batch(qs, MODELS[0], k=10)
+    assert a.url.tolist() == b.url.tolist()
+    assert a.score.tolist() == b.score.tolist()
+
+
 def test_delete_then_readd_undeletes(tmp_path_factory, ray_session):
     """Delete-then-re-add is the document-update idiom: update_index
     clears tombstones covering the appended ids, so the doc serves

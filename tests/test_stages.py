@@ -367,6 +367,27 @@ def test_bpe_train_greedy_and_ties(ray_session):
     assert seg0.loc[1, "n_subwords"] == 12  # 3 x 4 chars
 
 
+def test_synth_links_null_text(ray_session):
+    """A null text row yields '' anchors instead of an AttributeError."""
+    import ray.data
+
+    from searchengines_ray.stages.graph import synth_links
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": pd.array([1, 2, 4], dtype="int64"),
+             "text": ["alpha beta", None, "gamma"]}
+        )
+    )
+    out = synth_links(docs, 5).to_pandas().sort_values(
+        ["src", "j"], kind="mergesort"
+    )
+    # doc 2 emits 2 links with None text -> '' anchors
+    got = out[out["src"] == 2]["anchor"].tolist()
+    assert got == ["", ""]
+    assert out[out["src"] == 1]["anchor"].tolist() == ["alpha"]
+
+
 def test_keep_best_drop_ids_paths(ray_session):
     """Quality-aware consolidation keeps the (quality desc, id asc)-best
     member per component — identical through the driver union-find path,
@@ -396,6 +417,13 @@ def test_keep_best_drop_ids_paths(ray_session):
     ).astype("int64")
     want = [1, 7, 10, 12, 900]
     assert keep_best_drop_ids(pairs, quality).tolist() == want
+    # duplicate quality rows must not duplicate nodes through the merge
+    # (best quality per doc_id wins, deterministically)
+    dup_quality = pd.concat(
+        [quality, pd.DataFrame({"doc_id": [3, 11], "quality": [1, 8]})],
+        ignore_index=True,
+    ).astype("int64")
+    assert keep_best_drop_ids(pairs, dup_quality).tolist() == want
     pairs_ds = ray.data.from_pandas(pairs).repartition(3)
     quality_ds = ray.data.from_pandas(quality).repartition(2)
     assert keep_best_drop_ids(pairs_ds, quality_ds).tolist() == want
