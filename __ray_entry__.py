@@ -3237,86 +3237,10 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # newest-first so driver samples cover the least-proven operators
-        "bm25_topk_pfor": _q_bm25_topk_pfor,
-        "bm25_topk_deleted": _q_bm25_topk_deleted,
-        "bm25_topk_purged": _q_bm25_topk_purged,
-        "snippets": _q_snippets,
-        "anchor_text": _q_anchor_text,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_segment": _q_bpe_segment,
-        "bpe_fertility": _q_bpe_fertility,
-        "chunk_documents": _q_chunk_documents,
-        "dsir_weights": _q_dsir_weights,
-        "mixture_plan": _q_mixture_plan,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "image_decode_real": _q_image_decode_real,
-        "image_resize_real": _q_image_resize_real,
-        "ltr_ranklib_flow": _q_ltr_ranklib_flow,
-        "audio_features": _q_audio_features,
-        "ngram_contamination": _q_ngram_contamination,
-        "lm_quality_buckets": _q_lm_quality_buckets,
-        "pack_sequences": _q_pack_sequences,
-        "gopher_filter": _q_gopher_filter,
-        "canonicalize_urls": _q_canonicalize_urls,
-        "left_outer_join": _q_left_outer_join,
-        "bloom_blocklist": _q_bloom_blocklist,
-        "knn_join": _q_knn_join,
-        "html_extract": _q_html_extract,
-        "inspect_postings": _q_inspect_postings,
-        "inspect_termvector": _q_inspect_termvector,
-        # search-engine core (SURVEY.md §2)
-        "term_stats_simple": _q_term_stats_simple,
-        "doc_lengths": _q_doc_lengths,
-        "bm25_topk_simple": _q_bm25_topk_simple,
-        "bm25_topk_merged": _q_bm25_topk_merged,
-        "bm25_topk_incremental": _q_bm25_topk_incremental,
-        "bm25_wand_simple": _q_bm25_wand_simple,
-        "indri_topk_simple": _q_indri_topk_simple,
-        "boolean_topk_simple": _q_boolean_topk_simple,
-        "syn_topk_simple": _q_syn_topk_simple,
-        "field_queries": _q_field_queries,
-        "bm25_topk": _q_bm25_topk,
-        "indri_topk": _q_indri_topk,
-        "structured_queries": _q_structured,
-        "structured_indri": _q_structured_indri,
-        "boolean_topk": _q_boolean,
-        "prf_expansion": _q_prf_expansion,
-        "prf_expansion_simple": _q_prf_expansion_simple,
-        "diversity_xquad": _q_diversity_xquad,
-        "diversity_pm2": _q_diversity_pm2,
-        "ltr_features": _q_ltr_features,
-        "ltr_features_simple": _q_ltr_features_simple,
-        "ltr_norm": _q_ltr_norm,
-        "ltr_rerank": _q_ltr_rerank,
-        "ltr_features_fields": _q_ltr_fields,
-        "trec_flow": _q_trec_flow,
-        # training-data operators
-        "exact_dedup": _q_exact_dedup,
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality,
-        "windowed_agg": _q_windowed_agg,
-        "hopping_window_agg": _q_hopping_window,
-        "ann_topk": _q_ann_topk,
-        "minhash_pairs": _q_minhash_pairs,
-        "allpairs_jaccard": _q_allpairs_jaccard,
-        "dup_triangles": _q_dup_triangles,
-        "incremental_ingest": _q_incremental_ingest,
-        "embedding_quantize": _q_embedding_quantize,
-        "label_centroids": _q_label_centroids,
-        "cross_corpus_pairs": _q_cross_corpus_pairs,
-        "minhash_dedup": _q_minhash_dedup,
-        "curate_corpus": _q_curate,
-        "line_dedup": _q_line_dedup,
-        "repetition_signals": _q_repetition,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_neardup": _q_embedding_neardup,
-        "fingerprints": _q_fingerprints,
-        "lang_id": _q_lang_id,
-        "pii_redact": _q_pii_redact,
-        "hash_sample": _q_hash_sample,
-        "split_counts": _q_split_counts,
-        "doc_embedding_join": _q_doc_embedding_join,
+        # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        # (insert new round-5 entries here, newest first)
+        # then the never-driver-sampled tail (rotated forward per the
+        # round-4 verdict so CORRECTNESS_r05 finally covers them):
         "anti_join_blocklist": _q_anti_join_blocklist,
         "normalize_text": _q_normalize_text,
         "pagerank_events": _q_pagerank_events,
@@ -3350,6 +3274,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _q_ngram_counts,
         "cooccurrence_counts": _q_cooccurrence_counts,
         "pmi_collocations": _q_pmi_collocations,
+        # long-proven rest (every entry below has >=1 green
+        # driver CORRECTNESS row from rounds 1-4):
+        "bm25_topk_pfor": _q_bm25_topk_pfor,
+        "bm25_topk_deleted": _q_bm25_topk_deleted,
+        "bm25_topk_purged": _q_bm25_topk_purged,
+        "snippets": _q_snippets,
+        "anchor_text": _q_anchor_text,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_segment": _q_bpe_segment,
+        "bpe_fertility": _q_bpe_fertility,
+        "chunk_documents": _q_chunk_documents,
+        "dsir_weights": _q_dsir_weights,
+        "mixture_plan": _q_mixture_plan,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "image_decode_real": _q_image_decode_real,
+        "image_resize_real": _q_image_resize_real,
+        "ltr_ranklib_flow": _q_ltr_ranklib_flow,
+        "audio_features": _q_audio_features,
+        "ngram_contamination": _q_ngram_contamination,
+        "lm_quality_buckets": _q_lm_quality_buckets,
+        "pack_sequences": _q_pack_sequences,
+        "gopher_filter": _q_gopher_filter,
+        "canonicalize_urls": _q_canonicalize_urls,
+        "left_outer_join": _q_left_outer_join,
+        "bloom_blocklist": _q_bloom_blocklist,
+        "knn_join": _q_knn_join,
+        "html_extract": _q_html_extract,
+        "inspect_postings": _q_inspect_postings,
+        "inspect_termvector": _q_inspect_termvector,
+        "term_stats_simple": _q_term_stats_simple,
+        "doc_lengths": _q_doc_lengths,
+        "bm25_topk_simple": _q_bm25_topk_simple,
+        "bm25_topk_merged": _q_bm25_topk_merged,
+        "bm25_topk_incremental": _q_bm25_topk_incremental,
+        "bm25_wand_simple": _q_bm25_wand_simple,
+        "indri_topk_simple": _q_indri_topk_simple,
+        "boolean_topk_simple": _q_boolean_topk_simple,
+        "syn_topk_simple": _q_syn_topk_simple,
+        "field_queries": _q_field_queries,
+        "bm25_topk": _q_bm25_topk,
+        "indri_topk": _q_indri_topk,
+        "structured_queries": _q_structured,
+        "structured_indri": _q_structured_indri,
+        "boolean_topk": _q_boolean,
+        "prf_expansion": _q_prf_expansion,
+        "prf_expansion_simple": _q_prf_expansion_simple,
+        "diversity_xquad": _q_diversity_xquad,
+        "diversity_pm2": _q_diversity_pm2,
+        "ltr_features": _q_ltr_features,
+        "ltr_features_simple": _q_ltr_features_simple,
+        "ltr_norm": _q_ltr_norm,
+        "ltr_rerank": _q_ltr_rerank,
+        "ltr_features_fields": _q_ltr_fields,
+        "trec_flow": _q_trec_flow,
+        "exact_dedup": _q_exact_dedup,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "windowed_agg": _q_windowed_agg,
+        "hopping_window_agg": _q_hopping_window,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "allpairs_jaccard": _q_allpairs_jaccard,
+        "dup_triangles": _q_dup_triangles,
+        "incremental_ingest": _q_incremental_ingest,
+        "embedding_quantize": _q_embedding_quantize,
+        "label_centroids": _q_label_centroids,
+        "cross_corpus_pairs": _q_cross_corpus_pairs,
+        "minhash_dedup": _q_minhash_dedup,
+        "curate_corpus": _q_curate,
+        "line_dedup": _q_line_dedup,
+        "repetition_signals": _q_repetition,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "fingerprints": _q_fingerprints,
+        "lang_id": _q_lang_id,
+        "pii_redact": _q_pii_redact,
+        "hash_sample": _q_hash_sample,
+        "split_counts": _q_split_counts,
+        "doc_embedding_join": _q_doc_embedding_join,
         "ivf_topk": _q_ivf_topk,
         "similarity_join": _q_similarity_join,
         "sessionize": _q_sessionize,
