@@ -3235,10 +3235,56 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
+    """REAL video decode (uncompressed RIFF/AVI, stdlib-pure — the WAV
+    parser's RIFF sibling, stages/multimodal.py decode_avi): each doc
+    plants an AVI whose frame i is a solid color 32 + (id*7 + i*13) % 95
+    at dims (8 + id%5, 8 + id%7), n_frames = 1 + id%12; the fake=False
+    sampler decodes real pixels and hashes the RGB buffer, and the oracle
+    rebuilds each sampled frame's buffer with repeat(chr(c)) WITHOUT
+    decoding — so a match proves the container round-trips real bytes."""
+    import pyarrow as pa
+
+    from searchengines_ray.stages.multimodal import encode_avi, sample_frames
+
+    docs = _docs(sf_dir, cols=("doc_id",))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            w, h = 8 + d % 5, 8 + d % 7
+            frames = [
+                np.full((h, w, 3), 32 + (d * 7 + i * 13) % 95, np.uint8)
+                for i in range(1 + d % 12)
+            ]
+            payloads.append(encode_avi(frames, fps=24))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    frames = sample_frames(
+        docs.map_batches(plant, batch_format="pyarrow"),
+        every_n=3,
+        concurrency=2,
+        fake=False,
+    ).to_pandas()
+    return (
+        frames.sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+        .astype(
+            {"doc_id": "int64", "frame_idx": "int64", "frame_hash": "int64"}
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
-        # (insert new round-5 entries here, newest first)
+        "frame_sample_real": _q_frame_sample_real,
         # then the never-driver-sampled tail (rotated forward per the
         # round-4 verdict so CORRECTNESS_r05 finally covers them):
         "anti_join_blocklist": _q_anti_join_blocklist,
@@ -7456,6 +7502,37 @@ def _oracle_sql_impl() -> dict[str, str]:
                                    AS BIGINT))),
                      (a, c) -> a * 16 + c) AS resized_hash
             FROM r ORDER BY doc_id
+        """,
+        "frame_sample_real": """
+            -- REAL AVI decode: sampled frame i of doc d is a solid-color
+            -- RGB buffer chr(32 + (d*7 + i*13) % 95) repeated w*ht*3
+            -- times (single-byte UTF-8), so sha256 over the rebuilt
+            -- buffer IS the engine's decoded-pixel hash
+            WITH d AS (
+              SELECT doc_id,
+                     8 + doc_id % 5 AS w,
+                     8 + doc_id % 7 AS ht,
+                     1 + doc_id % 12 AS n_frames
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, w, ht,
+                     unnest(generate_series(0, n_frames - 1, 3))
+                       AS frame_idx
+              FROM d
+            )
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         string_split(substr(sha256(
+                           repeat(chr(CAST(32 + (doc_id*7 + frame_idx*13) % 95
+                                           AS INTEGER)),
+                                  w * ht * 3)), 1, 15), ''),
+                         x -> CAST(instr('0123456789abcdef', x) - 1
+                                   AS BIGINT))),
+                     (a, x) -> a * 16 + x) AS frame_hash
+            FROM f ORDER BY doc_id, frame_idx
         """,
         "frame_sample": """
             -- fake frame sampler: n_frames = 1 + sha256(payload)[0] % 50,

@@ -134,8 +134,9 @@ class MinHasher:
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized signatures for a whole batch.
+    def batch_signatures(self, texts_arr) -> np.ndarray:
+        """Vectorized signatures for an Arrow string array (nulls allowed)
+        — (n, num_perm) uint64.
 
         Arrow kernels tokenize every doc at once; crc32 runs once per UNIQUE
         word; rolling shingle hashes and per-doc minima are computed over the
@@ -147,9 +148,11 @@ class MinHasher:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        texts = ["" if t is None else t for t in batch["text"]]
-        n = len(texts)
-        low = pc.ascii_lower(pa.array(texts, pa.string()))
+        if isinstance(texts_arr, pa.ChunkedArray):
+            texts_arr = texts_arr.combine_chunks()
+        texts_arr = pc.fill_null(texts_arr.cast(pa.string()), "")
+        n = len(texts_arr)
+        low = pc.ascii_lower(texts_arr)
         toks = pc.split_pattern_regex(low, pattern="[^0-9a-z]+")
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -202,9 +205,73 @@ class MinHasher:
                 short = np.ones(n, dtype=bool)
         # scalar fallback for short/empty docs (padding semantics)
         for i in np.nonzero(short)[0]:
-            sigs[i] = self.signature(texts[i])
+            sigs[i] = self.signature(texts_arr[int(i)].as_py())
+        return sigs
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        sigs = self.batch_signatures(
+            pa.array(
+                ["" if t is None else t for t in batch["text"]], pa.string()
+            )
+        )
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "sig": list(sigs)}
+        )
+
+
+class MinHashBandRows(MinHasher):
+    """Arrow-native fused stage: text -> minhash signature -> LSH band
+    rows ``(doc_id, band, band_hash, cb)`` in ONE ``pyarrow``-format
+    map_batches — no pandas conversion at either boundary and no
+    intermediate signature block between stages (the signature matrix
+    dies inside the task).  ``band_hash`` is byte-identical to
+    :func:`_band_rows` over :class:`MinHasher` signatures (fuzz-pinned);
+    ``cb`` is the coarse shuffle bucket (``band_hash % 1024``)."""
+
+    def __init__(
+        self,
+        num_perm: int = 64,
+        shingle: int = 3,
+        bands: int = 16,
+        seed: int = 1234567,
+    ):
+        super().__init__(num_perm=num_perm, shingle=shingle, seed=seed)
+        self.bands = bands
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_ids = doc_ids.astype(np.int64)
+        n = len(doc_ids)
+        bands = self.bands
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "cb": pa.array([], pa.int32()),
+                }
+            )
+        sigs = self.batch_signatures(batch.column("text"))
+        r = sigs.shape[1] // bands
+        cube = sigs[:, : bands * r].reshape(n, bands, r)
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(r):
+                acc = acc * np.uint64(1000003) + cube[:, :, j]
+        acc = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        band_hash = acc.reshape(-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(band_hash),
+                "cb": pa.array((band_hash % 1024).astype(np.int32)),
+            }
         )
 
 
@@ -698,13 +765,13 @@ def minhash_candidate_pairs_ds(
 
     # an INSTANCE (stateless elastic tasks), not an actor pool: the state is
     # a few hundred ints (cheap pickle), and a fixed-size pool both caps the
-    # signature stage's parallelism and risks starving the read stage
-    sigs = ds.map_batches(
-        MinHasher(num_perm=num_perm, shingle=shingle),
-        batch_format="pandas",
-    )
-    band_rows = sigs.map_batches(
-        partial(_band_rows, bands=bands), batch_format="pandas"
+    # signature stage's parallelism and risks starving the read stage.
+    # Arrow-native fused stage: text -> signature -> band rows (+ coarse
+    # bucket) in one pyarrow map_batches — zero pandas conversions and no
+    # intermediate signature block (was three pandas stages).
+    band_rows = ds.map_batches(
+        MinHashBandRows(num_perm=num_perm, shingle=shingle, bands=bands),
+        batch_format="pyarrow",
     )
 
     # COARSE-bucket shuffle: most (band, band_hash) buckets are singletons,
@@ -712,11 +779,6 @@ def minhash_candidate_pairs_ds(
     # bands groups).  Shuffling on hash(band_hash) % 1024 instead gives a few
     # thousand groups, and the fine grouping runs vectorized in pandas inside
     # each coarse group.
-    def add_coarse(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["cb"] = (b["band_hash"].to_numpy() % 1024).astype(np.int32)
-        return b
-
     def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
         sizes = group.groupby(["band", "band_hash"])["doc_id"].transform(
             "size"
@@ -741,8 +803,7 @@ def minhash_candidate_pairs_ds(
     # single downstream consumer does NOT re-execute (measured on this
     # Ray), so the intermediate band-row stages stay lazy/streaming.
     pairs = (
-        band_rows.map_batches(add_coarse, batch_format="pandas")
-        .groupby("cb")
+        band_rows.groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
         .materialize()
     )

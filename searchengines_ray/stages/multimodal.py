@@ -201,14 +201,131 @@ def featurize_audio(ds, concurrency: int = 2, batch_size: int = 32,
     )
 
 
+def decode_avi(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Uncompressed RIFF/AVI bytes -> (width, height, RGB frames) — a REAL
+    video decode (the AVI container is stdlib-parseable like its RIFF
+    sibling WAV; frames are raw 24-bit DIBs: bottom-up BGR rows padded to
+    4 bytes).  Rejects compressed codecs loudly.
+
+    Reference has no video surface; this covers the builder brief's
+    multimodal video column with a true pixel path (parity family:
+    :func:`decode_wav` above)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    width = height = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal width, height
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                # list body = 4-byte list type + subchunks
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"strf" and width is None:
+                # BITMAPINFOHEADER of the first (video) stream
+                (_, bi_w, bi_h, _, bits, comp) = struct.unpack(
+                    "<IiiHHI", buf[body_start : body_start + 20]
+                )
+                if comp != 0 or bits != 24:
+                    raise ValueError(
+                        "AVI: only uncompressed 24-bit DIB frames supported "
+                        f"(compression={comp}, bits={bits})"
+                    )
+                width, height = bi_w, abs(bi_h)
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames_raw.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size & 1)  # chunks pad to even
+
+    walk(data, 12, len(data))
+    if width is None:
+        raise ValueError("AVI: missing video stream format (strf)")
+    stride = (width * 3 + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        if len(raw) < stride * height:
+            raise ValueError("AVI: truncated frame")
+        rows = np.frombuffer(raw[: stride * height], dtype=np.uint8)
+        img = rows.reshape(height, stride)[:, : width * 3]
+        # bottom-up BGR -> top-down RGB
+        frames.append(img.reshape(height, width, 3)[::-1, :, ::-1])
+    return width, height, frames
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 30) -> bytes:
+    """RGB HxWx3 uint8 frames -> uncompressed RIFF/AVI bytes (tests +
+    planted oracles — the :func:`encode_wav` idiom)."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_avi: need at least one frame")
+    height, width = frames[0].shape[:2]
+    stride = (width * 3 + 3) & ~3
+    frame_bytes = []
+    for f in frames:
+        # top-down RGB -> bottom-up BGR, rows padded to 4 bytes
+        bgr = np.ascontiguousarray(f[::-1, :, ::-1], dtype=np.uint8)
+        if stride != width * 3:
+            padded = np.zeros((height, stride), dtype=np.uint8)
+            padded[:, : width * 3] = bgr.reshape(height, width * 3)
+            frame_bytes.append(padded.tobytes())
+        else:
+            frame_bytes.append(bgr.tobytes())
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # us per frame
+        stride * height * fps,  # max bytes/sec
+        0, 0x10, n, 0, 1, stride * height, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        fps, 0, n, stride * height, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        stride * height, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 class FrameSampler:
-    """video binary -> every-nth-frame sample descriptors (stubbed decode,
-    real fan-out plumbing: one input row -> n output rows)."""
+    """video binary -> every-nth-frame sample descriptors.
+
+    ``fake=False`` (the REAL path): payloads are decoded as uncompressed
+    RIFF/AVI via :func:`decode_avi` and ``frame_hash`` is the first 60
+    bits of sha256 over the sampled frame's RGB pixel buffer (row-major
+    H x W x 3) — the :class:`ImageResizer` pixel-hash idiom, so a SQL
+    oracle reproduces it for planted constant-color frames.
+
+    ``fake=True``: deterministic sha256-derived stand-in (kept as the
+    documented fallback for codecs the container lacks)."""
 
     def __init__(self, every_n: int = 10, fake: bool = True):
-        if not fake:
-            raise NotImplementedError("real video decode unavailable here")
         self.every_n = every_n
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # sha256 + '#'-delimited frame tag (not blake2b/binary concat):
@@ -218,6 +335,14 @@ class FrameSampler:
             batch.column("doc_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
+            if not self.fake:
+                _, _, frames = decode_avi(payload or b"")
+                for i in range(0, len(frames), self.every_n):
+                    doc_ids.append(doc)
+                    frame_idx.append(i)
+                    fh = hashlib.sha256(frames[i].tobytes()).hexdigest()
+                    frame_hash.append(int(fh[:15], 16))  # 60 bits
+                continue
             h = hashlib.sha256(payload or b"").digest()
             n_frames = 1 + h[0] % 50
             for i in range(0, n_frames, self.every_n):
@@ -249,10 +374,13 @@ def decode_images(ds, concurrency: int = 2, batch_size: int = 32,
     )
 
 
-def sample_frames(ds, every_n: int = 10, concurrency: int = 2, batch_size: int = 16):
+def sample_frames(ds, every_n: int = 10, concurrency: int = 2,
+                  batch_size: int = 16, fake: bool = True):
+    """Actor-pool frame-sampling stage.  Pass ``fake=False`` for the real
+    uncompressed-AVI decode + pixel-hash path."""
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"every_n": every_n},
+        fn_constructor_kwargs={"every_n": every_n, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -44,12 +44,22 @@ def _flat_word_stream(texts):
     stages: per-token Python work collapses to per-UNIQUE-word work.
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    n = len(texts)
-    low = pc.ascii_lower(
+    return _flat_word_stream_arr(
         pa.array(["" if t is None else t for t in texts], pa.string())
     )
+
+
+def _flat_word_stream_arr(texts_arr):
+    """:func:`_flat_word_stream` over an Arrow string array/chunked array
+    (nulls allowed) — zero-copy entry point for ``pyarrow``-format stages."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts_arr, pa.ChunkedArray):
+        texts_arr = texts_arr.combine_chunks()
+    n = len(texts_arr)
+    low = pc.ascii_lower(pc.fill_null(texts_arr.cast(pa.string()), ""))
     toks = pc.split_pattern_regex(low, pattern="[^0-9a-z]+")
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -761,15 +771,20 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
     """
     import zlib
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def partial(batch):
+        # pyarrow in/out: the text column never round-trips through pandas
+        import pyarrow as pa
+
+        empty = pa.table(
             {
-                "ngram": pd.array([], dtype="object"),
-                "cnt": pd.array([], dtype="int64"),
-                "_b": pd.array([], dtype="int32"),
+                "ngram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "_b": pa.array([], pa.int32()),
             }
         )
-        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        vocab, vids, parent, _ = _flat_word_stream_arr(
+            batch.column("text")
+        )
         m = len(vids) - n + 1
         if m <= 0:
             return empty
@@ -781,20 +796,19 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
         )
         uniq, cnt = np.unique(arr, axis=0, return_counts=True)
         voc = np.asarray(vocab, dtype=object)
-        s = pd.Series(voc[uniq[:, 0]], dtype=object)
+        s = voc[uniq[:, 0]]
         for i in range(1, n):
-            s = s + " " + pd.Series(voc[uniq[:, i]], dtype=object)
-        return pd.DataFrame(
+            s = s + " " + voc[uniq[:, i]]
+        return pa.table(
             {
-                "ngram": s,
-                "cnt": pd.array(cnt.astype(np.int64), dtype="int64"),
-                "_b": pd.array(
+                "ngram": pa.array(s, pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "_b": pa.array(
                     np.fromiter(
                         (zlib.crc32(g.encode()) % buckets for g in s),
                         np.int32,
                         len(s),
-                    ),
-                    dtype="int32",
+                    )
                 ),
             }
         )
@@ -807,7 +821,7 @@ def ngram_counts(ds, n: int = 2, top_k: int = 50, buckets: int = 64):
         return agg[["ngram", "cnt"]]
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(bucket_topk, batch_format="pandas")
         .sort(["cnt", "ngram"], descending=[True, False])
@@ -1046,15 +1060,18 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
     """
     import zlib
 
-    def wc_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def wc_partial(batch):
+        # pyarrow in/out: the text column never round-trips through pandas
+        import pyarrow as pa
+
+        empty = pa.table(
             {
-                "word": pd.array([], dtype="object"),
-                "f": pd.array([], dtype="int64"),
-                "_b": pd.array([], dtype="int32"),
+                "word": pa.array([], pa.string()),
+                "f": pa.array([], pa.int64()),
+                "_b": pa.array([], pa.int32()),
             }
         )
-        vocab, vids, _, _ = _flat_word_stream(list(batch["text"]))
+        vocab, vids, _, _ = _flat_word_stream_arr(batch.column("text"))
         if not len(vids):
             return empty
         cnt = np.bincount(vids, minlength=len(vocab)).astype(np.int64)
@@ -1066,11 +1083,11 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
             np.int32,
             len(words),
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "word": pd.Series(words, dtype=object),
-                "f": pd.array(cnt, dtype="int64"),
-                "_b": pd.array(bb, dtype="int32"),
+                "word": pa.array(words, pa.string()),
+                "f": pa.array(cnt),
+                "_b": pa.array(bb),
             }
         )
 
@@ -1088,7 +1105,7 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
     import ray
 
     words = (
-        ds.map_batches(wc_partial, batch_format="pandas")
+        ds.map_batches(wc_partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(wc_agg, batch_format="pandas")
     )
@@ -2058,18 +2075,25 @@ def tfidf_keywords(ds, k: int = 3, buckets: int = 64):
 
     n_docs = float(ds.count())
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+    def partial(batch):
+        # pyarrow in/out: the text column never round-trips through pandas
+        import pyarrow as pa
+
+        vocab, vids, parent, _ = _flat_word_stream_arr(
+            batch.column("text")
+        )
         if not len(vids):
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "doc_id": pd.array([], dtype="int64"),
-                    "term": pd.array([], dtype="object"),
-                    "tf": pd.array([], dtype="int64"),
-                    "_b": pd.array([], dtype="int32"),
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int32()),
                 }
             )
-        doc_ids = batch["doc_id"].to_numpy()
+        doc_ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+        )
         pair = parent.astype(np.int64) * np.int64(len(vocab)) + vids
         uniq, cnt = np.unique(pair, return_counts=True)
         pi = (uniq // len(vocab)).astype(np.int64)
@@ -2078,16 +2102,12 @@ def tfidf_keywords(ds, k: int = 3, buckets: int = 64):
         terms = voc[vi]
         keep = terms != ""
         terms = terms[keep]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": pd.array(
-                    doc_ids[pi[keep]].astype(np.int64), dtype="int64"
-                ),
-                "term": pd.Series(terms, dtype=object),
-                "tf": pd.array(
-                    cnt[keep].astype(np.int64), dtype="int64"
-                ),
-                "_b": pd.array(
+                "doc_id": pa.array(doc_ids[pi[keep]].astype(np.int64)),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(cnt[keep].astype(np.int64)),
+                "_b": pa.array(
                     np.fromiter(
                         (
                             zlib.crc32(t.encode()) % buckets
@@ -2095,8 +2115,7 @@ def tfidf_keywords(ds, k: int = 3, buckets: int = 64):
                         ),
                         np.int32,
                         len(terms),
-                    ),
-                    dtype="int32",
+                    )
                 ),
             }
         )
@@ -2144,7 +2163,7 @@ def tfidf_keywords(ds, k: int = 3, buckets: int = 64):
         ]
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(attach_df, batch_format="pandas")
         .groupby("_b2")

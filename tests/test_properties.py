@@ -149,6 +149,53 @@ def test_minhash_batch_matches_scalar(texts):
         assert np.array_equal(np.asarray(got["sig"].iloc[i]), want), (i, t)
 
 
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po")
+            ),
+            max_size=60,
+        )
+        | st.none(),
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_minhash_band_rows_arrow_matches_pandas_chain(texts):
+    """The fused Arrow stage (text -> sig -> band rows, pyarrow in/out)
+    must be byte-identical to MinHasher + _band_rows over pandas batches
+    (+ the coarse band_hash % 1024 bucket)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from searchengines_ray.stages.dedup import (
+        MinHasher,
+        MinHashBandRows,
+        _band_rows,
+    )
+
+    batch_pd = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    mh = MinHasher(num_perm=16, shingle=3)
+    want = _band_rows(mh(batch_pd), bands=4)
+    want["cb"] = (want["band_hash"].to_numpy() % 1024).astype(np.int32)
+    got = (
+        MinHashBandRows(num_perm=16, shingle=3, bands=4)(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(len(texts), dtype=np.int64)
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        .to_pandas()
+    )
+    for col in ("doc_id", "band", "band_hash", "cb"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
 def test_band_rows_vectorized_matches_scalar():
     import pandas as pd
 

@@ -649,6 +649,70 @@ def test_multimodal_stubs(ray_session):
         )
 
 
+def test_avi_codec_roundtrip_and_real_sampler(ray_session):
+    """encode_avi/decode_avi must round-trip pixels exactly; the
+    fake=False FrameSampler must hash the decoded RGB buffers."""
+    import hashlib
+
+    import ray.data
+
+    from searchengines_ray.stages.multimodal import (
+        FrameSampler,
+        decode_avi,
+        encode_avi,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h, n in [(8, 6, 5), (13, 9, 3), (4, 4, 1)]:
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        ww, hh, out = decode_avi(encode_avi(frames, fps=24))
+        assert (ww, hh) == (w, h) and len(out) == n
+        for a, b in zip(frames, out):
+            assert np.array_equal(a, b)
+    # compressed / non-AVI payloads raise loudly
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        decode_avi(b"junk")
+
+    rows = []
+    want = {}
+    for d in range(8):
+        fr = [
+            np.full((5, 7, 3), 32 + (d * 7 + i * 13) % 95, np.uint8)
+            for i in range(1 + d % 6)
+        ]
+        rows.append({"doc_id": d, "payload": encode_avi(fr)})
+        for i in range(0, len(fr), 2):
+            want[(d, i)] = int(
+                hashlib.sha256(fr[i].tobytes()).hexdigest()[:15], 16
+            )
+    got = sample_frames(
+        ray.data.from_items(rows), every_n=2, concurrency=2, fake=False
+    ).to_pandas()
+    assert {
+        (int(r.doc_id), int(r.frame_idx)): int(r.frame_hash)
+        for r in got.itertuples()
+    } == want
+    # fake and real paths share one output schema
+    fk = FrameSampler(every_n=2, fake=True)
+    import pyarrow as pa
+
+    t = fk(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "payload": pa.array([b"x"], pa.binary()),
+            }
+        )
+    )
+    assert t.column_names == ["doc_id", "frame_idx", "frame_hash"]
+
+
 def test_hopping_window_agg(ray_session):
     import ray.data
 
