@@ -52,7 +52,7 @@ STRUCTURED_QUERIES = [
 
 def _index_for(sf_dir: str, simple: bool) -> str:
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|{simple}|v6".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|{simple}|v7".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "stats.json")):
@@ -175,7 +175,7 @@ def _q_bm25_topk_merged(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.index.shard import list_segments
 
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|merged|v6".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|merged|v7".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "stats.json")):
@@ -205,7 +205,7 @@ def _q_bm25_topk_pfor(sf_dir: str) -> pd.DataFrame:
     proves the codec is a storage property only — it must match the SAME
     SQL oracle as bm25_topk_simple."""
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|pfor|v6".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|pfor|v7".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "stats.json")):
@@ -251,7 +251,7 @@ def _q_bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.index.compact import delete_docs
 
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|tomb|v6".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|tomb|v7".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "DONE")):
@@ -283,7 +283,7 @@ def _q_bm25_topk_purged(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.index.compact import delete_docs, purge_deleted
 
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|purge|v6".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|purge|v7".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "DONE")):
@@ -316,7 +316,7 @@ def _q_bm25_topk_incremental(sf_dir: str) -> pd.DataFrame:
     from searchengines_ray.index.build import update_index
 
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}|incr|v6".encode(), digest_size=6
+        f"{os.path.abspath(sf_dir)}|incr|v7".encode(), digest_size=6
     ).hexdigest()
     out = f"/tmp/seray_index/{tag}"
     if not os.path.exists(os.path.join(out, "DONE")):
@@ -3235,6 +3235,79 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_prf_from_ranking(sf_dir: str) -> pd.DataFrame:
+    """File-sourced PRF end-to-end through the REAL flow (run_param_file
+    with prf:initialRankingFile — QryEval.java:1333-1368): a deterministic
+    initial ranking (doc = (qi*37 + j*13) % N, score 8-j) is written as a
+    TREC file, read back by the S5 reader, expanded (Indri PRF mu=40,
+    5 docs, 8 terms), and the expanded #WAND re-scores the corpus; the S7
+    writer's output is read back and compared against a closed-form SQL
+    reproduction of the whole chain (expansion sums + sticky-0.5 #WAND
+    Indri scoring).  Scores floored to 1e-6 (both sides) before ranking
+    and output — the diversity entries' float contract."""
+    import math
+    import tempfile
+
+    from searchengines_ray.pipelines.retrieval import run_param_file
+    from searchengines_ray.sources.formats import (
+        read_trec_ranking,
+        trec_lines,
+    )
+
+    eng = _engine(sf_dir, simple=False)
+    n_docs = int(eng.stats["n_docs"])
+    qs = BM25_QUERIES[:3]
+    with tempfile.TemporaryDirectory() as td:
+        qfile = os.path.join(td, "q.qry")
+        rfile = os.path.join(td, "initial.teIn")
+        pfile = os.path.join(td, "run.param")
+        tfile = os.path.join(td, "out.teIn")
+        with open(qfile, "w") as f:
+            for qid, qt in qs:
+                f.write(f"{qid}:{qt}\n")
+        with open(rfile, "w") as f:
+            for qi, (qid, _) in enumerate(qs, 1):
+                ranking = [
+                    (
+                        "https://example.org/doc/"
+                        f"{(qi * 37 + j * 13) % n_docs:012d}",
+                        float(8 - j),
+                    )
+                    for j in range(5)
+                ]
+                f.write("\n".join(trec_lines(qid, ranking, "init")) + "\n")
+        with open(pfile, "w") as f:
+            f.write(f"indexPath={_index_for(sf_dir, simple=False)}\n")
+            f.write(f"queryFilePath={qfile}\n")
+            f.write(f"trecEvalOutputPath={tfile}\n")
+            f.write("retrievalAlgorithm=Indri\n")
+            f.write("Indri:mu=1000\nIndri:lambda=0.4\n")
+            f.write("prf=Indri\nprf:numDocs=5\nprf:numTerms=8\n")
+            f.write("prf:Indri:mu=40.0\nprf:Indri:origWeight=0.5\n")
+            f.write(f"prf:initialRankingFile={rfile}\n")
+            # full ranking through the file: truncation must happen AFTER
+            # the 1e-6 flooring (a full-precision top-10 cut can drop a doc
+            # that TIES at the boundary once floored — the diversity lesson)
+            f.write(f"trecEvalOutputLength={n_docs}\n")
+        run_param_file(pfile, eng)
+        back = read_trec_ranking(tfile)
+    rows = []
+    for qid, ranking in back.items():
+        for url, score in ranking:
+            rows.append((qid, url, math.floor(score * 1e6) / 1e6))
+    out = pd.DataFrame(rows, columns=["qid", "url", "score_r"])
+    # rank on the FLOORED score (tie url asc) so engine-vs-SQL agreement
+    # needs 1e-6-level equality, not bit-identical pow/product ordering
+    out = out.sort_values(
+        ["qid", "score_r", "url"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    out["rank"] = (out.groupby("qid").cumcount() + 1).astype("int64")
+    out = out[out["rank"] <= 10]
+    return out[["qid", "rank", "url", "score_r"]].reset_index(drop=True)
+
+
 def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
     """REAL video decode (uncompressed RIFF/AVI, stdlib-pure — the WAV
     parser's RIFF sibling, stages/multimodal.py decode_avi): each doc
@@ -3284,6 +3357,7 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "prf_from_ranking": _q_prf_from_ranking,
         "frame_sample_real": _q_frame_sample_real,
         # then the never-driver-sampled tail (rotated forward per the
         # round-4 verdict so CORRECTNESS_r05 finally covers them):
@@ -3488,16 +3562,35 @@ def _sql_strip_expr(n: int) -> str:
     )
 
 
+def _sql_exception_case() -> str:
+    """Simple-CASE over the KSTEM_EXCEPTIONS dict — generated from the ONE
+    Python source of truth so the SQL stemmer can never drift from
+    analysis.kstem_lite's dictionary stage."""
+    from searchengines_ray.analysis import KSTEM_EXCEPTIONS
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(KSTEM_EXCEPTIONS.items())
+    )
+    return f"CASE w {whens} ELSE NULL END"
+
+
 def _sql_stem_ctes(src: str = "nonstop", prefix: str = "", extra: str = "") -> str:
     """CTE fragment mapping {src}(doc_id{extra}, w) -> {prefix}stemmed
     (doc_id{extra}, term); prefix allows multiple stemmer instantiations in
     one WITH; extra carries pass-through columns (e.g. ", pos")."""
     p = prefix
     return f"""
-  {p}st0 AS (
-    SELECT doc_id{extra}, w,
-           (length(w) <= 3 OR NOT regexp_matches(w, '^[a-z]+$')) AS done
+  {p}stexc AS (
+    -- dictionary-exception stage (KSTEM_EXCEPTIONS): an exact hit
+    -- short-circuits the whole rule cascade
+    SELECT doc_id{extra}, w, {_sql_exception_case()} AS exc
     FROM {src}
+  ),
+  {p}st0 AS (
+    SELECT doc_id{extra}, COALESCE(exc, w) AS w,
+           (exc IS NOT NULL OR length(w) <= 3
+            OR NOT regexp_matches(w, '^[a-z]+$')) AS done
+    FROM {p}stexc
   ),
   {p}st1 AS (
     SELECT doc_id{extra}, done,
@@ -3555,6 +3648,28 @@ def _sql_stem_ctes(src: str = "nonstop", prefix: str = "", extra: str = "") -> s
              THEN substr(w, 1, length(w) - 2)
            WHEN w LIKE '%ily' AND length(w) > 6
              THEN substr(w, 1, length(w) - 3) || 'y'
+           -- round-5 families (bility/ivity/ality/icity, ence/ance,
+           -- able/ible) — byte-identical to kstem_lite's tail
+           WHEN w LIKE '%bility' AND length(w) > 6
+             THEN substr(w, 1, length(w) - 6) || 'ble'
+           WHEN w LIKE '%ivity' AND length(w) > 7
+             THEN substr(w, 1, length(w) - 3) || 'e'
+           WHEN w LIKE '%ality' AND length(w) > 7
+             THEN substr(w, 1, length(w) - 3)
+           WHEN w LIKE '%icity' AND length(w) > 7
+             THEN substr(w, 1, length(w) - 3)
+           WHEN (w LIKE '%ence' OR w LIKE '%ance') AND length(w) >= 9
+             THEN CASE WHEN {_sql_undouble_cond("substr(w, 1, length(w) - 4)")}
+                       THEN substr(w, 1, length(w) - 5)
+                       ELSE substr(w, 1, length(w) - 4) END
+           WHEN (w LIKE '%able' AND length(w) > 7)
+                OR (w LIKE '%ible' AND length(w) > 8)
+             THEN CASE
+                    WHEN {_sql_last('w',5)} = 'i'
+                      THEN substr(w, 1, length(w) - 5) || 'y'
+                    WHEN {_sql_last('w',5)} = 'u'
+                      THEN substr(w, 1, length(w) - 4) || 'e'
+                    ELSE substr(w, 1, length(w) - 4) END
            ELSE w END AS term
     FROM {p}st4
   )"""
@@ -4332,8 +4447,134 @@ def _ltr_rerank_sql(inner: str) -> str:
     """
 
 
+def _prf_from_ranking_sql() -> str:
+    """Closed-form SQL for the file-sourced PRF flow: deterministic initial
+    ranking -> expansion sums (the prf_expansion shape) -> top-8 learned
+    terms (re-stemmed through the parser's analyzer, QryParser semantics)
+    -> Indri #WAND with the sticky-0.5 weights (outer W = 0.5*m + 0.5,
+    inner normalized by the learned-score sum).  Both sides rank by the
+    1e-6-FLOORED score (tie url asc) — the diversity float contract."""
+    q_vals = _stemmed_query_values(BM25_QUERIES[:3])
+    url = (
+        "'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+    )
+    leaf = (
+        "(1.0 - 0.4) * ((COALESCE(tf.tf, 0.0) + 1000.0 * p.pqc)"
+        " / (dl.dl + 1000.0)) + 0.4 * p.pqc"
+    )
+    return f"""
+        WITH {_FULL_TOKS_CTES},
+        fstats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+        -- empty docs have no raw rows but DO sit in the ranking formula's
+        -- id space: their PRF contribution uses dl = 0
+        doclen_all AS (
+          SELECT d.doc_id, COALESCE(dl.dl, 0.0) AS dl
+          FROM documents d LEFT JOIN doclen dl ON dl.doc_id = d.doc_id
+        ),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM toks GROUP BY doc_id, term),
+        ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS ctf
+                FROM toks GROUP BY term),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        init AS (
+          SELECT v.qid,
+                 CAST((v.qi * 37 + j.j * 13) % nd.n AS BIGINT) AS doc_id,
+                 CAST(8 - j.j AS DOUBLE) AS score
+          FROM (VALUES (1, 'q1'), (2, 'q2'), (3, 'q3')) v(qi, qid)
+          CROSS JOIN (VALUES (0), (1), (2), (3), (4)) j(j)
+          CROSS JOIN nd
+        ),
+        cand AS (SELECT DISTINCT i.qid, tf.term
+                 FROM init i JOIN tf ON tf.doc_id = i.doc_id),
+        exp AS (
+          SELECT c.qid, c.term,
+                 SUM(i.score * LN(fstats.sum_len / ct.ctf)
+                     * ((COALESCE(tf.tf, 0.0)
+                         + 40.0 * (ct.ctf / fstats.sum_len))
+                        / (dl.dl + 40.0))) AS score
+          FROM cand c
+          JOIN init i ON i.qid = c.qid
+          JOIN ctf ct ON ct.term = c.term
+          JOIN doclen_all dl ON dl.doc_id = i.doc_id
+          LEFT JOIN tf ON tf.doc_id = i.doc_id AND tf.term = c.term
+          CROSS JOIN fstats
+          GROUP BY c.qid, c.term, fstats.sum_len
+        ),
+        eranked AS (
+          SELECT qid, term, score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, term ASC
+                 ) AS r
+          FROM exp
+        ),
+        -- the learned query is re-parsed by the engine, so its terms pass
+        -- through the analyzer's stemmer again (idempotent for most stems,
+        -- but the contract models it)
+        lsrc AS (SELECT 0 AS doc_id, qid, score AS w0, term AS w
+                 FROM eranked WHERE r <= 8),
+        {_sql_stem_ctes('lsrc', 'lq_', ', qid, w0')},
+        learned AS (SELECT qid, w0, term FROM lq_stemmed),
+        lsum AS (SELECT qid, SUM(w0) AS s FROM learned GROUP BY qid),
+        q(qid, term) AS (VALUES {q_vals}),
+        qm AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS m FROM q GROUP BY qid),
+        allt AS (SELECT qid, term FROM q
+                 UNION SELECT qid, term FROM learned),
+        pqct AS (
+          SELECT a.qid, a.term,
+                 COALESCE(c.ctf, 0.5) / fstats.sum_len AS pqc
+          FROM allt a
+          LEFT JOIN ctf c ON c.term = a.term
+          CROSS JOIN fstats
+        ),
+        ud AS (SELECT DISTINCT a.qid, tf.doc_id
+               FROM allt a JOIN tf ON tf.term = a.term),
+        orig AS (
+          SELECT ud.qid, ud.doc_id,
+                 product(pow({leaf}, 0.5 / (0.5 * qm.m + 0.5))) AS sc
+          FROM ud
+          JOIN q ON q.qid = ud.qid
+          JOIN pqct p ON p.qid = ud.qid AND p.term = q.term
+          LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = ud.doc_id
+          JOIN doclen_all dl ON dl.doc_id = ud.doc_id
+          JOIN qm ON qm.qid = ud.qid
+          GROUP BY ud.qid, ud.doc_id
+        ),
+        lrn AS (
+          SELECT ud.qid, ud.doc_id,
+                 product(pow({leaf}, l.w0 / ls.s)) AS sc
+          FROM ud
+          JOIN learned l ON l.qid = ud.qid
+          JOIN lsum ls ON ls.qid = ud.qid
+          JOIN pqct p ON p.qid = ud.qid AND p.term = l.term
+          LEFT JOIN tf ON tf.term = l.term AND tf.doc_id = ud.doc_id
+          JOIN doclen_all dl ON dl.doc_id = ud.doc_id
+          GROUP BY ud.qid, ud.doc_id
+        ),
+        final AS (
+          SELECT o.qid, o.doc_id,
+                 o.sc * pow(l.sc, 0.5 / (0.5 * qm.m + 0.5)) AS score
+          FROM orig o
+          JOIN lrn l ON l.qid = o.qid AND l.doc_id = o.doc_id
+          JOIN qm ON qm.qid = o.qid
+        ),
+        franked AS (
+          SELECT qid, doc_id, score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY FLOOR(score * 1000000) / 1000000 DESC,
+                            {url} ASC
+                 ) AS rank
+          FROM final
+        )
+        SELECT qid, CAST(rank AS BIGINT) AS rank, {url} AS url,
+               FLOOR(score * 1000000) / 1000000 AS score_r
+        FROM franked WHERE rank <= 10 ORDER BY qid, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["prf_from_ranking"] = _prf_from_ranking_sql()
     sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
     # compaction is bit-identical by contract: same oracle as the
     # small-segment index (the entry builds 64-doc segments, then merges)

@@ -92,14 +92,65 @@ def _undouble(stem: str) -> str:
     return stem
 
 
+# Dictionary-exception table (the KStem head-word-dictionary MECHANISM
+# from Krovetz 1993 / Lucene KStem, with a deterministic public subset of
+# entries instead of Lucene's ~30k-word dictionary): applied before the
+# rule cascade, an exact hit short-circuits every rule.  Two entry kinds:
+# irregular English forms the suffix rules cannot derive, and protective
+# identities for roots the round-5 derivational families would mangle.
+# The SQL oracle generates its exception CASE from THIS dict
+# (_sql_stem_ctes in __ray_entry__.py) — one source of truth.
+KSTEM_EXCEPTIONS: dict[str, str] = {
+    # irregular plurals
+    "children": "child", "men": "man", "women": "woman", "feet": "foot",
+    "teeth": "tooth", "geese": "goose", "mice": "mouse", "lice": "louse",
+    "oxen": "ox", "brethren": "brother", "indices": "index",
+    "matrices": "matrix", "vertices": "vertex", "appendices": "appendix",
+    "crises": "crisis", "analyses": "analysis", "theses": "thesis",
+    "hypotheses": "hypothesis", "phenomena": "phenomenon",
+    "criteria": "criterion",
+    # irregular past / participle
+    "went": "go", "gone": "go", "did": "do", "made": "make", "said": "say",
+    "told": "tell", "sold": "sell", "bought": "buy", "brought": "bring",
+    "thought": "think", "taught": "teach", "caught": "catch",
+    "sought": "seek", "fought": "fight", "found": "find", "held": "hold",
+    "kept": "keep", "met": "meet", "paid": "pay", "sent": "send",
+    "spent": "spend", "built": "build", "lost": "lose", "meant": "mean",
+    "felt": "feel", "slept": "sleep", "stood": "stand",
+    "understood": "understand", "wrote": "write", "written": "write",
+    "spoke": "speak", "spoken": "speak", "broke": "break",
+    "broken": "break", "chose": "choose", "chosen": "choose",
+    "drove": "drive", "driven": "drive", "ate": "eat", "eaten": "eat",
+    "fell": "fall", "fallen": "fall", "gave": "give", "given": "give",
+    "grew": "grow", "grown": "grow", "knew": "know", "known": "know",
+    "threw": "throw", "thrown": "throw", "took": "take", "taken": "take",
+    "saw": "see", "seen": "see", "ran": "run", "came": "come",
+    "began": "begin", "begun": "begin", "sang": "sing", "sung": "sing",
+    "drank": "drink", "drunk": "drink", "swam": "swim", "wore": "wear",
+    "worn": "wear", "tore": "tear", "torn": "tear", "rode": "ride",
+    "ridden": "ride", "rose": "rise", "risen": "rise", "flew": "fly",
+    "flown": "fly", "drew": "draw", "drawn": "draw", "heard": "hear",
+    # protective identities / corrections for the derivational families
+    "insurance": "insurance", "substance": "substance",
+    "experience": "experience", "influence": "influence",
+    "maintenance": "maintenance", "mobility": "mobile",
+    "simplicity": "simple",
+}
+
+
 @lru_cache(maxsize=65536)
 def kstem_lite(w: str) -> str:
     """Frozen rule-only Krovetz-style stemmer.
 
-    Order of rules mirrors Krovetz's morphology passes (plural -> past ->
-    present participle), without the head-word dictionary.  Purely
-    deterministic; shared verbatim by the oracle and every Ray stage.
+    Order of rules mirrors Krovetz's morphology passes (dictionary
+    exceptions -> plural -> past -> present participle -> derivational
+    families), with :data:`KSTEM_EXCEPTIONS` standing in for the head-word
+    dictionary.  Purely deterministic; shared verbatim by the oracle and
+    every Ray stage.
     """
+    exc = KSTEM_EXCEPTIONS.get(w)
+    if exc is not None:
+        return exc
     if len(w) <= 3 or not w.isalpha():
         return w
     # --- plurals ---
@@ -174,6 +225,37 @@ def kstem_lite(w: str) -> str:
         # len > 6 spares roots whose 'il' is not the y->i mutation
         # ("family", "easily" stay; "happily" -> "happy")
         return w[:-3] + "y"
+    # --- round-5 families: -ity (bility/ivity/ality/icity sub-rules only
+    # — bare -ity would map city->c), -ence/-ance, -able/-ible.  Same
+    # first-candidate resolution and the same low-over-stemming stance as
+    # the -ly family above; KSTEM_EXCEPTIONS patches the known casualties
+    # (mobility, simplicity, insurance, ...). ---
+    if w.endswith("bility") and len(w) > 6:
+        # capability -> capable, flexibility -> flexible, ability -> able
+        return w[:-6] + "ble"
+    if w.endswith("ivity") and len(w) > 7:
+        return w[:-3] + "e"  # sensitivity -> sensitive
+    if w.endswith("ality") and len(w) > 7:
+        return w[:-3]  # formality -> formal ("quality"/"reality" spared)
+    if w.endswith("icity") and len(w) > 7:
+        return w[:-3]  # electricity -> electric
+    if (w.endswith("ence") or w.endswith("ance")) and len(w) >= 9:
+        # existence -> exist, acceptance -> accept; the root-length >= 5
+        # guard (len >= 9) spares distance/audience/sentence/science;
+        # undouble handles occurrence -> occur
+        return _undouble(w[:-4])
+    if (
+        (w.endswith("able") and len(w) > 7)
+        or (w.endswith("ible") and len(w) > 8)
+    ):
+        # readable -> read, accessible -> access; the tighter -ible guard
+        # spares possible/sensible/terrible
+        stem = w[:-4]
+        if stem.endswith("i"):
+            return stem[:-1] + "y"  # reliable -> rely
+        if stem.endswith("u"):
+            return stem + "e"  # valuable -> value
+        return stem
     return w
 
 

@@ -50,6 +50,30 @@ def test_kstem_lite_rules():
         "walking": "walk",
         "cat": "cat",  # too short
         "a1b2": "a1b2",  # non-alpha untouched
+        # round-5 dictionary exceptions (the KStem head-word mechanism)
+        "children": "child",
+        "men": "man",  # shorter than the rule-cascade length guard
+        "analyses": "analysis",
+        "took": "take",
+        "mobility": "mobile",  # protective correction over -bility
+        "insurance": "insurance",  # protective identity over -ance
+        # round-5 derivational families
+        "capability": "capable",
+        "abilities": "able",  # plural pass feeds the -bility family
+        "flexibility": "flexible",
+        "sensitivity": "sensitive",
+        "formality": "formal",
+        "quality": "quality",  # bare -ity never fires (city would -> c)
+        "electricity": "electric",
+        "existence": "exist",
+        "occurrence": "occur",  # undoubled root
+        "science": "science",  # length guard spares it
+        "distance": "distance",  # root-length guard spares it
+        "readable": "read",
+        "reliable": "rely",  # i -> y mutation
+        "valuable": "value",  # u -> ue restore
+        "possible": "possible",  # tighter -ible guard spares it
+        "accessible": "access",
     }
     for w, want in cases.items():
         assert kstem_lite(w) == want, (w, kstem_lite(w), want)

@@ -31,8 +31,17 @@ def test_sql_stemmer_matches_kstem_lite(con):
         "", "s", "es", "ies", "ed", "ied", "eed", "ing", "ss", "us", "is",
         "ches", "xes", "zes", "hes", "tted", "nned", "lled", "ssed",
         "ting", "nning", "ying", "oing", "wing", "xing", "e", "ee",
+        # round-4/5 derivational families
+        "ness", "iness", "ment", "ically", "fully", "ily",
+        "bility", "ibility", "ivity", "ality", "icity",
+        "ence", "ance", "rrence", "able", "ible", "iable", "uable",
     ]
     words = set()
+    # every dictionary exception (and their near-misses with a prefix)
+    from searchengines_ray.analysis import KSTEM_EXCEPTIONS
+
+    words.update(KSTEM_EXCEPTIONS)
+    words.update("x" + k for k in KSTEM_EXCEPTIONS)
     for _ in range(3000):
         stem = "".join(
             rng.choice(string.ascii_lowercase)
