@@ -116,8 +116,15 @@ class LocalSearcher:
     def _caches(self, token) -> list:
         if token is None:
             return [None] * len(self.segments)
-        if token != self._iop_token:
-            self._iop_token = token
+        if not self._iop_caches:
+            self._iop_caches = [{} for _ in self.segments]
+        # PERSISTENT across batches (a warm server re-serving a positional
+        # query must not re-decode its position lists): entries are keyed
+        # by the op subtree's string form, which is deterministic, so
+        # reuse is always exact.  Bounded: evict wholesale past 256
+        # distinct op shapes per segment (cache entries are per-segment
+        # doc/position arrays — memory ∝ shapes x segment size).
+        if any(len(c) > 256 for c in self._iop_caches):
             self._iop_caches = [{} for _ in self.segments]
         return self._iop_caches
 

@@ -219,7 +219,19 @@ def iter_term_keys(node: Node, out: set) -> None:
 
 
 def _pow_arr(base: np.ndarray, e: float) -> np.ndarray:
-    """libm pow per element — bit-identical to the oracle's Python ``**``."""
+    """libm pow per element — bit-identical to the oracle's Python ``**``
+    (np.power is NOT: it rounds differently on this libm/numpy pairing).
+
+    Leaf scores are functions of (tf, dl) so they repeat heavily within a
+    segment; pow runs once per UNIQUE value and scatters back — same bits,
+    ~5x fewer libm calls on dense corpora."""
+    if len(base) > 64:
+        uniq, inv = np.unique(base, return_inverse=True)
+        if len(uniq) <= len(base) // 2:
+            vals = np.fromiter(
+                (math.pow(float(b), e) for b in uniq), np.float64, len(uniq)
+            )
+            return vals[inv]
     return np.fromiter(
         (math.pow(float(b), e) for b in base), np.float64, len(base)
     )
@@ -424,8 +436,11 @@ def _score_leaf(
 def segment_topk(
     ev: EvalSop, seg: Segment, k: Optional[int]
 ) -> list[tuple[int, str, float]]:
-    """Per-segment top-k under the (score desc, url asc) composite key
-    (``ScoreList.java:90-106``).  Returns [(global doc_id, url, score)]."""
+    """Exact per-segment top-k SET under the (score desc, url asc)
+    composite key (``ScoreList.java:90-106``) — rows are UNORDERED (the
+    scatter/gather merge re-sorts globally with the same key), and urls
+    are materialized only for the k survivors plus boundary ties, never
+    the whole candidate set.  Returns [(global doc_id, url, score)]."""
     docs, scores = ev.docs, ev.scores
     if seg.dead is not None and len(docs):
         # tombstoned docs drop BEFORE truncation (a deleted doc must not
@@ -437,12 +452,20 @@ def segment_topk(
     if k is not None and len(docs) > k:
         part = np.argpartition(-scores, k - 1)
         thresh = scores[part[k - 1]]
-        keep = np.nonzero(scores >= thresh)[0]
+        above = np.nonzero(scores > thresh)[0]
+        ties = np.nonzero(scores == thresh)[0]
+        need = k - len(above)
+        if need < len(ties):
+            # boundary ties resolve url-ascending; only THEIR urls are
+            # compared (the composite key never touches non-tied rows)
+            tie_urls = seg.urls[docs[ties]]
+            ties = ties[np.argsort(tie_urls, kind="stable")[:need]]
+        keep = np.concatenate([above, ties])
         docs, scores = docs[keep], scores[keep]
-    urls = seg.urls[docs]
-    gids = seg.doc_ids[docs]
-    rows = sorted(
-        zip(gids.tolist(), urls.tolist(), scores.tolist()),
-        key=lambda r: (-r[2], r[1]),
+    return list(
+        zip(
+            seg.doc_ids[docs].tolist(),
+            seg.urls[docs].tolist(),
+            scores.tolist(),
+        )
     )
-    return rows[:k] if k is not None else rows
