@@ -212,6 +212,13 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     bpe_train(docs, num_merges=3)
     timings["bpe_train_3"] = time.perf_counter() - t0
 
+    # production merge count (round-5 incremental trainer: per-merge cost
+    # scales with affected words, not the corpus — 256 merges was ~79 s
+    # under the round-4 full-recount design)
+    t0 = time.perf_counter()
+    bpe_train(docs, num_merges=256)
+    timings["bpe_train_256"] = time.perf_counter() - t0
+
     docs_l = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
