@@ -3235,6 +3235,35 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two retrieval runs (Cormack et al. 2009,
+    rrf = sum over runs of 1/(60 + rank)) — the standard hybrid-retrieval
+    mixer of a training-data pipeline.  Runs: BM25 and Indri over the
+    simple analyzer, each ranked by the 1e-6-floored score (tie url asc);
+    both runs score the same union-of-matching-docs set, so fusion is an
+    inner join.  The rrf value is bit-exact across engines (two exact
+    integer-reciprocal divisions and one add)."""
+    eng = _engine(sf_dir, simple=True)
+    qs = BM25_QUERIES[:4]
+    a = _simple_ranked(
+        eng.search_batch(qs, BM25(), k=None), k=10**9
+    )
+    b = _simple_ranked(
+        eng.search_batch(qs, Indri(mu=1000.0, lam=0.4), k=None), k=10**9
+    )
+    m = a.merge(b, on=["qid", "url"], suffixes=("_b", "_i"))
+    m["rrf"] = 1.0 / (60 + m["rank_b"].to_numpy()) + 1.0 / (
+        60 + m["rank_i"].to_numpy()
+    )
+    m = m.sort_values(
+        ["qid", "rrf", "url"], ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    m["rank"] = (m.groupby("qid").cumcount() + 1).astype("int64")
+    m = m[m["rank"] <= 10]
+    return m[["qid", "rank", "url", "rrf"]].reset_index(drop=True)
+
+
 def _q_prf_from_ranking(sf_dir: str) -> pd.DataFrame:
     """File-sourced PRF end-to-end through the REAL flow (run_param_file
     with prf:initialRankingFile — QryEval.java:1333-1368): a deterministic
@@ -3357,6 +3386,7 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "rrf_fusion": _q_rrf_fusion,
         "prf_from_ranking": _q_prf_from_ranking,
         "frame_sample_real": _q_frame_sample_real,
         # then the never-driver-sampled tail (rotated forward per the
@@ -4572,9 +4602,111 @@ def _prf_from_ranking_sql() -> str:
     """
 
 
+def _rrf_fusion_sql() -> str:
+    """BM25 + Indri simple-analyzer runs, each floored-ranked, fused with
+    rrf = 1/(60+rank_bm25) + 1/(60+rank_indri) (exact integer reciprocals
+    — bit-identical across engines), top-10 by (rrf desc, url asc)."""
+    q_vals = " , ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in BM25_QUERIES[:4]
+        for t in q.split()
+    )
+    url = (
+        "'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+               FROM documents),
+        doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+        fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
+                          CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+               FROM tf GROUP BY term),
+        ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS ctf
+                FROM toks GROUP BY term),
+        q(qid, term) AS (VALUES {q_vals}),
+        qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n FROM q GROUP BY qid),
+        bscores AS (
+          SELECT q.qid, tf.doc_id,
+                 SUM(GREATEST(0.0,
+                       LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                     * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * (doclen.dl
+                                   / (fstats.sum_len / fstats.doc_count)))))
+                 ) AS score
+          FROM q
+          JOIN tf ON q.term = tf.term
+          JOIN df ON q.term = df.term
+          JOIN doclen ON tf.doc_id = doclen.doc_id
+          CROSS JOIN corpus CROSS JOIN fstats
+          GROUP BY q.qid, tf.doc_id
+        ),
+        pqc AS (
+          SELECT qd.qid, qd.term,
+                 COALESCE(c.ctf, 0.5) / fstats.sum_len AS pqc
+          FROM (SELECT DISTINCT qid, term FROM q) qd
+          LEFT JOIN ctf c ON c.term = qd.term
+          CROSS JOIN fstats
+        ),
+        ud AS (SELECT DISTINCT q.qid, tf.doc_id
+               FROM q JOIN tf ON q.term = tf.term),
+        iscores AS (
+          SELECT ud.qid, ud.doc_id,
+                 product(pow(
+                   (1.0 - 0.4) * ((COALESCE(tf.tf, 0.0) + 1000.0 * p.pqc)
+                                  / (dl.dl + 1000.0))
+                   + 0.4 * p.pqc,
+                   1.0 / qn.n)) AS score
+          FROM ud
+          JOIN q ON q.qid = ud.qid
+          JOIN pqc p ON p.qid = ud.qid AND p.term = q.term
+          LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = ud.doc_id
+          JOIN doclen dl ON dl.doc_id = ud.doc_id
+          JOIN qn ON qn.qid = ud.qid
+          GROUP BY ud.qid, ud.doc_id
+        ),
+        branked AS (
+          SELECT qid, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY FLOOR(score * 1000000) / 1000000 DESC, {url} ASC
+                 ) AS rank
+          FROM bscores
+        ),
+        iranked AS (
+          SELECT qid, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY FLOOR(score * 1000000) / 1000000 DESC, {url} ASC
+                 ) AS rank
+          FROM iscores
+        ),
+        fused AS (
+          SELECT b.qid, b.doc_id,
+                 1.0 / (60 + b.rank) + 1.0 / (60 + i.rank) AS rrf
+          FROM branked b
+          JOIN iranked i ON i.qid = b.qid AND i.doc_id = b.doc_id
+        ),
+        franked AS (
+          SELECT qid, doc_id, rrf,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY rrf DESC, {url} ASC
+                 ) AS rank
+          FROM fused
+        )
+        SELECT qid, CAST(rank AS BIGINT) AS rank, {url} AS url, rrf
+        FROM franked WHERE rank <= 10 ORDER BY qid, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["prf_from_ranking"] = _prf_from_ranking_sql()
+    sqls["rrf_fusion"] = _rrf_fusion_sql()
     sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
     # compaction is bit-identical by contract: same oracle as the
     # small-segment index (the entry builds 64-doc segments, then merges)

@@ -29,7 +29,8 @@ con.execute(
              d.text || ' rep' || CAST(r.r AS VARCHAR)
                     || 'x' || CAST(d.doc_id % 13 AS VARCHAR) AS text,
              d.lang, d.source,
-             d.n_chars + 8 AS n_chars
+             length(d.text || ' rep' || CAST(r.r AS VARCHAR)
+                    || 'x' || CAST(d.doc_id % 13 AS VARCHAR)) AS n_chars
       FROM read_parquet('{src}/documents.parquet') d
       CROSS JOIN (SELECT unnest(generate_series(0, {repl - 1})) AS r) r
       ORDER BY doc_id

@@ -123,9 +123,14 @@ class LocalSearcher:
         # by the op subtree's string form, which is deterministic, so
         # reuse is always exact.  Bounded: evict wholesale past 256
         # distinct op shapes per segment (cache entries are per-segment
-        # doc/position arrays — memory ∝ shapes x segment size).
-        if any(len(c) > 256 for c in self._iop_caches):
-            self._iop_caches = [{} for _ in self.segments]
+        # doc/position arrays — memory ∝ shapes x segment size) — but
+        # ONLY at a batch boundary (token change): the stats pass and the
+        # scoring pass of one batch must share their entries, or every
+        # composite op decodes twice per batch.
+        if token != self._iop_token:
+            self._iop_token = token
+            if any(len(c) > 256 for c in self._iop_caches):
+                self._iop_caches = [{} for _ in self.segments]
         return self._iop_caches
 
     def iop_stats_partial(

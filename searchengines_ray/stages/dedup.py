@@ -257,14 +257,7 @@ class MinHashBandRows(MinHasher):
                 }
             )
         sigs = self.batch_signatures(batch.column("text"))
-        r = sigs.shape[1] // bands
-        cube = sigs[:, : bands * r].reshape(n, bands, r)
-        acc = np.zeros((n, bands), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(r):
-                acc = acc * np.uint64(1000003) + cube[:, :, j]
-        acc = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        band_hash = acc.reshape(-1)
+        band_hash = _band_hash_fold(sigs, bands)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc_ids, bands)),
@@ -273,6 +266,21 @@ class MinHashBandRows(MinHasher):
                 "cb": pa.array((band_hash % 1024).astype(np.int32)),
             }
         )
+
+
+def _band_hash_fold(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) uint64 signatures -> (n*bands,) int64 band hashes —
+    the ONE rolling-fold implementation shared by the pandas `_band_rows`
+    and the Arrow `MinHashBandRows` stage (byte-identity by construction,
+    also fuzz-pinned)."""
+    n = len(sigs)
+    r = sigs.shape[1] // bands
+    cube = sigs[:, : bands * r].reshape(n, bands, r)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc = acc * np.uint64(1000003) + cube[:, :, j]
+    return (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).reshape(-1)
 
 
 def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
@@ -288,13 +296,6 @@ def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
             }
         )
     sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
-    r = sigs.shape[1] // bands
-    cube = sigs[:, : bands * r].reshape(n, bands, r)
-    acc = np.zeros((n, bands), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(r):
-            acc = acc * np.uint64(1000003) + cube[:, :, j]
-    acc = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     doc_rep = np.repeat(
         batch["doc_id"].to_numpy().astype(np.int64), bands
     )
@@ -303,7 +304,7 @@ def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
         {
             "doc_id": doc_rep,
             "band": band_rep,
-            "band_hash": acc.reshape(-1),
+            "band_hash": _band_hash_fold(sigs, bands),
         }
     )
 

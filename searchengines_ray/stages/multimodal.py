@@ -216,10 +216,11 @@ def decode_avi(data: bytes) -> tuple[int, int, list[np.ndarray]]:
         raise ValueError("not a RIFF/AVI file")
 
     width = height = None
+    bottom_up = True
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int):
-        nonlocal width, height
+        nonlocal width, height, bottom_up
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -237,7 +238,9 @@ def decode_avi(data: bytes) -> tuple[int, int, list[np.ndarray]]:
                         "AVI: only uncompressed 24-bit DIB frames supported "
                         f"(compression={comp}, bits={bits})"
                     )
-                width, height = bi_w, abs(bi_h)
+                # negative biHeight = top-down DIB (rows already in
+                # display order — no flip)
+                width, height, bottom_up = bi_w, abs(bi_h), bi_h > 0
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
                 frames_raw.append(buf[body_start : body_start + size])
             pos = body_start + size + (size & 1)  # chunks pad to even
@@ -252,8 +255,10 @@ def decode_avi(data: bytes) -> tuple[int, int, list[np.ndarray]]:
             raise ValueError("AVI: truncated frame")
         rows = np.frombuffer(raw[: stride * height], dtype=np.uint8)
         img = rows.reshape(height, stride)[:, : width * 3]
-        # bottom-up BGR -> top-down RGB
-        frames.append(img.reshape(height, width, 3)[::-1, :, ::-1])
+        img = img.reshape(height, width, 3)
+        if bottom_up:
+            img = img[::-1]
+        frames.append(img[:, :, ::-1])  # BGR -> RGB
     return width, height, frames
 
 

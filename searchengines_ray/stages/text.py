@@ -909,9 +909,17 @@ class _BpeWordShard:
         self.words: list[np.ndarray] = []
         self.f: list[int] = []
         self.index: dict[str, set] = {}
+        self.seen: set[str] = set()
 
     def add_words(self, fs: list, syms: list) -> int:
+        """Idempotent: each word is globally unique after the wc_agg
+        combiner, so a re-delivered batch (Ray task retry re-running the
+        `load` side effect) is dropped by the seen-set instead of
+        double-counting pairs."""
         for fi, s in zip(fs, syms):
+            if s in self.seen:
+                continue
+            self.seen.add(s)
             self.words.append(np.array(s.split("|"), dtype=object))
             self.f.append(int(fi))
         return len(fs)
@@ -1147,23 +1155,27 @@ def bpe_train(ds, num_merges: int = 4, buckets: int = 64) -> pd.DataFrame:
         ray.get(acks)
         return out
 
-    words.map_batches(load, batch_format="pandas").materialize()
-    ray.get([s.init_counts.remote() for s in shards])
-
     merges = []
-    for t in range(num_merges):
-        bests = [b for b in ray.get([c.best.remote() for c in counters]) if b]
-        if not bests:
-            break
-        cnt, key = min(bests, key=lambda b: (-b[0], b[1]))
-        lhs, rhs = key.split(_BPE_SEP)
-        merges.append(
-            {"merge_rank": t + 1, "lhs": lhs, "rhs": rhs, "cnt": int(cnt)}
-        )
-        ray.get([s.merge.remote(lhs, rhs) for s in shards])
+    try:
+        words.map_batches(load, batch_format="pandas").materialize()
+        ray.get([s.init_counts.remote() for s in shards])
 
-    for a in counters + shards:
-        ray.kill(a)
+        for t in range(num_merges):
+            bests = [
+                b for b in ray.get([c.best.remote() for c in counters]) if b
+            ]
+            if not bests:
+                break
+            cnt, key = min(bests, key=lambda b: (-b[0], b[1]))
+            lhs, rhs = key.split(_BPE_SEP)
+            merges.append(
+                {"merge_rank": t + 1, "lhs": lhs, "rhs": rhs, "cnt": int(cnt)}
+            )
+            ray.get([s.merge.remote(lhs, rhs) for s in shards])
+    finally:
+        # the sharded word table must not outlive a failed run
+        for a in counters + shards:
+            ray.kill(a)
     return pd.DataFrame(
         merges, columns=["merge_rank", "lhs", "rhs", "cnt"]
     ).astype({"merge_rank": "int64", "cnt": "int64"})

@@ -341,6 +341,16 @@ def test_bpe_train_greedy_and_ties(ray_session):
     out2 = bpe_train(ray.data.from_pandas(docs2), num_merges=1)
     assert out2.iloc[0].tolist() == [1, "a", "b", 4]
 
+    # word-shard add_words is IDEMPOTENT (a Ray retry of the load task
+    # re-delivers a batch; the word table — and hence every pair count —
+    # must not double)
+    from searchengines_ray.stages.text import _BpeWordShard
+
+    shard = _BpeWordShard(counters=[], n_counters=1)
+    shard.add_words([4, 2], ["a|b", "c|d"])
+    shard.add_words([4, 2], ["a|b", "c|d"])  # retry re-delivery
+    assert len(shard.words) == 2 and shard.f == [4, 2]
+
     # early stop: single-char vocabulary has no pairs after round 0
     docs3 = pd.DataFrame({"doc_id": [1], "text": ["a b c a b"]})
     out3 = bpe_train(ray.data.from_pandas(docs3), num_merges=3)
@@ -698,6 +708,20 @@ def test_avi_codec_roundtrip_and_real_sampler(ray_session):
         (int(r.doc_id), int(r.frame_idx)): int(r.frame_hash)
         for r in got.itertuples()
     } == want
+    # top-down DIB (negative biHeight) decodes without the bottom-up flip
+    import struct
+
+    f0 = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    data = bytearray(encode_avi([f0]))
+    i = bytes(data).find(b"strf") + 8
+    (bi_h,) = struct.unpack("<i", bytes(data[i + 8 : i + 12]))
+    assert bi_h == 5
+    data[i + 8 : i + 12] = struct.pack("<i", -5)  # mark top-down
+    # rows in the payload are bottom-up BGR; a top-down reader must NOT
+    # flip them, so it sees the vertically mirrored image
+    _, _, out = decode_avi(bytes(data))
+    assert np.array_equal(out[0], f0[::-1])
+
     # fake and real paths share one output schema
     fk = FrameSampler(every_n=2, fake=True)
     import pyarrow as pa
