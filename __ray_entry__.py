@@ -3244,7 +3244,7 @@ def _q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
     inner join.  The rrf value is bit-exact across engines (two exact
     integer-reciprocal divisions and one add)."""
     eng = _engine(sf_dir, simple=True)
-    qs = BM25_QUERIES[:4]
+    qs = BM25_QUERIES  # q5 (no-hit) contributes zero rows on both sides
     a = _simple_ranked(
         eng.search_batch(qs, BM25(), k=None), k=10**9
     )
@@ -4605,46 +4605,21 @@ def _prf_from_ranking_sql() -> str:
 def _rrf_fusion_sql() -> str:
     """BM25 + Indri simple-analyzer runs, each floored-ranked, fused with
     rrf = 1/(60+rank_bm25) + 1/(60+rank_indri) (exact integer reciprocals
-    — bit-identical across engines), top-10 by (rrf desc, url asc)."""
-    q_vals = " , ".join(
-        f"('{qid}', '{t}')"
-        for qid, q in BM25_QUERIES[:4]
-        for t in q.split()
-    )
+    — bit-identical across engines), top-10 by (rrf desc, url asc).
+
+    The BM25 side REUSES the shared ``_BM25_SCORES_BODY`` chain (toks /
+    doclen / corpus / fstats / tf / df / q / scores) — one source for
+    every oracle that ranks with it, so a parameter tweak cannot desync
+    this entry; the q5 no-hit query rides along contributing zero rows on
+    both sides.  The Indri side builds on the same toks/tf/q CTEs."""
     url = (
         "'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
     )
     return f"""
-        WITH toks AS (SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
-               FROM documents),
-        doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-        corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
-        fstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS doc_count,
-                          CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
-        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-               FROM toks GROUP BY doc_id, term),
-        df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
-               FROM tf GROUP BY term),
+        WITH {_BM25_SCORES_BODY},
         ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS ctf
                 FROM toks GROUP BY term),
-        q(qid, term) AS (VALUES {q_vals}),
         qn AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n FROM q GROUP BY qid),
-        bscores AS (
-          SELECT q.qid, tf.doc_id,
-                 SUM(GREATEST(0.0,
-                       LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)))
-                     * (tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75)
-                         + 0.75 * (doclen.dl
-                                   / (fstats.sum_len / fstats.doc_count)))))
-                 ) AS score
-          FROM q
-          JOIN tf ON q.term = tf.term
-          JOIN df ON q.term = df.term
-          JOIN doclen ON tf.doc_id = doclen.doc_id
-          CROSS JOIN corpus CROSS JOIN fstats
-          GROUP BY q.qid, tf.doc_id
-        ),
         pqc AS (
           SELECT qd.qid, qd.term,
                  COALESCE(c.ctf, 0.5) / fstats.sum_len AS pqc
@@ -4675,7 +4650,7 @@ def _rrf_fusion_sql() -> str:
                    PARTITION BY qid
                    ORDER BY FLOOR(score * 1000000) / 1000000 DESC, {url} ASC
                  ) AS rank
-          FROM bscores
+          FROM scores
         ),
         iranked AS (
           SELECT qid, doc_id,

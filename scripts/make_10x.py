@@ -42,11 +42,14 @@ for t in (
     "embeddings".split()
 ):
     dst = f"{out}/{t}.parquet"
-    if not os.path.exists(dst):
-        try:
-            os.link(f"{src}/{t}.parquet", dst)
-        except OSError:
-            shutil.copyfile(f"{src}/{t}.parquet", dst)
+    # unconditional refresh: a skip-if-exists guard would leave stale
+    # links to a REGENERATED source (mixed-generation corpus, no error)
+    if os.path.exists(dst):
+        os.remove(dst)
+    try:
+        os.link(f"{src}/{t}.parquet", dst)
+    except OSError:
+        shutil.copyfile(f"{src}/{t}.parquet", dst)
 print(
     f"{out}: documents x{repl} =",
     con.execute(

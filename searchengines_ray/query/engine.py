@@ -85,8 +85,9 @@ class LocalSearcher:
         if len(tomb):
             for seg in self.segments:
                 seg.set_tombstones(tomb)
-        # per-batch composite-Iop memo: (batch token) -> per-segment caches;
-        # the stats pass and the scoring pass share one evaluation
+        # composite-Iop memo: PERSISTENT per-segment caches (see _caches —
+        # size-bounded, evicted only at batch boundaries); the stats pass,
+        # the scoring pass, and warm repeat batches share one evaluation
         self._iop_token = None
         self._iop_caches: list[dict] = []
         if warm_terms:
@@ -361,7 +362,9 @@ class SearchEngine:
             parse_query(text, model.default_op, self.config)
             for _, text in queries
         ]
-        token = uuid.uuid4().hex  # one composite-Iop memo per batch
+        # fresh token = batch boundary marker for the persistent Iop cache
+        # (eviction happens only when the token CHANGES — see _caches)
+        token = uuid.uuid4().hex
         g = self.global_stats_for(trees, token)
 
         if self._actors:

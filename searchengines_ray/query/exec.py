@@ -442,6 +442,8 @@ def segment_topk(
     are materialized only for the k survivors plus boundary ties, never
     the whole candidate set.  Returns [(global doc_id, url, score)]."""
     docs, scores = ev.docs, ev.scores
+    if k is not None and k <= 0:
+        return []
     if seg.dead is not None and len(docs):
         # tombstoned docs drop BEFORE truncation (a deleted doc must not
         # displace a survivor from the top-k)
