@@ -3235,6 +3235,22 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_word_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc Shannon token entropy in floored micro-nats (the
+    low-entropy gibberish/boilerplate quality filter) — order-free integer
+    sums under the frozen libm ln contract."""
+    from searchengines_ray.stages.text import word_entropy
+
+    out = word_entropy(_docs(sf_dir)).to_pandas()
+    return (
+        out.astype(
+            {"doc_id": "int64", "n_tokens": "int64", "entropy_micro": "int64"}
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
     """Reciprocal-rank fusion of two retrieval runs (Cormack et al. 2009,
     rrf = sum over runs of 1/(60 + rank)) — the standard hybrid-retrieval
@@ -3386,6 +3402,7 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "word_entropy": _q_word_entropy,
         "rrf_fusion": _q_rrf_fusion,
         "prf_from_ranking": _q_prf_from_ranking,
         "frame_sample_real": _q_frame_sample_real,
@@ -4682,6 +4699,32 @@ def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["prf_from_ranking"] = _prf_from_ranking_sql()
     sqls["rrf_fusion"] = _rrf_fusion_sql()
+    sqls["word_entropy"] = f"""
+        -- per-term micro-nat contributions floored BEFORE the doc sum
+        -- (order-free integers; the frozen libm ln contract)
+        WITH toks AS ({_TOKS}),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        ent AS (
+          SELECT tf.doc_id,
+                 -- outer CAST: DuckDB SUM(BIGINT) is HUGEINT, which
+                 -- pandas .df() would render as float64
+                 CAST(SUM(CAST(FLOOR(
+                   -(CAST(tf.tf AS DOUBLE) / n.n)
+                   * LN(CAST(tf.tf AS DOUBLE) / n.n) * 1000000
+                 ) AS BIGINT)) AS BIGINT) AS entropy_micro
+          FROM tf JOIN n ON n.doc_id = tf.doc_id
+          GROUP BY tf.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(n.n, 0) AS n_tokens,
+               COALESCE(ent.entropy_micro, 0) AS entropy_micro
+        FROM documents d
+        LEFT JOIN n ON n.doc_id = d.doc_id
+        LEFT JOIN ent ON ent.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
     sqls["bm25_wand_simple"] = sqls["bm25_topk_simple"]
     # compaction is bit-identical by contract: same oracle as the
     # small-segment index (the entry builds 64-doc segments, then merges)

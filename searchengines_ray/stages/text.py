@@ -484,6 +484,71 @@ def quality_scores(ds):
     return ds.map_batches(QualityScorer(), batch_format="pandas")
 
 
+def word_entropy(ds):
+    """Per-document token (Shannon) entropy — the low-entropy/gibberish
+    quality-filter signal of web-text curation (boilerplate and keyword
+    stuffing score low; natural prose scores high).
+
+    SQL-replicable by the frozen ln contract: each (tf, n) term contributes
+    ``floor(-(tf/n) * ln(tf/n) * 1e6)`` micro-nats (scalar libm log, one
+    call per UNIQUE (tf, n) pair), and the per-doc sum is an order-free
+    integer.  Arrow-native zero-copy batches; empty docs emit
+    ``(0 tokens, 0 entropy)``.  Returns ``(doc_id, n_tokens,
+    entropy_micro)``."""
+    import pyarrow as pa
+
+    def batch_fn(batch):
+        import math
+
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_ids = doc_ids.astype(np.int64)
+        nb = len(doc_ids)
+        if nb == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "entropy_micro": pa.array([], pa.int64()),
+                }
+            )
+        vocab, vids, parent, counts = _flat_word_stream_arr(
+            batch.column("text")
+        )
+        ent = np.zeros(nb, dtype=np.int64)
+        if len(vids):
+            pair = parent.astype(np.int64) * np.int64(len(vocab)) + vids
+            uniq, tfc = np.unique(pair, return_counts=True)
+            pi = (uniq // len(vocab)).astype(np.int64)
+            n_of = counts[pi].astype(np.int64)
+            # libm ln once per unique (tf, n) pair, micro-floored per term
+            key = tfc.astype(np.int64) * np.int64(1 << 32) + n_of
+            ukey, inv = np.unique(key, return_inverse=True)
+            micro = np.fromiter(
+                (
+                    0
+                    if (k >> 32) == (k & 0xFFFFFFFF)
+                    else math.floor(
+                        -((k >> 32) / (k & 0xFFFFFFFF))
+                        * math.log((k >> 32) / (k & 0xFFFFFFFF))
+                        * 1e6
+                    )
+                    for k in ukey.tolist()
+                ),
+                np.int64,
+                len(ukey),
+            )
+            np.add.at(ent, pi, micro[inv])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "n_tokens": pa.array(counts.astype(np.int64)),
+                "entropy_micro": pa.array(ent),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
 def lang_id(ds):
     return ds.map_batches(LangId(), batch_format="pandas")
 

@@ -659,6 +659,40 @@ def test_multimodal_stubs(ray_session):
         )
 
 
+def test_word_entropy_hand_computed(ray_session):
+    import math
+
+    import ray.data
+
+    from searchengines_ray.stages.text import word_entropy
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a a b",          # p=2/3,1/3
+                "x x x x",        # single term -> entropy 0
+                "",               # empty -> (0, 0)
+                None,             # null -> (0, 0)
+            ],
+        }
+    )
+    out = (
+        word_entropy(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    def term(tf, n):
+        return math.floor(-(tf / n) * math.log(tf / n) * 1e6)
+
+    assert out.loc[0].tolist() == [3, term(2, 3) + term(1, 3)]
+    assert out.loc[1].tolist() == [4, 0]
+    assert out.loc[2].tolist() == [0, 0]
+    assert out.loc[3].tolist() == [0, 0]
+
+
 def test_avi_codec_roundtrip_and_real_sampler(ray_session):
     """encode_avi/decode_avi must round-trip pixels exactly; the
     fake=False FrameSampler must hash the decoded RGB buffers."""
