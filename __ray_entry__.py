@@ -3235,6 +3235,16 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Per-source unigram KL divergence from the corpus blend (nano-unit
+    floored terms, order-free integer sums) — the data-mixing diagnostic."""
+    from searchengines_ray.stages.text import source_kl_divergence
+
+    return source_kl_divergence(
+        _docs(sf_dir, cols=("doc_id", "text", "source"))
+    )
+
+
 def _q_word_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-doc Shannon token entropy in floored micro-nats (the
     low-entropy gibberish/boilerplate quality filter) — order-free integer
@@ -3402,6 +3412,7 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "source_kl": _q_source_kl,
         "word_entropy": _q_word_entropy,
         "rrf_fusion": _q_rrf_fusion,
         "prf_from_ranking": _q_prf_from_ranking,
@@ -4699,6 +4710,41 @@ def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["prf_from_ranking"] = _prf_from_ranking_sql()
     sqls["rrf_fusion"] = _rrf_fusion_sql()
+    sqls["source_kl"] = """
+        -- per-(source, term) nano-unit KL contributions floored BEFORE
+        -- the source sum (order-free integers, frozen libm ln contract)
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+          FROM documents
+        ),
+        st AS (SELECT source, term, COUNT(*) AS cnt
+               FROM toks GROUP BY source, term),
+        stot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS stot
+                 FROM st GROUP BY source),
+        ttot AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS tsum
+                 FROM st GROUP BY term),
+        grand AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM st),
+        c AS (
+          SELECT st.source,
+                 CAST(FLOOR(
+                   (CAST(st.cnt AS DOUBLE) / stot.stot)
+                   * LN((CAST(st.cnt AS DOUBLE) / stot.stot)
+                        / (CAST(ttot.tsum AS DOUBLE) / grand.g))
+                   * 1000000000
+                 ) AS BIGINT) AS nano
+          FROM st
+          JOIN stot ON stot.source = st.source
+          JOIN ttot ON ttot.term = st.term
+          CROSS JOIN grand
+        )
+        SELECT c.source,
+               stot.stot AS n_tokens,
+               CAST(SUM(c.nano) AS BIGINT) AS kl_nano
+        FROM c JOIN stot ON stot.source = c.source
+        GROUP BY c.source, stot.stot
+        ORDER BY c.source
+    """
     sqls["word_entropy"] = f"""
         -- per-term micro-nat contributions floored BEFORE the doc sum
         -- (order-free integers; the frozen libm ln contract)

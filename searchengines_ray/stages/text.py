@@ -549,6 +549,134 @@ def word_entropy(ds):
     return ds.map_batches(batch_fn, batch_format="pyarrow")
 
 
+def source_kl_divergence(ds, buckets: int = 64):
+    """Per-source unigram KL divergence from the corpus distribution —
+    the domain-shift / data-mixing diagnostic of an LLM pipeline (which
+    sources' token distributions deviate most from the blend they feed).
+
+    Scale design: pass 1 is a combiner-first (source, term) count
+    aggregation into term-hash buckets (per-batch distinct (source, term)
+    rows only cross the wire); per-source and grand token totals come from
+    a tiny per-source sum the driver broadcasts (n_sources values, never
+    the vocabulary); pass 2 computes each (source, term)'s contribution
+    ``floor(p_s * ln(p_s / p_g) * 1e9)`` nano-units inside the buckets
+    (libm ln once per unique count triple) and a per-source integer sum —
+    order-free by the frozen ln contract, SQL-replicable.  Returns
+    ``(source, n_tokens, kl_nano)``."""
+    import math
+    import zlib
+
+    import pyarrow as pa
+
+    def count_partial(batch):
+        vocab, vids, parent, _ = _flat_word_stream_arr(batch.column("text"))
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "_b": pa.array([], pa.int32()),
+            }
+        )
+        if not len(vids):
+            return empty
+        srcs = np.asarray(
+            batch.column("source").to_pylist(), dtype=object
+        )
+        su, si = np.unique(srcs, return_inverse=True)
+        pair = si[parent].astype(np.int64) * np.int64(len(vocab)) + vids
+        uniq, cnt = np.unique(pair, return_counts=True)
+        voc = np.asarray(vocab, dtype=object)
+        terms = voc[(uniq % len(vocab)).astype(np.int64)]
+        keep = terms != ""
+        terms, cnt = terms[keep], cnt[keep]
+        out_src = su[(uniq // len(vocab)).astype(np.int64)[keep]]
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "term": pa.array(terms, pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "_b": pa.array(
+                    np.fromiter(
+                        (zlib.crc32(t.encode()) % buckets for t in terms),
+                        np.int32,
+                        len(terms),
+                    )
+                ),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: g.groupby(["source", "term"], as_index=False)["cnt"]
+            .sum()
+            .assign(
+                _b=lambda d: d["term"].map(
+                    lambda t: zlib.crc32(t.encode()) % buckets
+                ).astype("int32")
+            ),
+            batch_format="pandas",
+        )
+        .materialize()  # consumed twice: totals + contributions
+    )
+
+    # per-source totals: n_sources rows — the only driver structure
+    totals = (
+        counts.map_batches(
+            lambda b: b.groupby("source", as_index=False)["cnt"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source")["cnt"]
+        .sum()
+    )
+    tot_of = {s: int(c) for s, c in totals.items()}
+    grand = sum(tot_of.values())
+    import ray
+
+    tref = ray.put((tot_of, grand))
+
+    def contrib(group: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        tot_of, grand = ray.get(tref)
+        g = group.groupby(["source", "term"], as_index=False)["cnt"].sum()
+        tsum = g.groupby("term")["cnt"].transform("sum").to_numpy()
+        cnt = g["cnt"].to_numpy()
+        stot = g["source"].map(tot_of).to_numpy()
+        # libm ln once per unique (cnt, stot, tsum) triple
+        trip = {
+            t: math.floor(
+                (t[0] / t[1])
+                * math.log((t[0] / t[1]) / (t[2] / grand))
+                * 1e9
+            )
+            for t in set(zip(cnt.tolist(), stot.tolist(), tsum.tolist()))
+        }
+        nano = np.fromiter(
+            (trip[t] for t in zip(cnt.tolist(), stot.tolist(), tsum.tolist())),
+            np.int64,
+            len(g),
+        )
+        out = pd.DataFrame({"source": g["source"], "kl_nano": nano})
+        return out.groupby("source", as_index=False)["kl_nano"].sum()
+
+    kl = (
+        counts.groupby("_b")
+        .map_groups(contrib, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)["kl_nano"]
+        .sum()
+    )
+    kl["n_tokens"] = kl["source"].map(tot_of).astype("int64")
+    kl["kl_nano"] = kl["kl_nano"].astype("int64")
+    return kl[["source", "n_tokens", "kl_nano"]].sort_values(
+        "source"
+    ).reset_index(drop=True)
+
+
 def lang_id(ds):
     return ds.map_batches(LangId(), batch_format="pandas")
 

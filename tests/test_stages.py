@@ -659,6 +659,39 @@ def test_multimodal_stubs(ray_session):
         )
 
 
+def test_source_kl_hand_computed(ray_session):
+    import math
+
+    import ray.data
+
+    from searchengines_ray.stages.text import source_kl_divergence
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a a b", "a b b b", "c c"],
+            "source": ["s1", "s1", "s2"],
+        }
+    )
+    out = (
+        source_kl_divergence(ray.data.from_pandas(docs))
+        .set_index("source")
+        .sort_index()
+    )
+    grand = 9
+
+    def nano(cnt, stot, tsum):
+        ps = cnt / stot
+        return math.floor(ps * math.log(ps / (tsum / grand)) * 1e9)
+
+    # s1: a=3/7, b=4/7 vs global a=3/9, b=4/9 (c never in s1)
+    want_s1 = nano(3, 7, 3) + nano(4, 7, 4)
+    want_s2 = nano(2, 2, 2)
+    assert out.loc["s1"].tolist() == [7, want_s1]
+    assert out.loc["s2"].tolist() == [2, want_s2]
+    assert want_s1 > 0 and want_s2 > 0  # both diverge from the blend
+
+
 def test_word_entropy_hand_computed(ray_session):
     import math
 
