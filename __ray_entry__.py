@@ -3235,6 +3235,14 @@ def _q_frame_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law vocabulary growth over doc_id-ordered prefixes — integer-
+    exact (per-term MIN first occurrence + histogram cumsum)."""
+    from searchengines_ray.stages.text import vocab_growth
+
+    return vocab_growth(_docs(sf_dir), steps=10)
+
+
 def _q_source_kl(sf_dir: str) -> pd.DataFrame:
     """Per-source unigram KL divergence from the corpus blend (nano-unit
     floored terms, order-free integer sums) — the data-mixing diagnostic."""
@@ -3412,6 +3420,7 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "vocab_growth": _q_vocab_growth,
         "source_kl": _q_source_kl,
         "word_entropy": _q_word_entropy,
         "rrf_fusion": _q_rrf_fusion,
@@ -4710,6 +4719,23 @@ def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
     sqls["prf_from_ranking"] = _prf_from_ranking_sql()
     sqls["rrf_fusion"] = _rrf_fusion_sql()
+    sqls["vocab_growth"] = f"""
+        -- step k covers doc_ids < ceil(n*k/10); a term lands in the step
+        -- of its FIRST occurrence ((fd*10)//n + 1 — integer-exact)
+        WITH toks AS ({_TOKS}),
+        fo AS (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY term),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        st AS (SELECT LEAST((fo.fd * 10) // nd.n + 1, 10) AS step
+               FROM fo CROSS JOIN nd),
+        h AS (SELECT step, COUNT(*) AS cnt FROM st GROUP BY step),
+        k AS (SELECT unnest(generate_series(1, 10)) AS step)
+        SELECT CAST(k.step AS BIGINT) AS step,
+               CAST((nd.n * k.step + 9) // 10 AS BIGINT) AS n_docs_prefix,
+               CAST(SUM(COALESCE(h.cnt, 0)) OVER (ORDER BY k.step)
+                    AS BIGINT) AS vocab_size
+        FROM k LEFT JOIN h ON h.step = k.step CROSS JOIN nd
+        ORDER BY k.step
+    """
     sqls["source_kl"] = """
         -- per-(source, term) nano-unit KL contributions floored BEFORE
         -- the source sum (order-free integers, frozen libm ln contract)

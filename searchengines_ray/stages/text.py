@@ -677,6 +677,96 @@ def source_kl_divergence(ds, buckets: int = 64):
     ).reset_index(drop=True)
 
 
+def vocab_growth(ds, steps: int = 10, buckets: int = 64):
+    """Heaps-law vocabulary-growth curve: distinct terms seen within the
+    first 1/steps, 2/steps, ... of the corpus (by doc_id order) — the
+    corpus-analysis tool for sizing tokenizer vocabularies and spotting
+    vocabulary explosions (OCR noise, boilerplate IDs).
+
+    Integer-exact and combiner-first: each batch emits per-term MIN
+    doc_id partials into term-hash buckets (never the token stream), a
+    per-bucket vectorized min resolves global first occurrences, and the
+    curve is a ``steps``-bin histogram + cumsum — the driver holds
+    ``steps`` integers.  Thresholds use ``ceil(n_docs * k / steps)``:
+    doc_ids < threshold are "the first k/steps of the corpus" (doc_ids
+    are dense 0..n-1 by the input contract).  Returns
+    ``(step, n_docs_prefix, vocab_size)``."""
+    import zlib
+
+    import pyarrow as pa
+
+    n_docs = ds.count()
+
+    def first_partial(batch):
+        vocab, vids, parent, _ = _flat_word_stream_arr(batch.column("text"))
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "first_doc": pa.array([], pa.int64()),
+                "_b": pa.array([], pa.int32()),
+            }
+        )
+        if not len(vids):
+            return empty
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_ids = doc_ids.astype(np.int64)
+        # per-(term) min doc_id within the batch: sort by (vid, doc)
+        d = doc_ids[parent]
+        order = np.lexsort((d, vids))
+        sv, sd = vids[order], d[order]
+        first = np.ones(len(sv), dtype=bool)
+        first[1:] = sv[1:] != sv[:-1]
+        voc = np.asarray(vocab, dtype=object)
+        terms = voc[sv[first]]
+        keep = terms != ""
+        terms, fd = terms[keep], sd[first][keep]
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "first_doc": pa.array(fd),
+                "_b": pa.array(
+                    np.fromiter(
+                        (zlib.crc32(t.encode()) % buckets for t in terms),
+                        np.int32,
+                        len(terms),
+                    )
+                ),
+            }
+        )
+
+    def bucket_hist(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("term", as_index=False)["first_doc"].min()
+        # first occurrence -> smallest step whose prefix contains it
+        step = np.minimum(
+            (g["first_doc"].to_numpy() * steps) // max(n_docs, 1) + 1,
+            steps,
+        )
+        su, sc = np.unique(step, return_counts=True)
+        return pd.DataFrame(
+            {
+                "step": pd.array(su.astype(np.int64), dtype="int64"),
+                "cnt": pd.array(sc.astype(np.int64), dtype="int64"),
+            }
+        )
+
+    hist = (
+        ds.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("step")["cnt"]
+        .sum()
+    )
+    rows = []
+    cum = 0
+    for k in range(1, steps + 1):
+        cum += int(hist.get(k, 0))
+        rows.append((k, -(-n_docs * k // steps), cum))
+    return pd.DataFrame(
+        rows, columns=["step", "n_docs_prefix", "vocab_size"]
+    ).astype({"step": "int64", "n_docs_prefix": "int64", "vocab_size": "int64"})
+
+
 def lang_id(ds):
     return ds.map_batches(LangId(), batch_format="pandas")
 

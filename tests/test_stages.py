@@ -659,6 +659,23 @@ def test_multimodal_stubs(ray_session):
         )
 
 
+def test_vocab_growth_hand_computed(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import vocab_growth
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b", "a c", "", "d d a"],
+        }
+    )
+    out = vocab_growth(ray.data.from_pandas(docs), steps=4).set_index("step")
+    # prefixes: {0}: {a,b}=2; {0,1}: +c=3; {0..2}: 3; {0..3}: +d=4
+    assert out["vocab_size"].tolist() == [2, 3, 3, 4]
+    assert out["n_docs_prefix"].tolist() == [1, 2, 3, 4]
+
+
 def test_source_kl_hand_computed(ray_session):
     import math
 
