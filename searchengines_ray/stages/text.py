@@ -587,10 +587,10 @@ def source_kl_divergence(ds, buckets: int = 64):
         pair = si[parent].astype(np.int64) * np.int64(len(vocab)) + vids
         uniq, cnt = np.unique(pair, return_counts=True)
         voc = np.asarray(vocab, dtype=object)
+        # _flat_word_stream_arr already drops empty tokens, so no vid
+        # surviving in `vids` can map to '' — no filter needed
         terms = voc[(uniq % len(vocab)).astype(np.int64)]
-        keep = terms != ""
-        terms, cnt = terms[keep], cnt[keep]
-        out_src = su[(uniq // len(vocab)).astype(np.int64)[keep]]
+        out_src = su[(uniq // len(vocab)).astype(np.int64)]
         return pa.table(
             {
                 "source": pa.array(out_src, pa.string()),
@@ -610,13 +610,11 @@ def source_kl_divergence(ds, buckets: int = 64):
         ds.map_batches(count_partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(
+            # every row in a group shares one _b by construction — carry
+            # the constant, never recompute crc32 per term
             lambda g: g.groupby(["source", "term"], as_index=False)["cnt"]
             .sum()
-            .assign(
-                _b=lambda d: d["term"].map(
-                    lambda t: zlib.crc32(t.encode()) % buckets
-                ).astype("int32")
-            ),
+            .assign(_b=np.int32(g["_b"].iat[0]) if len(g) else g["_b"]),
             batch_format="pandas",
         )
         .materialize()  # consumed twice: totals + contributions
@@ -642,7 +640,9 @@ def source_kl_divergence(ds, buckets: int = 64):
         import math
 
         tot_of, grand = ray.get(tref)
-        g = group.groupby(["source", "term"], as_index=False)["cnt"].sum()
+        # rows are already globally distinct per (source, term): pass 1's
+        # bucket combiner reduced them and a term lives in ONE bucket
+        g = group
         tsum = g.groupby("term")["cnt"].transform("sum").to_numpy()
         cnt = g["cnt"].to_numpy()
         stot = g["source"].map(tot_of).to_numpy()
@@ -717,9 +717,9 @@ def vocab_growth(ds, steps: int = 10, buckets: int = 64):
         first = np.ones(len(sv), dtype=bool)
         first[1:] = sv[1:] != sv[:-1]
         voc = np.asarray(vocab, dtype=object)
+        # vids never map to '' (_flat_word_stream_arr drops empty tokens)
         terms = voc[sv[first]]
-        keep = terms != ""
-        terms, fd = terms[keep], sd[first][keep]
+        fd = sd[first]
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
