@@ -3417,9 +3417,36 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL (stages/dedup.py
+    substring_dedup; Lee et al. 2021): every non-first corpus-wide
+    occurrence of an 8-token gram marks its 8 covered tokens for
+    removal.  Per doc: (n_tokens, n_removed, kept_hash) where
+    kept_hash is the base-131/1000003 mod-(2^31-1) fold over the
+    SURVIVING token stream — the oracle checks the exact kept
+    subsequence, not just counts."""
+    from searchengines_ray.stages.dedup import substring_dedup
+
+    out = substring_dedup(_docs(sf_dir), k=8).to_pandas()
+    return (
+        out[["doc_id", "n_tokens", "n_removed", "kept_hash"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_tokens": "int64",
+                "n_removed": "int64",
+                "kept_hash": "int64",
+            }
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "substring_dedup": _q_substring_dedup,
         "vocab_growth": _q_vocab_growth,
         "source_kl": _q_source_kl,
         "word_entropy": _q_word_entropy,
@@ -4717,6 +4744,77 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["substring_dedup"] = """
+        -- ExactSubstr-style span removal (Lee et al. 2021): a non-first
+        -- corpus-wide occurrence of an 8-token gram (first = min
+        -- (doc_id, pos)) removes its 8 covered tokens; kept_hash =
+        -- base-131 char fold per word then base-1000003 sequence fold
+        -- (mod 2^31-1) over the SURVIVING token stream, empty => 0
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(l) - 7)) AS pos,
+                 unnest(list_transform(
+                   generate_series(1, len(l) - 7),
+                   i -> array_to_string(l[i : i + 7], ' '))) AS gram
+          FROM t WHERE len(l) >= 8
+        ),
+        r AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id, pos) AS rn
+          FROM g
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+          FROM r WHERE rn > 1
+        ),
+        nrem AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+          FROM cov GROUP BY doc_id
+        ),
+        wh AS (
+          SELECT doc_id, len(l) AS n_tokens,
+                 list_transform(l, w ->
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(w, ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                     (a, c) -> (a * 131 + c) % 2147483647)) AS whs
+          FROM t
+        ),
+        tok AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, n_tokens)) AS i,
+                 unnest(whs) AS wh
+          FROM wh WHERE n_tokens > 0
+        ),
+        kept AS (
+          SELECT tok.doc_id, tok.i, tok.wh
+          FROM tok LEFT JOIN cov
+            ON cov.doc_id = tok.doc_id AND cov.p = tok.i
+          WHERE cov.doc_id IS NULL
+        ),
+        kh AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), list(wh ORDER BY i)),
+                   (a, x) -> (a * 1000003 + x) % 2147483647) AS kept_hash
+          FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(w.n_tokens AS BIGINT) AS n_tokens,
+               COALESCE(nrem.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+               COALESCE(kh.kept_hash, CAST(0 AS BIGINT)) AS kept_hash
+        FROM wh w
+        LEFT JOIN nrem USING (doc_id)
+        LEFT JOIN kh USING (doc_id)
+        ORDER BY w.doc_id
+    """
     sqls["prf_from_ranking"] = _prf_from_ranking_sql()
     sqls["rrf_fusion"] = _rrf_fusion_sql()
     sqls["vocab_growth"] = f"""

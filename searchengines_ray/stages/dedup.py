@@ -1209,6 +1209,188 @@ def line_dedup(ds, min_chars: int = 10, coarse_buckets: int = 1024):
     )
 
 
+# ----------------------------------------------------------- substring dedup
+
+
+def substring_dedup(ds, k: int = 8, buckets: int = 64,
+                    coarse_buckets: int = 1024):
+    """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``k``-token gram occurrence that is NOT the corpus-wide first
+    occurrence of that gram (first = min ``(doc_id, pos)``) marks its
+    ``k`` covered token positions for removal; a token survives iff no
+    duplicate occurrence covers it.  This is the removal counterpart of
+    :func:`searchengines_ray.stages.text.repeated_spans` (which only
+    reports the signal).
+
+    Returns one row per input document: ``(doc_id, n_tokens, n_removed,
+    kept_hash)`` where ``kept_hash`` is the Fingerprinter content-hash
+    contract over the SURVIVING token subsequence in document order
+    (char fold base 131 per word, sequence fold base 1000003, mod
+    2^31-1, empty => 0) — so the oracle verifies the exact kept stream,
+    not just counts.
+
+    Plan (three bucketed exchanges + one equi-join, no driver
+    structures): (1) per-batch gram-occurrence explode — gram strings
+    built once per UNIQUE gram of the batch; (2) ``crc32(gram)``-bucket
+    groupby marks non-first occurrences with one vectorized
+    sort+duplicated per coarse bucket (hash + gram text in the key so a
+    crc collision cannot merge distinct grams); (3) doc-bucketed
+    groupby folds each doc's duplicate start positions into ONE bytes
+    row (int64 ``tobytes`` — variable-length arrays ride shuffles as
+    bytes); (4) a left :func:`~searchengines_ray.stages.joins.
+    hash_equijoin` onto the documents and a final vectorized sweep
+    (difference-array coverage + Horner hash over the kept stream).
+
+    Scale notes: the occurrence shuffle carries the k-token gram STRING
+    (O(tokens x k) bytes through one exchange) — the price of exactness;
+    Lee et al.'s suffix array is the single-machine alternative, and a
+    62-bit gram hash would cut the bytes at a (documented) collision
+    risk.  Only documents that LOSE a span pay the join payload; clean
+    corpora stream through with an empty right side.
+    """
+    from .joins import hash_equijoin
+    from .text import _flat_word_stream, _poly_word_hashes
+
+    M31 = 2147483647
+
+    def _doc_bucket(doc_ids: np.ndarray) -> np.ndarray:
+        return (
+            (doc_ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
+
+    occ_empty = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype="int64"),
+            "pos": pd.array([], dtype="int64"),
+            "gram": pd.array([], dtype="object"),
+            "h": pd.array([], dtype="int64"),
+            "cb": pd.array([], dtype="int64"),
+        }
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, parent, counts = _flat_word_stream(list(batch["text"]))
+        m = len(vids) - k + 1
+        if m <= 0:
+            return occ_empty
+        valid = parent[:m] == parent[k - 1 :]
+        if not valid.any():
+            return occ_empty
+        starts = np.nonzero(valid)[0]
+        offsets = np.cumsum(counts) - counts
+        par = parent[starts]
+        pos = starts - offsets[par]
+        arr = np.stack([vids[starts + i] for i in range(k)], axis=1)
+        uniq, inv = np.unique(arr, axis=0, return_inverse=True)
+        voc = np.asarray(vocab, dtype=object)
+        s = pd.Series(voc[uniq[:, 0]], dtype=object)
+        for i in range(1, k):
+            s = s + " " + pd.Series(voc[uniq[:, i]], dtype=object)
+        h = np.fromiter(
+            (zlib.crc32(g.encode()) for g in s), np.int64, len(s)
+        )
+        docs = batch["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": docs[par],
+                "pos": pos.astype(np.int64),
+                "gram": s.to_numpy()[inv],
+                "h": h[inv],
+                "cb": (h[inv] % buckets).astype(np.int64),
+            }
+        )
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["h", "gram", "doc_id", "pos"], kind="mergesort"
+        )
+        dup = g.duplicated(subset=["h", "gram"], keep="first").to_numpy()
+        out = g.loc[dup, ["doc_id", "pos"]].astype(
+            {"doc_id": "int64", "pos": "int64"}
+        )
+        out["db"] = _doc_bucket(out["doc_id"].to_numpy())
+        return out
+
+    def fold_pos(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "pos"], kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        ps = g["pos"].to_numpy()
+        cuts = np.nonzero(np.concatenate(([True], ids[1:] != ids[:-1])))[0]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids[cuts], dtype="int64"),
+                "pos_bytes": pd.Series(
+                    [p.tobytes() for p in np.split(ps, cuts[1:])],
+                    dtype=object,
+                ),
+            }
+        )
+
+    dup_pos = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("db")
+        .map_groups(fold_pos, batch_format="pandas")
+    )
+
+    joined = hash_equijoin(
+        ds,
+        dup_pos,
+        left_on="doc_id",
+        right_on="doc_id",
+        right_cols=("pos_bytes",),
+        how="left",
+        left_schema_hint={"doc_id": np.int64, "text": object},
+        right_schema_hint={"doc_id": np.int64, "pos_bytes": object},
+    )
+
+    def sweep(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        vocab, vids, parent, counts = _flat_word_stream(list(batch["text"]))
+        whmap = _poly_word_hashes(vocab, 131)
+        wh = whmap[vids] if len(vids) else np.empty(0, dtype=np.int64)
+        offsets = np.cumsum(counts) - counts
+        diff = np.zeros(len(vids) + k, dtype=np.int64)
+        starts = []
+        for i, pb in enumerate(batch["r_pos_bytes"]):
+            if isinstance(pb, bytes) and pb:
+                starts.append(
+                    offsets[i] + np.frombuffer(pb, dtype=np.int64)
+                )
+        if starts:
+            fp = np.concatenate(starts)
+            np.add.at(diff, fp, 1)
+            np.add.at(diff, fp + k, -1)
+        covered = np.cumsum(diff[: len(vids)]) > 0
+        kept = ~covered
+        kept_counts = np.bincount(parent[kept], minlength=n).astype(np.int64)
+        kw = wh[kept]
+        koff = np.zeros(n, dtype=np.int64)
+        if n:
+            koff[1:] = np.cumsum(kept_counts)[:-1]
+        ch = np.zeros(n, dtype=np.int64)
+        for p in range(int(kept_counts.max()) if n else 0):
+            act = kept_counts > p
+            ch[act] = (ch[act] * 1000003 + kw[koff[act] + p]) % M31
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "n_tokens": pd.array(
+                    counts.astype(np.int64), dtype="int64"
+                ),
+                "n_removed": pd.array(
+                    counts.astype(np.int64) - kept_counts, dtype="int64"
+                ),
+                "kept_hash": pd.array(ch, dtype="int64"),
+            }
+        )
+
+    return joined.map_batches(sweep, batch_format="pandas")
+
+
 # --------------------------------------------------------------------- simhash
 
 

@@ -951,6 +951,51 @@ def test_line_dedup_cross_corpus(ray_session):
     assert out[4] == ""  # fully-deduped doc still yields a row (no silent drop)
 
 
+def test_substring_dedup_planted_spans(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import substring_dedup
+    from searchengines_ray.stages.text import Fingerprinter
+
+    rows = [
+        # first corpus-wide occurrence of (w1 w2 w3 w4): keeps everything
+        {"doc_id": 0, "text": "w1 w2 w3 w4 tail0 aa bb"},
+        # the same 4-gram at pos 1: loses exactly its 4 covered tokens
+        {"doc_id": 1, "text": "head1 w1 w2 w3 w4 tail1"},
+        # identical text to doc 0: every 4-gram is a duplicate, the
+        # overlapping covers merge and the whole doc is removed
+        {"doc_id": 2, "text": "w1 w2 w3 w4 tail0 aa bb"},
+        # fewer than k tokens: no grams, nothing removed
+        {"doc_id": 3, "text": "zz yy"},
+        {"doc_id": 4, "text": ""},
+        # INTRA-doc duplicate: (p q r s) at pos 0 (first) and pos 5 (dup)
+        {"doc_id": 5, "text": "p q r s x p q r s"},
+    ]
+    out = (
+        substring_dedup(ray.data.from_items(rows), k=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    fp = Fingerprinter()
+
+    def h(kept: str) -> int:
+        return fp.content_hash(kept)
+
+    assert out.loc[0, "n_tokens"] == 7 and out.loc[0, "n_removed"] == 0
+    assert out.loc[0, "kept_hash"] == h("w1 w2 w3 w4 tail0 aa bb")
+    assert out.loc[1, "n_tokens"] == 6 and out.loc[1, "n_removed"] == 4
+    assert out.loc[1, "kept_hash"] == h("head1 tail1")
+    assert out.loc[2, "n_tokens"] == 7 and out.loc[2, "n_removed"] == 7
+    assert out.loc[2, "kept_hash"] == 0
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "kept_hash"] == h("zz yy")
+    assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "kept_hash"] == 0
+    assert out.loc[5, "n_tokens"] == 9 and out.loc[5, "n_removed"] == 4
+    assert out.loc[5, "kept_hash"] == h("p q r s x")
+    assert len(out) == 6  # every doc yields a row (left join, no drops)
+
+
 def test_repetition_signals(ray_session):
     import ray.data
 
