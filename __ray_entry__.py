@@ -3417,6 +3417,32 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_bigram_lm(sf_dir: str) -> pd.DataFrame:
+    """Stupid-backoff bigram LM scoring (stages/text.py
+    bigram_lm_scores; Brants et al. 2007): in-model bigrams score
+    ln(cnt/ctx), everything else backs off to 0.4 x the capped add-one
+    unigram.  max_vocab/max_bigrams are set BELOW the sf0.01 table
+    sizes so both the bigram cap and the backoff path are what the
+    oracle checks.  Micro-units floored per position, integer sums."""
+    from searchengines_ray.stages.text import bigram_lm_scores
+
+    out = bigram_lm_scores(
+        _docs(sf_dir), max_vocab=1000, max_bigrams=2000
+    ).to_pandas()
+    return (
+        out[["doc_id", "n_scored", "lm_bigram_micro"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_scored": "int64",
+                "lm_bigram_micro": "int64",
+            }
+        )
+    )
+
+
 def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
     """ExactSubstr-style duplicate-span REMOVAL (stages/dedup.py
     substring_dedup; Lee et al. 2021): every non-first corpus-wide
@@ -3446,6 +3472,7 @@ def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "bigram_lm": _q_bigram_lm,
         "substring_dedup": _q_substring_dedup,
         "vocab_growth": _q_vocab_growth,
         "source_kl": _q_source_kl,
@@ -4744,6 +4771,65 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["bigram_lm"] = """
+        -- stupid-backoff bigram LM (Brants et al. 2007): in-model
+        -- bigrams (top-2000 by cnt desc, w1, w2) score ln(cnt/ctf(w1));
+        -- everything else backs off to 0.4 x the capped add-one
+        -- unigram (top-1000, OOV at ctf 0) — libm ln contract,
+        -- per-position floored micro-units, order-free BIGINT sums
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+          FROM documents
+        ),
+        toks AS (SELECT doc_id, unnest(l) AS term FROM t),
+        model AS (SELECT term, COUNT(*) AS ctf FROM toks GROUP BY term),
+        tot AS (
+          SELECT CAST(SUM(ctf) AS BIGINT) AS t,
+                 CAST(LEAST(1000, COUNT(*)) AS BIGINT) AS v
+          FROM model
+        ),
+        topv AS (
+          SELECT term, ctf FROM model
+          ORDER BY ctf DESC, term ASC LIMIT 1000
+        ),
+        pairs AS (
+          SELECT doc_id,
+                 unnest(l[1 : len(l) - 1]) AS w1,
+                 unnest(l[2 : len(l)]) AS w2
+          FROM t WHERE len(l) >= 2
+        ),
+        big AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY w1, w2
+        ),
+        topb AS (
+          SELECT w1, w2, cnt FROM big
+          ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 2000
+        ),
+        scored AS (
+          SELECT p.doc_id,
+                 CASE WHEN tb.cnt IS NOT NULL THEN
+                   CAST(FLOOR(ln(tb.cnt / mm.ctf) * 1000000.0) AS BIGINT)
+                 ELSE
+                   CAST(FLOOR(ln(0.4 * (COALESCE(tv.ctf, 0) + 1.0)
+                                 / (tot.t + tot.v + 1))
+                              * 1000000.0) AS BIGINT)
+                 END AS micro
+          FROM pairs p
+          LEFT JOIN topb tb ON tb.w1 = p.w1 AND tb.w2 = p.w2
+          LEFT JOIN model mm ON mm.term = p.w1
+          LEFT JOIN topv tv ON tv.term = p.w2
+          CROSS JOIN tot
+        )
+        SELECT t.doc_id,
+               CAST(GREATEST(len(t.l) - 1, 0) AS BIGINT) AS n_scored,
+               CAST(COALESCE(s.total, 0) AS BIGINT) AS lm_bigram_micro
+        FROM t
+        LEFT JOIN (SELECT doc_id, SUM(micro) AS total FROM scored
+                   GROUP BY doc_id) s USING (doc_id)
+        ORDER BY t.doc_id
+    """
     sqls["substring_dedup"] = """
         -- ExactSubstr-style span removal (Lee et al. 2021): a non-first
         -- corpus-wide occurrence of an 8-token gram (first = min

@@ -813,6 +813,52 @@ def pii_redact(ds):
     return ds.map_batches(PIIRedactor(), batch_format="pandas")
 
 
+def _fit_capped_unigram(ds, max_vocab: int):
+    """Shared CCNet-style capped unigram model fit: map-side-combined
+    term counts stay a DATASET; the driver receives only the scalar
+    total token count, ``v_eff = min(max_vocab, n_distinct)``, and the
+    top-``v_eff`` terms by ``(ctf desc, term asc)``.  Returns
+    ``(model_ds, topv_df, total, v_eff)`` — ``model_ds`` is the full
+    aggregated (term, sum(ctf)) Dataset (materialized) for callers that
+    need bounded point lookups beyond the cap (the bigram backoff's
+    context counts)."""
+
+    def term_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, _, _ = _flat_word_stream(list(batch["text"]))
+        cnt = np.bincount(vids, minlength=len(vocab)).astype(np.int64)
+        # _flat_word_stream's vocab can carry the empty split residue with
+        # count 0 — it must not inflate V (the smoothing denominator)
+        df = pd.DataFrame({"term": vocab, "ctf": cnt})
+        return df.loc[(df["ctf"] > 0) & (df["term"] != "")]
+
+    model_ds = (
+        ds.map_batches(term_counts, batch_format="pandas")
+        .groupby("term")
+        .sum("ctf")
+        .materialize()  # consumed repeatedly below — never re-execute
+    )
+    n_terms = model_ds.count()
+    v_eff = min(int(max_vocab), int(n_terms))
+    if n_terms == 0:
+        return model_ds, pd.DataFrame({"term": [], "sum(ctf)": []}), 0, 0
+    total = int(model_ds.sum("sum(ctf)"))
+
+    def block_topv(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["sum(ctf)", "term"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(v_eff)
+
+    topv = (
+        model_ds.map_batches(block_topv, batch_format="pandas")
+        .sort(key=["sum(ctf)", "term"], descending=[True, False])
+        .limit(v_eff)
+        .to_pandas()
+    )
+    return model_ds, topv, total, v_eff
+
+
 def unigram_lm_scores(ds, max_vocab: int = 1 << 16):
     """CCNet-style unigram language-model scoring: fit an add-one-smoothed
     unigram model on the corpus, then score every document by the sum of
@@ -845,41 +891,7 @@ def unigram_lm_scores(ds, max_vocab: int = 1 << 16):
 
     import ray
 
-    def term_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        vocab, vids, _, _ = _flat_word_stream(list(batch["text"]))
-        cnt = np.bincount(vids, minlength=len(vocab)).astype(np.int64)
-        # _flat_word_stream's vocab can carry the empty split residue with
-        # count 0 — it must not inflate V (the smoothing denominator)
-        df = pd.DataFrame({"term": vocab, "ctf": cnt})
-        return df.loc[(df["ctf"] > 0) & (df["term"] != "")]
-
-    model_ds = (
-        ds.map_batches(term_counts, batch_format="pandas")
-        .groupby("term")
-        .sum("ctf")
-        .materialize()  # consumed 3x below — never re-execute upstream
-    )
-    n_terms = model_ds.count()
-    v_eff = min(int(max_vocab), int(n_terms))
-    if n_terms == 0:
-        total = 0
-        topv = pd.DataFrame({"term": [], "sum(ctf)": []})
-    else:
-        total = int(model_ds.sum("sum(ctf)"))
-
-        def block_topv(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.sort_values(
-                ["sum(ctf)", "term"],
-                ascending=[False, True],
-                kind="mergesort",
-            ).head(v_eff)
-
-        topv = (
-            model_ds.map_batches(block_topv, batch_format="pandas")
-            .sort(key=["sum(ctf)", "term"], descending=[True, False])
-            .limit(v_eff)
-            .to_pandas()
-        )
+    _, topv, total, v_eff = _fit_capped_unigram(ds, max_vocab)
     denom = float(total + v_eff + 1)
     oov_micro = int(math.floor(math.log(1.0 / denom) * 1e6))
     logp = {
@@ -908,6 +920,170 @@ def unigram_lm_scores(ds, max_vocab: int = 1 << 16):
                     counts.astype(np.int64), dtype="int64"
                 ),
                 "lm_score_micro": pd.array(s, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def bigram_lm_scores(ds, max_vocab: int = 1 << 16,
+                     max_bigrams: int = 1 << 17, buckets: int = 64):
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the backoff designed FOR
+    distributed map-reduce LM estimation): each token position ``i >= 1``
+    scores ``ln(cnt(w_{i-1} w_i) / ctf(w_{i-1}))`` when the bigram is in
+    the capped model, else ``ln(0.4 * p_uni(w_i))`` with the SAME add-one
+    capped-vocabulary unigram contract as :func:`unigram_lm_scores`
+    (``p_uni = (ctf*+1)/(T+V_eff+1)``, OOV at ctf*=0).
+
+    Scale shape: the bigram model is BOUNDED — per-batch unique-bigram
+    partial counts (the ``next_word_topk`` combiner) bucket by
+    ``crc32(w1||w2)``, each bucket aggregates + keeps its local
+    top-``max_bigrams``, and a global (cnt desc, w1 asc, w2 asc)
+    sort/limit caps the table; backoff context counts come from ONE
+    bounded filter over the aggregated term-count Dataset (only the
+    <= max_bigrams distinct contexts), never a vocabulary broadcast.
+    Per-position ``floor(ln(s)*1e6)`` micro-units are precomputed with
+    scalar libm ``math.log`` (DuckDB ``ln`` bit-identical) and summed as
+    order-free integers.  Returns ``(doc_id, n_scored,
+    lm_bigram_micro)`` with ``n_scored = max(n_tokens - 1, 0)``.
+    """
+    import math
+    import zlib
+
+    import ray
+
+    model_ds, topv, total, v_eff = _fit_capped_unigram(ds, max_vocab)
+    denom = float(total + v_eff + 1)
+
+    big_empty = pd.DataFrame(
+        {
+            "w1": pd.array([], dtype="object"),
+            "w2": pd.array([], dtype="object"),
+            "cnt": pd.array([], dtype="int64"),
+            "_b": pd.array([], dtype="int64"),
+        }
+    )
+
+    def big_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        m = len(vids) - 1
+        if m <= 0:
+            return big_empty
+        valid = parent[:m] == parent[1:]
+        if not valid.any():
+            return big_empty
+        arr = np.stack([vids[:m][valid], vids[1:][valid]], axis=1)
+        uniq, cnt = np.unique(arr, axis=0, return_counts=True)
+        voc = np.asarray(vocab, dtype=object)
+        w1 = pd.Series(voc[uniq[:, 0]], dtype=object)
+        w2 = pd.Series(voc[uniq[:, 1]], dtype=object)
+        key = w1 + " " + w2
+        return pd.DataFrame(
+            {
+                "w1": w1,
+                "w2": w2,
+                "cnt": pd.array(cnt.astype(np.int64), dtype="int64"),
+                "_b": np.fromiter(
+                    (zlib.crc32(s.encode()) % buckets for s in key),
+                    np.int64,
+                    len(key),
+                ),
+            }
+        )
+
+    def bucket_top(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+        return g.sort_values(
+            ["cnt", "w1", "w2"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(max_bigrams)
+
+    topb = (
+        ds.map_batches(big_partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_top, batch_format="pandas")
+        .sort(key=["cnt", "w1", "w2"], descending=[True, False, False])
+        .limit(max_bigrams)
+        .to_pandas()
+    )
+
+    # context counts for the <= max_bigrams distinct w1's: one bounded
+    # filter over the aggregated term-count Dataset (never a broadcast
+    # of the vocabulary)
+    ctx_terms = set(topb["w1"]) if len(topb) else set()
+    if ctx_terms:
+        ctx_df = model_ds.map_batches(
+            lambda b: b.loc[b["term"].isin(ctx_terms)],
+            batch_format="pandas",
+        ).to_pandas()
+        ctx = dict(
+            zip(ctx_df["term"], ctx_df["sum(ctf)"].astype(np.int64))
+        )
+    else:
+        ctx = {}
+
+    bg_micro = {
+        (a, b): int(math.floor(math.log(int(c) / int(ctx[a])) * 1e6))
+        for a, b, c in zip(topb.get("w1", []), topb.get("w2", []),
+                           topb.get("cnt", []))
+    }
+    back = {
+        t: int(
+            math.floor(math.log(0.4 * (int(c) + 1) / denom) * 1e6)
+        )
+        for t, c in zip(topv["term"], topv["sum(ctf)"])
+    }
+    oov_back = (
+        int(math.floor(math.log(0.4 * 1 / denom) * 1e6))
+        if denom > 1
+        else 0
+    )
+    mref = ray.put((bg_micro, back, oov_back))
+    _SENT = np.iinfo(np.int64).min
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        bg, bk, oov = ray.get(mref)
+        vocab, vids, parent, counts = _flat_word_stream(list(batch["text"]))
+        n = len(batch)
+        s = np.zeros(n, dtype=np.int64)
+        m = len(vids) - 1
+        if m > 0:
+            valid = parent[:m] == parent[1:]
+            if valid.any():
+                a = vids[:m][valid].astype(np.int64)
+                b2 = vids[1:][valid].astype(np.int64)
+                pi = parent[1:][valid]
+                L = np.int64(len(vocab))
+                key = a * L + b2
+                ukey, inv = np.unique(key, return_inverse=True)
+                um = np.fromiter(
+                    (
+                        bg.get((vocab[int(k // L)], vocab[int(k % L)]),
+                               _SENT)
+                        for k in ukey
+                    ),
+                    np.int64,
+                    len(ukey),
+                )
+                back_voc = np.fromiter(
+                    (bk.get(w, oov) for w in vocab), np.int64, len(vocab)
+                )
+                micro = um[inv]
+                miss = micro == _SENT
+                micro = np.where(miss, back_voc[b2], micro)
+                s = np.bincount(
+                    pi, weights=micro.astype(np.float64), minlength=n
+                ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_scored": pd.array(
+                    np.maximum(counts.astype(np.int64) - 1, 0),
+                    dtype="int64",
+                ),
+                "lm_bigram_micro": pd.array(s, dtype="int64"),
             }
         )
 

@@ -951,6 +951,52 @@ def test_line_dedup_cross_corpus(ray_session):
     assert out[4] == ""  # fully-deduped doc still yields a row (no silent drop)
 
 
+def test_bigram_lm_stupid_backoff(ray_session):
+    import math
+
+    import ray.data
+
+    from searchengines_ray.stages.text import bigram_lm_scores
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b a c"},
+        {"doc_id": 1, "text": "b a"},
+        {"doc_id": 2, "text": "zz"},   # 1 token: nothing to score
+        {"doc_id": 3, "text": ""},
+    ]
+    # corpus: tokens a=4 b=3 c=1 zz=1 (T=9); bigrams: (a,b)=2 (b,a)=3
+    # (a,c)=1; caps: top-2 vocab = {a:4, b:3}, top-1 bigram = (b,a):3
+    out = (
+        bigram_lm_scores(
+            ray.data.from_items(rows), max_vocab=2, max_bigrams=1
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    denom = float(9 + 2 + 1)
+    # in-model bigram: cnt(b,a)=3 over context ctf('b')=3 => ln(1)=0
+    hit_ba = math.floor(math.log(3 / 3) * 1e6)
+    back = {
+        "a": math.floor(math.log(0.4 * (4 + 1) / denom) * 1e6),
+        "b": math.floor(math.log(0.4 * (3 + 1) / denom) * 1e6),
+        "oov": math.floor(math.log(0.4 * 1 / denom) * 1e6),
+    }
+    # doc 0 pairs: (a,b)->back[b], (b,a)->hit, (a,b)->back[b],
+    #              (b,a)->hit, (a,c)->back[oov]
+    assert out.loc[0, "n_scored"] == 5
+    assert (
+        out.loc[0, "lm_bigram_micro"]
+        == 2 * back["b"] + 2 * hit_ba + back["oov"]
+    )
+    # doc 1: (b,a) is the in-model bigram
+    assert out.loc[1, "n_scored"] == 1
+    assert out.loc[1, "lm_bigram_micro"] == hit_ba
+    assert out.loc[2, "n_scored"] == 0
+    assert out.loc[2, "lm_bigram_micro"] == 0
+    assert out.loc[3, "n_scored"] == 0 and out.loc[3, "lm_bigram_micro"] == 0
+
+
 def test_substring_dedup_planted_spans(ray_session):
     import ray.data
 
