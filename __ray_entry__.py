@@ -3417,6 +3417,43 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_hits_events(sf_dir: str) -> pd.DataFrame:
+    """Integer-deterministic HITS hubs/authorities (stages/graph.py
+    hits; Kleinberg 1999) over the bipartite user -> item graph from
+    events — 2 max-normalized power-iteration rounds as exact int64
+    ops (order-free sums, bit-identical to the SQL CTE chain)."""
+    import ray.data
+
+    from searchengines_ray.stages.graph import hits
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .str.extract(r'"k": (\d+)', expand=False)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "src": b["user_id"].to_numpy().astype(np.int64),
+                "dst": (1_000_000 + k).to_numpy().astype(np.int64),
+            }
+        )
+
+    out = hits(
+        ev.map_batches(to_edges, batch_format="pandas"), iters=2
+    ).to_pandas()
+    return (
+        out[["node", "auth", "hub"]]
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "auth": "int64", "hub": "int64"})
+    )
+
+
 def _q_bigram_lm(sf_dir: str) -> pd.DataFrame:
     """Stupid-backoff bigram LM scoring (stages/text.py
     bigram_lm_scores; Brants et al. 2007): in-model bigrams score
@@ -3472,6 +3509,7 @@ def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "hits_events": _q_hits_events,
         "bigram_lm": _q_bigram_lm,
         "substring_dedup": _q_substring_dedup,
         "vocab_growth": _q_vocab_growth,
@@ -4771,6 +4809,66 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["hits_events"] = """
+        -- 2-round integer HITS: max-normalized power iteration as
+        -- exact int64 // ops (order-free sums == the engine's
+        -- distributed plan; // is safe — every value is non-negative)
+        WITH ed AS MATERIALIZED (
+          SELECT DISTINCT user_id AS src,
+                 1000000 + CAST(regexp_extract(props,
+                   '"k": (\\d+)', 1) AS BIGINT) AS dst
+          FROM events
+        ),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM ed
+            UNION SELECT dst FROM ed)
+        ),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
+        a1s AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS s
+          FROM ed e JOIN h0 h ON h.node = e.src GROUP BY e.dst
+        ),
+        a1 AS MATERIALIZED (
+          SELECT node, CASE WHEN m.m > 0 THEN (s * 1000000) // m.m
+                            ELSE 0 END AS v
+          FROM a1s CROSS JOIN (SELECT MAX(s) AS m FROM a1s) m
+        ),
+        h1s AS MATERIALIZED (
+          SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS s
+          FROM ed e JOIN a1 a ON a.node = e.dst GROUP BY e.src
+        ),
+        h1 AS MATERIALIZED (
+          SELECT node, CASE WHEN m.m > 0 THEN (s * 1000000) // m.m
+                            ELSE 0 END AS v
+          FROM h1s CROSS JOIN (SELECT MAX(s) AS m FROM h1s) m
+        ),
+        a2s AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS s
+          FROM ed e JOIN h1 h ON h.node = e.src GROUP BY e.dst
+        ),
+        a2 AS MATERIALIZED (
+          SELECT node, CASE WHEN m.m > 0 THEN (s * 1000000) // m.m
+                            ELSE 0 END AS v
+          FROM a2s CROSS JOIN (SELECT MAX(s) AS m FROM a2s) m
+        ),
+        h2s AS MATERIALIZED (
+          SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS s
+          FROM ed e JOIN a2 a ON a.node = e.dst GROUP BY e.src
+        ),
+        h2 AS MATERIALIZED (
+          SELECT node, CASE WHEN m.m > 0 THEN (s * 1000000) // m.m
+                            ELSE 0 END AS v
+          FROM h2s CROSS JOIN (SELECT MAX(s) AS m FROM h2s) m
+        )
+        SELECT n.node,
+               CAST(COALESCE(a2.v, 0) AS BIGINT) AS auth,
+               CAST(COALESCE(h2.v, 0) AS BIGINT) AS hub
+        FROM nodes n
+        LEFT JOIN a2 ON a2.node = n.node
+        LEFT JOIN h2 ON h2.node = n.node
+        ORDER BY n.node
+    """
     sqls["bigram_lm"] = """
         -- stupid-backoff bigram LM (Brants et al. 2007): in-model
         -- bigrams (top-2000 by cnt desc, w1, w2) score ln(cnt/ctf(w1));

@@ -491,6 +491,250 @@ def pagerank(
     return ranks
 
 
+HITS_LOCAL_MAX_EDGES = 200_000
+
+
+def hits(
+    edges_ds,
+    iters: int = 2,
+    scale: int = 10**6,
+    coarse_buckets: int = 64,
+    local_max_edges: int = HITS_LOCAL_MAX_EDGES,
+):
+    """Integer-deterministic HITS hubs/authorities (Kleinberg 1999)
+    over a directed edge Dataset ``(src, dst)`` — the link-analysis
+    companion to :func:`pagerank` (on a user -> item bipartite graph,
+    hubs rank users and authorities rank items).
+
+    Max-normalized power iteration as exact int64 arithmetic (any
+    positive per-round rescaling preserves the principal-eigenvector
+    direction, and the max makes every op an order-free integer —
+    the same SQL-replicable determinism contract as pagerank)::
+
+        h_0(u)  = scale                      (every node)
+        a'(v)   = sum_{u->v} h(u);  a(v) = (a' * scale) // max a'
+        h'(u)   = sum_{u->v} a(v);  h(u) = (h' * scale) // max h'
+
+    (zero max => all-zero side, the degenerate no-edge case).  Nodes
+    with no in-edges have authority 0, no out-edges hub 0; duplicate
+    edges collapse first.  Returns ``(node, auth, hub)``.
+
+    Plan: the pagerank shuffle shapes — one src-keyed dedup exchange,
+    then per half-round ONE schema-hinted equi-join shipping current
+    values to edges + ONE dst(src)-bucketed groupby sum; the global
+    max is a scalar off the materialized sums (zero-contribution nodes
+    simply stay absent until the final nodes-left-join assembly, so no
+    zero rows ride the iteration shuffles).  Adaptive local fast path
+    at <= ``local_max_edges`` deduped edges: identical formulas via
+    ``np.add.at`` int64 scatter-sums in ONE task (pytest pins both
+    paths bit-equal; ``local_max_edges=0`` forces the distributed
+    plan).  Overflow guard: ``max' * scale`` must fit int64 — enforced
+    per normalization, mirroring pagerank's 2^53 precondition.
+    """
+    from .joins import hash_equijoin
+
+    if scale <= 0:
+        raise ValueError(f"hits scale={scale} must be positive")
+    max_norm = 2**63 // scale
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["src", "dst"]].drop_duplicates()
+        s = b["src"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": s,
+                "dst": b["dst"].to_numpy().astype(np.int64),
+                "_sb": _nbucket(s, coarse_buckets),
+            }
+        )
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["src", "dst"]].drop_duplicates()
+
+    ewd = (
+        edges_ds.map_batches(edge_partial, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    empty = pd.DataFrame(
+        {
+            "node": pd.array([], dtype="int64"),
+            "auth": pd.array([], dtype="int64"),
+            "hub": pd.array([], dtype="int64"),
+        }
+    )
+
+    if ewd.count() <= local_max_edges:
+
+        def solve(batch: pd.DataFrame) -> pd.DataFrame:
+            src = batch["src"].to_numpy().astype(np.int64)
+            dst = batch["dst"].to_numpy().astype(np.int64)
+            nodes_l = np.unique(np.concatenate([src, dst]))
+            n = len(nodes_l)
+            if n == 0:
+                return empty
+            si = np.searchsorted(nodes_l, src)
+            di = np.searchsorted(nodes_l, dst)
+            a = np.zeros(n, np.int64)
+            h = np.full(n, scale, np.int64)
+            for _ in range(iters):
+                s = np.zeros(n, np.int64)
+                np.add.at(s, di, h[si])
+                m = int(s.max())
+                if m >= max_norm:
+                    raise ValueError(
+                        f"hits: max contribution {m} * scale overflows "
+                        "int64 — lower scale"
+                    )
+                a = (s * scale) // m if m > 0 else np.zeros(n, np.int64)
+                s2 = np.zeros(n, np.int64)
+                np.add.at(s2, si, a[di])
+                m2 = int(s2.max())
+                if m2 >= max_norm:
+                    raise ValueError(
+                        f"hits: max contribution {m2} * scale overflows "
+                        "int64 — lower scale"
+                    )
+                h = (
+                    (s2 * scale) // m2
+                    if m2 > 0
+                    else np.zeros(n, np.int64)
+                )
+            return pd.DataFrame({"node": nodes_l, "auth": a, "hub": h})
+
+        return ewd.repartition(1).map_batches(
+            solve, batch_format="pandas", batch_size=None
+        )
+
+    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy().astype(np.int64),
+                    batch["dst"].to_numpy().astype(np.int64),
+                ]
+            )
+        )
+        return pd.DataFrame({"node": n, "_cb": _nbucket(n, coarse_buckets)})
+
+    def node_final(group: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(group["node"].to_numpy().astype(np.int64))
+        return pd.DataFrame({"node": n})
+
+    nodes = (
+        ewd.map_batches(node_partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(node_final, batch_format="pandas")
+        .materialize()
+    )
+
+    ewd_schema = {"src": np.dtype(np.int64), "dst": np.dtype(np.int64)}
+    val_schema = {"node": np.dtype(np.int64), "v": np.dtype(np.int64)}
+
+    def _half(vals, ship_key: str, sum_key: str):
+        """One half-round: ship current values to edges via ship_key,
+        sum per sum_key, max-normalize.  Returns a MATERIALIZED
+        (node, v) Dataset of only the nodes that received mass."""
+        joined = hash_equijoin(
+            ewd, vals, left_on=ship_key, right_on="node",
+            right_cols=("v",), coarse_buckets=coarse_buckets,
+            left_schema_hint=ewd_schema, right_schema_hint=val_schema,
+        )
+
+        def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch[sum_key].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "node": d,
+                    "s": batch["r_v"].to_numpy().astype(np.int64),
+                    "_cb": _nbucket(d, coarse_buckets),
+                }
+            )
+
+        def bucket_sum(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.groupby("node", as_index=False)["s"].sum()
+            return g.astype({"node": "int64", "s": "int64"})
+
+        sums = (
+            joined.map_batches(contrib, batch_format="pandas")
+            .groupby("_cb")
+            .map_groups(bucket_sum, batch_format="pandas")
+            .materialize()
+        )
+        m = sums.max("s") if sums.count() else 0
+        m = int(m) if m is not None else 0
+        if m >= max_norm:
+            raise ValueError(
+                f"hits: max contribution {m} * scale overflows int64 — "
+                "lower scale"
+            )
+
+        def norm(batch: pd.DataFrame) -> pd.DataFrame:
+            s = batch["s"].to_numpy().astype(np.int64)
+            v = (s * scale) // m if m > 0 else np.zeros(len(s), np.int64)
+            return pd.DataFrame(
+                {
+                    "node": batch["node"].to_numpy().astype(np.int64),
+                    "v": v,
+                }
+            )
+
+        return sums.map_batches(norm, batch_format="pandas").materialize()
+
+    h = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].to_numpy().astype(np.int64),
+                "v": np.full(len(b), scale, dtype=np.int64),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    a = h  # placeholder; overwritten in round 1 before any read
+
+    for _ in range(iters):
+        a = _half(h, "src", "dst")
+        h = _half(a, "dst", "src")
+
+    node_schema = {"node": np.dtype(np.int64)}
+    out = hash_equijoin(
+        nodes, a, left_on="node", right_on="node", right_cols=("v",),
+        how="left", coarse_buckets=coarse_buckets,
+        left_schema_hint=node_schema, right_schema_hint=val_schema,
+    )
+    out = out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].to_numpy().astype(np.int64),
+                "auth": np.maximum(
+                    b["r_v"].to_numpy().astype(np.int64), 0
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out_schema = {"node": np.dtype(np.int64), "auth": np.dtype(np.int64)}
+    out = hash_equijoin(
+        out, h, left_on="node", right_on="node", right_cols=("v",),
+        how="left", coarse_buckets=coarse_buckets,
+        left_schema_hint=out_schema, right_schema_hint=val_schema,
+    )
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].to_numpy().astype(np.int64),
+                "auth": b["auth"].to_numpy().astype(np.int64),
+                "hub": np.maximum(
+                    b["r_v"].to_numpy().astype(np.int64), 0
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 TRIANGLES_LOCAL_MAX_EDGES = 100_000
 
 

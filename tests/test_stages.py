@@ -2169,6 +2169,49 @@ def test_pagerank_integer_exact(ray_session):
     assert got_dist.to_dict() == r
 
 
+def test_hits_integer_exact_both_paths(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.graph import hits
+
+    # bipartite-ish: hubs 1-3 point at authorities 10/11, a 2-cycle,
+    # a pure sink, duplicate edges collapse
+    edges = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 10), (10, 11),
+             (11, 10), (2, 99), (1, 10)]
+    ds = ray.data.from_items(
+        [{"src": np.int64(a), "dst": np.int64(b)} for a, b in edges]
+    ).repartition(3)
+
+    # scalar reference of the exact contract
+    ded = sorted(set(edges))
+    nodes = sorted({x for e in ded for x in e})
+    scale = 10**6
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(2):
+        s = {v: 0 for v in nodes}
+        for u, v in ded:
+            s[v] += h[u]
+        m = max(s.values())
+        a = {v: (s[v] * scale) // m if m > 0 else 0 for v in nodes}
+        s2 = {v: 0 for v in nodes}
+        for u, v in ded:
+            s2[u] += a[v]
+        m2 = max(s2.values())
+        h = {v: (s2[v] * scale) // m2 if m2 > 0 else 0 for v in nodes}
+
+    for lme in (None, 0):  # adaptive local path, forced distributed
+        kw = {} if lme is None else {"local_max_edges": 0}
+        got = (
+            hits(ds, iters=2, **kw)
+            .to_pandas()
+            .sort_values("node")
+            .set_index("node")
+        )
+        assert got["auth"].to_dict() == a, kw
+        assert got["hub"].to_dict() == h, kw
+
+
 def test_minhash_cross_pairs(ray_session):
     import ray.data
 
