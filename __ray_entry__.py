@@ -3417,6 +3417,26 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_textrank(sf_dir: str) -> pd.DataFrame:
+    """TextRank corpus keywords (stages/text.py textrank_keywords;
+    Mihalcea & Tarau 2004): integer PageRank over the adjacency
+    co-occurrence graph of the capped top-20 vocabulary (BELOW the corpus vocab so the cap
+    actually binds) — a pure
+    composition of the capped-unigram fit, vectorized co-occurrence
+    edges, and the exact-int64 pagerank contract."""
+    from searchengines_ray.stages.text import textrank_keywords
+
+    out = textrank_keywords(
+        _docs(sf_dir), max_vocab=20, iters=5
+    ).to_pandas()
+    return (
+        out[["term", "r"]]
+        .sort_values(["r", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+        .astype({"r": "int64"})
+    )
+
+
 def _q_hits_events(sf_dir: str) -> pd.DataFrame:
     """Integer-deterministic HITS hubs/authorities (stages/graph.py
     hits; Kleinberg 1999) over the bipartite user -> item graph from
@@ -3509,6 +3529,7 @@ def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "textrank_keywords": _q_textrank,
         "hits_events": _q_hits_events,
         "bigram_lm": _q_bigram_lm,
         "substring_dedup": _q_substring_dedup,
@@ -4809,6 +4830,135 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["textrank_keywords"] = """
+        -- TextRank: 5-round integer PageRank (the pagerank_events
+        -- contract, scale 1e12) over the adjacency co-occurrence graph
+        -- of the top-20 vocabulary; node id = (ctf desc, term asc)
+        -- rank index; undirected edges ride as both directions
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[0-9a-z]+'))
+                   AS term
+          FROM documents
+        ),
+        model AS (SELECT term, COUNT(*) AS ctf FROM toks GROUP BY term),
+        ids AS MATERIALIZED (
+          SELECT term,
+                 CAST(ROW_NUMBER() OVER (ORDER BY ctf DESC, term ASC)
+                      - 1 AS BIGINT) AS id
+          FROM (SELECT term, ctf FROM model
+                ORDER BY ctf DESC, term ASC LIMIT 20)
+        ),
+        t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+          FROM documents
+        ),
+        pairs AS (
+          SELECT unnest(l[1 : len(l) - 1]) AS w1,
+                 unnest(l[2 : len(l)]) AS w2
+          FROM t WHERE len(l) >= 2
+        ),
+        e0 AS (
+          SELECT i1.id AS src, i2.id AS dst
+          FROM pairs p
+          JOIN ids i1 ON i1.term = p.w1
+          JOIN ids i2 ON i2.term = p.w2
+          WHERE i1.id <> i2.id
+        ),
+        ed AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst, src FROM e0)
+        ),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM ed
+            UNION SELECT dst FROM ed)
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        od AS MATERIALIZED (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ed GROUP BY 1
+        ),
+        r0 AS (
+          SELECT node, 1000000000000 // nn.n AS r
+          FROM nodes CROSS JOIN nn
+        ),
+        r1 AS MATERIALIZED (
+          SELECT n.node,
+                 ((15 * 1000000000000) // (100 * nn.n))
+                 + (85 * COALESCE(s.s, 0)) // 100 AS r
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(p.r // d.c) AS BIGINT) AS s
+            FROM ed e
+            JOIN r0 p ON p.node = e.src
+            JOIN od d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        ),
+        r2 AS MATERIALIZED (
+          SELECT n.node,
+                 ((15 * 1000000000000) // (100 * nn.n))
+                 + (85 * COALESCE(s.s, 0)) // 100 AS r
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(p.r // d.c) AS BIGINT) AS s
+            FROM ed e
+            JOIN r1 p ON p.node = e.src
+            JOIN od d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        ),
+        r3 AS MATERIALIZED (
+          SELECT n.node,
+                 ((15 * 1000000000000) // (100 * nn.n))
+                 + (85 * COALESCE(s.s, 0)) // 100 AS r
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(p.r // d.c) AS BIGINT) AS s
+            FROM ed e
+            JOIN r2 p ON p.node = e.src
+            JOIN od d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        ),
+        r4 AS MATERIALIZED (
+          SELECT n.node,
+                 ((15 * 1000000000000) // (100 * nn.n))
+                 + (85 * COALESCE(s.s, 0)) // 100 AS r
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(p.r // d.c) AS BIGINT) AS s
+            FROM ed e
+            JOIN r3 p ON p.node = e.src
+            JOIN od d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        ),
+        r5 AS MATERIALIZED (
+          SELECT n.node,
+                 ((15 * 1000000000000) // (100 * nn.n))
+                 + (85 * COALESCE(s.s, 0)) // 100 AS r
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(p.r // d.c) AS BIGINT) AS s
+            FROM ed e
+            JOIN r4 p ON p.node = e.src
+            JOIN od d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        )
+        SELECT i.term, CAST(r5.r AS BIGINT) AS r
+        FROM r5 JOIN ids i ON i.id = r5.node
+        ORDER BY r DESC, term ASC
+    """
     sqls["hits_events"] = """
         -- 2-round integer HITS: max-normalized power iteration as
         -- exact int64 // ops (order-free sums == the engine's

@@ -1090,6 +1090,93 @@ def bigram_lm_scores(ds, max_vocab: int = 1 << 16,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def textrank_keywords(ds, max_vocab: int = 500, iters: int = 5,
+                      scale: int = 10**12):
+    """TextRank corpus keyword extraction (Mihalcea & Tarau 2004):
+    integer-deterministic PageRank over the adjacency co-occurrence
+    graph of the capped top-``max_vocab`` vocabulary — the classic
+    graph-based keyword scorer, here as a pure COMPOSITION of tested
+    stages (:func:`_fit_capped_unigram` -> vectorized co-occurrence
+    edges -> :func:`~searchengines_ray.stages.graph.pagerank`).
+
+    Graph contract: node = index of a top-V term in (ctf desc, term
+    asc) order; an undirected edge joins two DISTINCT top-V terms that
+    are ever adjacent in the token stream (emitted as both directed
+    edges, so pagerank's out-degree division is the classic
+    degree normalization).  The word->id map is BOUNDED (V entries,
+    ``ray.put`` broadcast), never vocabulary-sized.  Returns
+    ``(term, r)`` for every graph node with pagerank's exact int64
+    rank contract.
+    """
+    import ray
+
+    from .graph import pagerank
+
+    _, topv, _, _ = _fit_capped_unigram(ds, max_vocab)
+    terms = list(topv["term"])
+    idref = ray.put({t: i for i, t in enumerate(terms)})
+
+    e_empty = pd.DataFrame(
+        {
+            "src": pd.array([], dtype="int64"),
+            "dst": pd.array([], dtype="int64"),
+        }
+    )
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        iddict = ray.get(idref)
+        vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+        m = len(vids) - 1
+        if m <= 0:
+            return e_empty
+        vmap = np.fromiter(
+            (iddict.get(w, -1) for w in vocab), np.int64, len(vocab)
+        )
+        tok = vmap[vids]
+        valid = (
+            (parent[:m] == parent[1:])
+            & (tok[:m] >= 0)
+            & (tok[1:] >= 0)
+            & (tok[:m] != tok[1:])
+        )
+        if not valid.any():
+            return e_empty
+        a, b = tok[:m][valid], tok[1:][valid]
+        arr = np.unique(
+            np.stack(
+                [np.concatenate([a, b]), np.concatenate([b, a])], axis=1
+            ),
+            axis=0,
+        )
+        return pd.DataFrame(
+            {
+                "src": pd.array(arr[:, 0], dtype="int64"),
+                "dst": pd.array(arr[:, 1], dtype="int64"),
+            }
+        )
+
+    pr = pagerank(
+        ds.map_batches(edge_partial, batch_format="pandas"),
+        iters=iters,
+        scale=scale,
+    )
+    tref = ray.put(np.asarray(terms, dtype=object))
+
+    def attach_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        tarr = ray.get(tref)
+        return pd.DataFrame(
+            {
+                "term": pd.Series(
+                    tarr[batch["node"].to_numpy().astype(np.int64)],
+                    dtype=object,
+                ),
+                "r": batch["r"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return pr.map_batches(attach_terms, batch_format="pandas")
+
+
 def pack_sequences(ds, seq_len: int = 2048, buckets: int = 64):
     """GPT-style sequence packing layout: concatenate each bucket's
     documents (doc_id order) into one token stream and chunk it into

@@ -2169,6 +2169,50 @@ def test_pagerank_integer_exact(ray_session):
     assert got_dist.to_dict() == r
 
 
+def test_textrank_keywords_composition(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import textrank_keywords
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta alpha beta gamma"},
+        {"doc_id": 1, "text": "beta gamma zz beta alpha"},  # zz: rare
+        {"doc_id": 2, "text": "gamma alpha"},
+    ]
+    # ctf: alpha=4 beta=4 gamma=3 zz=1; top-3 cap drops zz ->
+    # ids alpha=0 beta=1 gamma=2; adjacencies among top-3 (zz breaks
+    # the gamma-beta chain in doc 1): (a,b) (b,a) (b,g) (g,a)
+    got = (
+        textrank_keywords(
+            ray.data.from_items(rows), max_vocab=3, iters=3
+        )
+        .to_pandas()
+        .set_index("term")["r"]
+        .to_dict()
+    )
+
+    edges = set()
+    for a, b in [(0, 1), (1, 0), (1, 2), (2, 0)]:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    scale = 10**12
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] // out[a]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    names = ["alpha", "beta", "gamma"]
+    assert got == {names[v]: r[v] for v in nodes}
+    assert "zz" not in got  # the cap binds
+
+
 def test_hits_integer_exact_both_paths(ray_session):
     import ray.data
 
