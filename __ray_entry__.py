@@ -3417,6 +3417,38 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_BLOCK_PHRASES = [
+    "dup key",      # zero-hit on this corpus: exercises the miss path
+    "hash join",
+    "slow fast",
+    "window agg",
+    "merge sort",
+    "spark",
+]
+
+
+def _q_phrase_filter(sf_dir: str) -> pd.DataFrame:
+    """C4-style bad-PHRASE document filter (stages/text.py
+    PhraseBlocklist): literal-substring matching over lowered text
+    (never regex), n_phrases = how many blocklist phrases occur,
+    first_phrase = lowest matching blocklist index (-1 clean)."""
+    from searchengines_ray.stages.text import phrase_filter
+
+    out = phrase_filter(_docs(sf_dir), _BLOCK_PHRASES).to_pandas()
+    return (
+        out[["doc_id", "n_phrases", "first_phrase"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_phrases": "int64",
+                "first_phrase": "int64",
+            }
+        )
+    )
+
+
 def _q_textrank(sf_dir: str) -> pd.DataFrame:
     """TextRank corpus keywords (stages/text.py textrank_keywords;
     Mihalcea & Tarau 2004): integer PageRank over the adjacency
@@ -3529,6 +3561,7 @@ def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "phrase_filter": _q_phrase_filter,
         "textrank_keywords": _q_textrank,
         "hits_events": _q_hits_events,
         "bigram_lm": _q_bigram_lm,
@@ -4830,6 +4863,28 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    # generated FROM the same _BLOCK_PHRASES constant the engine uses,
+    # so the two sides cannot drift
+    _ph_hits = " + ".join(
+        f"CASE WHEN position('{p}' IN lower(text)) > 0 THEN 1 ELSE 0 END"
+        for p in _BLOCK_PHRASES
+    )
+    _ph_first = (
+        "CASE "
+        + " ".join(
+            f"WHEN position('{p}' IN lower(text)) > 0 THEN {i}"
+            for i, p in enumerate(_BLOCK_PHRASES)
+        )
+        + " ELSE -1 END"
+    )
+    sqls["phrase_filter"] = f"""
+        -- C4-style literal bad-phrase filter; CASE order = blocklist
+        -- order, so first_phrase is the lowest matching index
+        SELECT doc_id,
+               CAST({_ph_hits} AS BIGINT) AS n_phrases,
+               CAST({_ph_first} AS BIGINT) AS first_phrase
+        FROM documents ORDER BY doc_id
+    """
     sqls["textrank_keywords"] = """
         -- TextRank: 5-round integer PageRank (the pagerank_events
         -- contract, scale 1e12) over the adjacency co-occurrence graph

@@ -226,6 +226,20 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     dsir_weights(docs_l).materialize()
     timings["dsir_weights"] = time.perf_counter() - t0
 
+    # round-5 additions: ExactSubstr span removal (the heaviest new
+    # shuffle shape — gram strings ride one bucketed exchange) and the
+    # bounded-model stupid-backoff bigram LM
+    from searchengines_ray.stages.dedup import substring_dedup
+    from searchengines_ray.stages.text import bigram_lm_scores
+
+    t0 = time.perf_counter()
+    substring_dedup(docs, k=8).materialize()
+    timings["substring_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bigram_lm_scores(docs, max_vocab=1000, max_bigrams=2000).materialize()
+    timings["bigram_lm"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "SPIMI index build + BM25 query batch + data pipelines",

@@ -775,6 +775,50 @@ def fingerprints(ds):
     return ds.map_batches(Fingerprinter(), batch_format="pandas")
 
 
+class PhraseBlocklist:
+    """C4-style bad-phrase document filter: flag every document whose
+    lowered text contains any of a fixed PHRASE blocklist as a literal
+    substring (the C4 pipeline dropped documents on a banned-word list;
+    phrases — not tokens — so multi-word patterns and mid-token hits
+    behave like the reference pipelines').
+
+    Actor-pool contract: the (tiny) phrase list is normalized once in
+    ``__init__``; ``__call__`` is P vectorized ``str.contains``
+    sweeps (``regex=False`` — plain substring, matching DuckDB
+    ``position()``), masking undecided rows so ``first_phrase`` is the
+    LOWEST matching blocklist index.  Emits ``(doc_id, n_phrases,
+    first_phrase)`` with ``first_phrase = -1`` for clean docs.
+    """
+
+    def __init__(self, phrases):
+        self.phrases = [p.lower() for p in phrases]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch["text"].fillna("").str.lower()
+        n = len(batch)
+        cnt = np.zeros(n, dtype=np.int64)
+        first = np.full(n, -1, dtype=np.int64)
+        for i, p in enumerate(self.phrases):
+            hit = low.str.contains(p, regex=False).to_numpy()
+            cnt += hit
+            first = np.where(hit & (first < 0), i, first)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_phrases": pd.array(cnt, dtype="int64"),
+                "first_phrase": pd.array(first, dtype="int64"),
+            }
+        )
+
+
+def phrase_filter(ds, phrases, concurrency: int = 2):
+    return ds.map_batches(
+        PhraseBlocklist(phrases),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
 class PIIRedactor:
     """PII scrubbing for web-text curation: redact emails, URLs, IPv4
     addresses and dashed phone numbers, reporting per-doc match counts.

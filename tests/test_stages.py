@@ -2169,6 +2169,34 @@ def test_pagerank_integer_exact(ray_session):
     assert got_dist.to_dict() == r
 
 
+def test_phrase_blocklist_filter(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import phrase_filter
+
+    rows = [
+        {"doc_id": 0, "text": "a HASH JOIN beats a merge sort here"},
+        {"doc_id": 1, "text": "nothing banned at all"},
+        {"doc_id": 2, "text": "merge sort only"},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "smashjoint"},  # no mid-text false hit
+    ]
+    out = (
+        phrase_filter(
+            ray.data.from_items(rows),
+            ["hash join", "merge sort", "zz absent"],
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_phrases"] == 2 and out.loc[0, "first_phrase"] == 0
+    assert out.loc[1, "n_phrases"] == 0 and out.loc[1, "first_phrase"] == -1
+    assert out.loc[2, "n_phrases"] == 1 and out.loc[2, "first_phrase"] == 1
+    assert out.loc[3, "n_phrases"] == 0 and out.loc[3, "first_phrase"] == -1
+    assert out.loc[4, "n_phrases"] == 0  # literal substring, case-folded
+
+
 def test_textrank_keywords_composition(ray_session):
     import ray.data
 
