@@ -3417,6 +3417,22 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_random_projection(sf_dir: str) -> pd.DataFrame:
+    """Achlioptas sparse random projection (stages/similarity.py
+    random_projection): 64 -> 16 dims through the fixed {-1,0,+1}
+    hash matrix over micro-quantized inputs — every output cell an
+    order-free int64 sum, bit-identical to the SQL mirror."""
+    from searchengines_ray.stages.similarity import random_projection
+
+    out = random_projection(_emb(sf_dir), d_out=16).to_pandas()
+    return (
+        out[["vec_id", "dim", "proj"]]
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+        .astype({"vec_id": "int64", "dim": "int64", "proj": "int64"})
+    )
+
+
 _BLOCK_PHRASES = [
     "dup key",      # zero-hit on this corpus: exercises the miss path
     "hash join",
@@ -3561,6 +3577,7 @@ def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "random_projection": _q_random_projection,
         "phrase_filter": _q_phrase_filter,
         "textrank_keywords": _q_textrank,
         "hits_events": _q_hits_events,
@@ -4863,6 +4880,29 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["random_projection"] = """
+        -- Achlioptas sparse random projection: micro-quantized inputs
+        -- x fixed {-1,0,+1} hash matrix (P(+-1)=1/6) — order-free
+        -- integer sums, the label_centroids quantization contract
+        WITH q AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) AS k,
+                 unnest(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0)
+                             AS BIGINT))) AS qv
+          FROM embeddings
+        ),
+        dims AS (SELECT unnest(generate_series(1, 16)) AS j)
+        SELECT vec_id,
+               CAST(j AS BIGINT) AS dim,
+               CAST(SUM(qv *
+                 (CASE ((k * 2654435761 + j * 40503) % 4294967296) % 6
+                   WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END))
+                 AS BIGINT) AS proj
+        FROM q CROSS JOIN dims
+        GROUP BY vec_id, j
+        ORDER BY vec_id, dim
+    """
     # generated FROM the same _BLOCK_PHRASES constant the engine uses,
     # so the two sides cannot drift
     _ph_hits = " + ".join(

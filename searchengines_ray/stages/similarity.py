@@ -653,3 +653,49 @@ def quantize_embeddings(emb_ds, bits: int = 8,
         )
 
     return emb_ds.map_batches(quant, batch_format="pandas")
+
+
+def random_projection(emb_ds, d_out: int = 16,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id", scale: int = 10**6):
+    """Achlioptas sparse random projection (Achlioptas 2001,
+    "Database-friendly random projections"): reduce embeddings to
+    ``d_out`` dims through a fixed {-1, 0, +1} matrix with
+    P(+1) = P(-1) = 1/6 — the JL-lemma step that shrinks a 100-TB
+    vector corpus before ANN indexing while approximately preserving
+    distances (the constant sqrt(3)/sqrt(d_out) factor is dropped:
+    a uniform scaling never changes neighbor ORDER).
+
+    Integer-exact contract: inputs are floored to micro-units
+    (``floor(v * scale)`` in float64 — the label_centroids
+    quantization) and the projection matrix entry for (k, j), both
+    1-based, is ``((k * 2654435761 + j * 40503) % 2^32) % 6`` mapped
+    0 -> +1, 1 -> -1, else 0 — so every output cell is an order-free
+    int64 sum a SQL engine reproduces bit-for-bit.  Embarrassingly
+    parallel per-batch matmul, no shuffle.  Returns exploded rows
+    ``(vec_id, dim [1-based], proj)``.
+    """
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+        )
+        n, d = mat.shape
+        q = np.floor(mat * float(scale)).astype(np.int64)
+        kk = np.arange(1, d + 1, dtype=np.int64)[:, None]
+        jj = np.arange(1, d_out + 1, dtype=np.int64)[None, :]
+        h = ((kk * 2654435761 + jj * 40503) % 2**32) % 6
+        m = np.where(h == 0, 1, np.where(h == 1, -1, 0)).astype(np.int64)
+        proj = q @ m
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d_out),
+                "dim": np.tile(
+                    np.arange(1, d_out + 1, dtype=np.int64), n
+                ),
+                "proj": proj.ravel(),
+            }
+        )
+
+    return emb_ds.map_batches(project, batch_format="pandas")

@@ -2169,6 +2169,44 @@ def test_pagerank_integer_exact(ray_session):
     assert got_dist.to_dict() == r
 
 
+def test_random_projection_achlioptas(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import random_projection
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(5, 8).astype(np.float32)
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(5)
+    ]
+    out = (
+        random_projection(ray.data.from_items(rows), d_out=4)
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    # independent scalar reimplementation of the contract
+    exp = []
+    for i in range(5):
+        q = [int(np.floor(float(np.float64(x)) * 1e6)) for x in vecs[i]]
+        for j in range(1, 5):
+            s = 0
+            for k in range(1, 9):
+                h = ((k * 2654435761 + j * 40503) % 2**32) % 6
+                m = 1 if h == 0 else (-1 if h == 1 else 0)
+                s += q[k - 1] * m
+            exp.append((i, j, s))
+    got = list(zip(out["vec_id"], out["dim"], out["proj"]))
+    assert got == exp
+    # the fixed matrix is not degenerate: some +1, some -1 entries
+    ms = {
+        ((k * 2654435761 + j * 40503) % 2**32) % 6
+        for k in range(1, 65)
+        for j in range(1, 17)
+    }
+    assert 0 in ms and 1 in ms
+
+
 def test_phrase_blocklist_filter(ray_session):
     import ray.data
 
