@@ -2169,6 +2169,134 @@ def test_pagerank_integer_exact(ray_session):
     assert got_dist.to_dict() == r
 
 
+def test_substring_dedup_random_vs_bruteforce(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import substring_dedup
+
+    M, K = 2147483647, 4
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    for seed in (3, 11):
+        rng = np.random.RandomState(seed)
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    rng.choice(words, size=rng.randint(0, 14))
+                ),
+            }
+            for i in range(40)
+        ]
+        got = (
+            substring_dedup(
+                ray.data.from_items(rows).repartition(5), k=K
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        # scalar brute force of the exact contract
+        tok = {r["doc_id"]: r["text"].split() for r in rows}
+        tok = {d: [w for w in t if w] for d, t in tok.items()}
+        occ: dict = {}
+        for d in sorted(tok):
+            t = tok[d]
+            for i in range(len(t) - K + 1):
+                occ.setdefault(" ".join(t[i : i + K]), []).append((d, i))
+        cov = {d: set() for d in tok}
+        for g, os_ in occ.items():
+            for d, i in sorted(os_)[1:]:
+                cov[d].update(range(i, i + K))
+
+        def wh(w):
+            h = 0
+            for c in w.encode():
+                h = (h * 131 + c) % M
+            return h
+
+        for _, r in got.iterrows():
+            d = int(r["doc_id"])
+            kept = [
+                w for i, w in enumerate(tok[d]) if i not in cov[d]
+            ]
+            h = 0
+            for w in kept:
+                h = (h * 1000003 + wh(w)) % M
+            assert r["n_tokens"] == len(tok[d]), (seed, d)
+            assert r["n_removed"] == len(cov[d]), (seed, d)
+            assert r["kept_hash"] == h, (seed, d)
+        assert len(got) == 40
+
+
+def test_bigram_lm_random_vs_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from searchengines_ray.stages.text import bigram_lm_scores
+
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for seed in (5, 23):
+        rng = np.random.RandomState(seed)
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    rng.choice(words, size=rng.randint(0, 12))
+                ),
+            }
+            for i in range(40)
+        ]
+        V, B = 4, 5  # both caps bind
+        got = (
+            bigram_lm_scores(
+                ray.data.from_items(rows).repartition(5),
+                max_vocab=V,
+                max_bigrams=B,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+        tok = {r["doc_id"]: [w for w in r["text"].split() if w]
+               for r in rows}
+        uni = Counter(w for t in tok.values() for w in t)
+        big = Counter(
+            (t[i], t[i + 1])
+            for t in tok.values()
+            for i in range(len(t) - 1)
+        )
+        T = sum(uni.values())
+        v_eff = min(V, len(uni))
+        topv = dict(
+            sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:v_eff]
+        )
+        topb = dict(
+            sorted(
+                big.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[:B]
+        )
+        denom = float(T + v_eff + 1)
+        for d, t in tok.items():
+            s = 0
+            for i in range(1, len(t)):
+                pair = (t[i - 1], t[i])
+                if pair in topb:
+                    s += math.floor(
+                        math.log(topb[pair] / uni[t[i - 1]]) * 1e6
+                    )
+                else:
+                    c = topv.get(t[i], 0)
+                    s += math.floor(
+                        math.log(0.4 * (c + 1) / denom) * 1e6
+                    )
+            assert got.loc[d, "n_scored"] == max(len(t) - 1, 0), (seed, d)
+            assert got.loc[d, "lm_bigram_micro"] == s, (seed, d)
+
+
 def test_random_projection_achlioptas(ray_session):
     import ray.data
 
