@@ -3417,6 +3417,47 @@ def _q_frame_sample_real(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_winnowing(sf_dir: str) -> pd.DataFrame:
+    """MOSS winnowing fingerprints (stages/text.py winnow_fingerprints;
+    Schleimer/Wilkerson/Aiken SIGMOD 2003): per doc, rightmost-tie window
+    minima over the 4-word-shingle hash stream; every selected
+    (pos, gram_hash) row reproduced bit-for-bit by the SQL mirror."""
+    from searchengines_ray.stages.text import winnow_fingerprints
+
+    out = winnow_fingerprints(_docs(sf_dir)).to_pandas()
+    return (
+        out.sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "pos": "int64", "gram_hash": "int64"})
+    )
+
+
+def _q_zipf_fit(sf_dir: str) -> pd.DataFrame:
+    """Zipf rank-frequency OLS components (stages/text.py zipf_fit) over
+    the capped top-1000 vocabulary — integer micro-unit sums, the
+    components-only division contract (label_centroids pattern)."""
+    from searchengines_ray.stages.text import zipf_fit
+
+    return zipf_fit(_docs(sf_dir), max_vocab=1000)
+
+
+def _q_boilerplate(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style global frequent-line removal (stages/dedup.py
+    boilerplate_filter): every >=10-char line appearing in >1 distinct
+    docs is dropped from ALL docs.  Identity at sf0.01 (no cross-doc
+    repeated lines — same corpus property as line_dedup); sf0.1 has 8
+    boilerplate lines; planted-fixture behavior pinned by pytest."""
+    from searchengines_ray.stages.dedup import boilerplate_filter
+
+    out = boilerplate_filter(_docs(sf_dir), min_chars=10, max_docs=1).to_pandas()
+    return (
+        out[["doc_id", "text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def _q_random_projection(sf_dir: str) -> pd.DataFrame:
     """Achlioptas sparse random projection (stages/similarity.py
     random_projection): 64 -> 16 dims through the fixed {-1,0,+1}
@@ -3577,6 +3618,9 @@ def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "winnowing": _q_winnowing,
+        "zipf_fit": _q_zipf_fit,
+        "boilerplate_filter": _q_boilerplate,
         "random_projection": _q_random_projection,
         "phrase_filter": _q_phrase_filter,
         "textrank_keywords": _q_textrank,
@@ -4880,6 +4924,128 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["winnowing"] = """
+        -- MOSS winnowing (Schleimer et al. 2003): per doc, over the
+        -- stream of min(4, n_words)-word shingle hashes (the
+        -- fingerprints gram contract), every 4-gram window selects its
+        -- minimum hash, RIGHTMOST position on ties; docs with < 4 grams
+        -- winnow their single short window.  mod-(2^31-1) polynomial
+        -- folds reproduce the engine hashes bit-for-bit.
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+          FROM documents
+        ),
+        wh AS (
+          SELECT doc_id,
+                 list_transform(ws, t ->
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(t, ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                     (a, c) -> (a * 131 + c) % 2147483647)) AS whs
+          FROM w WHERE len(ws) > 0
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(generate_series(
+                   1, len(whs) - LEAST(len(whs), 4) + 1)) AS pos,
+                 unnest(list_transform(
+                   generate_series(1, len(whs) - LEAST(len(whs), 4) + 1),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                                       whs[i : i + LEAST(len(whs), 4) - 1]),
+                          (a, x) -> (a * 1000003 + x) % 2147483647))) AS gh
+          FROM wh
+        ),
+        stats AS (SELECT doc_id, COUNT(*) AS m FROM g GROUP BY doc_id),
+        wm AS (
+          SELECT g.doc_id, g.pos, g.gh, s.m,
+                 MIN(g.gh) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS wmin
+          FROM g JOIN stats s USING (doc_id)
+        ),
+        selfull AS (
+          -- rightmost in-window position of the window minimum
+          SELECT a.doc_id, MAX(b.pos) AS pos, a.wmin AS gram_hash
+          FROM wm a JOIN g b
+            ON b.doc_id = a.doc_id AND b.gh = a.wmin
+           AND b.pos BETWEEN a.pos AND a.pos + 3
+          WHERE a.m >= 4 AND a.pos <= a.m - 3
+          GROUP BY a.doc_id, a.pos, a.wmin
+        ),
+        selshort AS (
+          SELECT g.doc_id, MAX(g.pos) AS pos, mn.mn AS gram_hash
+          FROM g JOIN (SELECT doc_id, MIN(gh) AS mn, COUNT(*) AS m
+                       FROM g GROUP BY doc_id) mn
+            ON mn.doc_id = g.doc_id AND g.gh = mn.mn
+          WHERE mn.m < 4
+          GROUP BY g.doc_id, mn.mn
+        )
+        SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+               CAST(gram_hash AS BIGINT) AS gram_hash
+        FROM (SELECT * FROM selfull UNION ALL SELECT * FROM selshort)
+        ORDER BY doc_id, pos
+    """
+    sqls["zipf_fit"] = """
+        -- Zipf rank-frequency diagnostic: integer-exact OLS components
+        -- of floor(ln(ctf)*1e6) vs floor(ln(rank)*1e6) over the top-1000
+        -- capped vocabulary (ctf desc, term asc) — order-free BIGINT
+        -- sums; the slope divides on the consumer side (the DuckDB //
+        -- truncation lesson: never ship a division).
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+          FROM documents
+        ),
+        model AS (SELECT term, COUNT(*) AS ctf FROM toks GROUP BY term),
+        ranked AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY ctf DESC, term ASC)
+                      AS BIGINT) AS r, ctf
+          FROM (SELECT term, ctf FROM model
+                ORDER BY ctf DESC, term ASC LIMIT 1000)
+        ),
+        xy AS (
+          SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS x,
+                 CAST(FLOOR(ln(CAST(ctf AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS y
+          FROM ranked
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sum_x,
+               CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sum_y,
+               CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sum_xx,
+               CAST(COALESCE(SUM(x * y), 0) AS BIGINT) AS sum_xy
+        FROM xy
+    """
+    sqls["boilerplate_filter"] = """
+        -- RefinedWeb-style boilerplate removal: a >=10-char line present
+        -- in MORE THAN 1 distinct documents is dropped from EVERY doc;
+        -- short lines and within-doc repeats survive; an all-boilerplate
+        -- doc survives as (doc_id, '').
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(string_split(text, chr(10))))) AS line_idx,
+                 unnest(string_split(text, chr(10))) AS line
+          FROM documents
+        ),
+        bad AS (
+          SELECT line FROM lines WHERE length(line) >= 10
+          GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1
+        )
+        SELECT d.doc_id, COALESCE(agg.text, '') AS text
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY line_idx) AS text
+          FROM lines
+          WHERE length(line) < 10 OR line NOT IN (SELECT line FROM bad)
+          GROUP BY doc_id
+        ) agg USING (doc_id)
+        ORDER BY d.doc_id
+    """
     sqls["random_projection"] = """
         -- Achlioptas sparse random projection: micro-quantized inputs
         -- x fixed {-1,0,+1} hash matrix (P(+-1)=1/6) — order-free

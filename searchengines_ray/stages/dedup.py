@@ -1209,6 +1209,120 @@ def line_dedup(ds, min_chars: int = 10, coarse_buckets: int = 1024):
     )
 
 
+def boilerplate_filter(
+    ds, min_chars: int = 10, max_docs: int = 1, coarse_buckets: int = 1024
+):
+    """Global frequent-line (boilerplate) removal — the RefinedWeb /
+    CCNet paragraph-frequency filter: a line of ``min_chars``+ characters
+    that appears in MORE THAN ``max_docs`` distinct documents is dropped
+    from EVERY document (nav bars, cookie banners, license footers);
+    shorter lines and within-document repeats are never touched.
+    Complements :func:`line_dedup` (keep-first): boilerplate removal
+    keeps NO occurrence of a cross-corpus-frequent line.
+
+    Same fully distributed two-shuffle plan as line_dedup: lines explode
+    with (doc_id, line_idx), a hash-bucketed groupby computes each line
+    text's DISTINCT-doc count (one vectorized sort + reduceat per coarse
+    bucket — never a per-line Python group, never a driver-side bad-line
+    set), and a doc-bucketed groupby reassembles survivors in order.  A
+    doc whose every line was boilerplate survives as ``(doc_id, '')``.
+    Returns a Dataset ``(doc_id, text)``."""
+
+    def _doc_bucket(doc_ids: np.ndarray) -> np.ndarray:
+        return (
+            (doc_ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(coarse_buckets)
+        ).astype(np.int64)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
+        docs = batch["doc_id"].to_numpy().astype(np.int64)
+        split = [("" if t is None else t).split("\n") for t in batch["text"]]
+        nlines = np.asarray([len(s) for s in split], dtype=np.int64)
+        doc_rep = np.repeat(docs, nlines)
+        lines = list(itertools.chain.from_iterable(split))
+        idx = (
+            np.arange(len(lines), dtype=np.int64)
+            - np.repeat(np.cumsum(nlines) - nlines, nlines)
+        )
+        h = np.asarray(
+            [
+                zlib.crc32(ln.encode()) if len(ln) >= min_chars else -1
+                for ln in lines
+            ],
+            dtype=np.int64,
+        )
+        # SENTINEL row per doc (line_idx -1, always kept) so an
+        # all-boilerplate doc still yields (doc_id, '')
+        df = pd.DataFrame(
+            {
+                "doc_id": np.concatenate([doc_rep, docs]),
+                "line_idx": np.concatenate(
+                    [idx, np.full(len(docs), -1, dtype=np.int64)]
+                ),
+                "line": lines + [""] * len(docs),
+                "h": np.concatenate(
+                    [h, np.full(len(docs), -1, dtype=np.int64)]
+                ),
+            }
+        )
+        hh = df["h"].to_numpy()
+        dd = df["doc_id"].to_numpy()
+        df["cb"] = np.where(
+            hh == -1, _doc_bucket(dd), hh % coarse_buckets
+        ).astype(np.int64)
+        return df
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        # short/sentinel lines (h == -1) always survive; a long line
+        # survives iff its text appears in <= max_docs DISTINCT docs.
+        # Distinct-doc counts: one mergesort by (h, line, doc_id) + two
+        # run-boundary masks + reduceat (hash AND text in the key so a
+        # crc collision cannot merge distinct lines).
+        short = group["h"].to_numpy() == -1
+        gl = group.loc[~short].sort_values(
+            ["h", "line", "doc_id"], kind="mergesort"
+        )
+        if len(gl):
+            hv = gl["h"].to_numpy()
+            lv = gl["line"].to_numpy()
+            dv = gl["doc_id"].to_numpy()
+            newkey = np.ones(len(gl), dtype=bool)
+            newkey[1:] = (hv[1:] != hv[:-1]) | (lv[1:] != lv[:-1])
+            newdoc = newkey.copy()
+            newdoc[1:] |= dv[1:] != dv[:-1]
+            starts = np.nonzero(newkey)[0]
+            ndocs = np.add.reduceat(newdoc.astype(np.int64), starts)
+            keep_key = ndocs <= max_docs
+            runlen = np.diff(np.append(starts, len(gl)))
+            keep = np.repeat(keep_key, runlen)
+            gl = gl.loc[keep]
+        kept = pd.concat([group.loc[short], gl], ignore_index=True)[
+            ["doc_id", "line_idx", "line"]
+        ]
+        kept["cb2"] = _doc_bucket(kept["doc_id"].to_numpy())
+        return kept
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.loc[group["line_idx"] >= 0].sort_values(
+            ["doc_id", "line_idx"], kind="mergesort"
+        )
+        joined = g.groupby("doc_id", sort=True)["line"].agg("\n".join)
+        all_docs = np.unique(group["doc_id"].to_numpy())
+        out = pd.DataFrame({"doc_id": all_docs.astype(np.int64)})
+        out["text"] = out["doc_id"].map(joined).fillna("")
+        return out
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("cb2")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
 # ----------------------------------------------------------- substring dedup
 
 

@@ -316,6 +316,141 @@ class Fingerprinter:
         )
 
 
+_WINNOW_W = 4
+
+
+def winnow_scalar(text: str, k: int = _FP_SHINGLE, w: int = _WINNOW_W):
+    """Scalar reference winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003:
+    the MOSS fingerprint selection).  Over the doc's stream of
+    ``min(k, n_words)``-word shingle hashes (the :class:`Fingerprinter`
+    gram contract), slide a window of ``w`` grams and select the window
+    minimum, RIGHTMOST on ties; docs with fewer than ``w`` grams winnow
+    their single short window.  Returns sorted ``[(pos, gram_hash)]``
+    with ``pos`` the 1-based gram start.  Pinned byte-identical to the
+    vectorized :func:`winnow_fingerprints` path (fuzz test)."""
+    fp = Fingerprinter()
+    words = fp.word.findall((text or "").translate(_ASCII_LOWER))
+    if not words:
+        return []
+    whs = [fp._word_hash(x) for x in words]
+    ke = min(k, len(whs))
+    m = len(whs) - ke + 1
+    grams = []
+    for i in range(m):
+        r = 0
+        for j in range(ke):
+            r = (r * _FP_BASE + whs[i + j]) % _M31
+        grams.append(r)
+    if m >= w:
+        starts, width = range(m - w + 1), w
+    else:
+        starts, width = [0], m
+    sel = set()
+    for s in starts:
+        win = grams[s : s + width]
+        mn = min(win)
+        sel.add(s + width - 1 - win[::-1].index(mn))
+    return sorted((p + 1, grams[p]) for p in sel)
+
+
+def winnow_fingerprints(ds, k: int = _FP_SHINGLE, w: int = _WINNOW_W):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): per document, slide a window of ``w`` consecutive
+    ``min(k, n_words)``-word shingle hashes and keep each window's
+    minimum, rightmost on ties — the selected ``(pos, hash)`` set is the
+    document's fingerprint sketch (guarantee: any token run of length
+    >= w + k - 1 shared by two docs shares a selected fingerprint).
+    Complements :class:`Fingerprinter` (global min, no positions): the
+    winnowed sketch has density 2/(w+1) and supports localized overlap
+    detection.  Docs with fewer than ``w`` grams winnow their single
+    short window, so every doc with >= 1 token yields >= 1 row.
+
+    Purely per-doc ``map_batches`` (no shuffle); hashes are the
+    SQL-replicable mod-(2^31-1) polynomial folds so the DuckDB oracle
+    reproduces every (pos, hash) row bit-for-bit.  Vectorized: the batch
+    gram stream is one rolling Horner sweep, full windows resolve via a
+    ``sliding_window_view`` reversed-argmin (rightmost tie), and only
+    docs with < w grams fall back to the scalar path.  Returns
+    ``(doc_id, pos, gram_hash)``, pos 1-based."""
+    return ds.map_batches(
+        lambda b: _winnow_batch(b, k, w), batch_format="pandas"
+    )
+
+
+def _winnow_batch(batch: pd.DataFrame, k: int, w: int) -> pd.DataFrame:
+    texts = list(batch["text"])
+    docs = batch["doc_id"].to_numpy().astype(np.int64)
+    vocab, vids, parent, counts = _flat_word_stream(texts)
+    whmap = _poly_word_hashes(vocab, _FP_CHAR_BASE)
+    wh = whmap[vids] if len(vids) else np.empty(0, dtype=np.int64)
+
+    vec_doc: list[np.ndarray] = []
+    vec_pos: list[np.ndarray] = []
+    vec_gh: list[np.ndarray] = []
+    sc_doc: list[int] = []
+    sc_pos: list[int] = []
+    sc_gh: list[int] = []
+
+    m = len(wh) - k + 1
+    if m > 0 and (counts >= k).any():
+        roll = np.zeros(m, dtype=np.int64)
+        for j in range(k):
+            roll = (roll * _FP_BASE + wh[j : m + j]) % _M31
+        valid = parent[:m] == parent[k - 1 :]
+        gp = parent[:m][valid]
+        gr = roll[valid]
+        if len(gp):
+            gstarts = np.nonzero(
+                np.concatenate(([True], gp[1:] != gp[:-1]))
+            )[0]
+            glen = np.diff(np.append(gstarts, len(gp)))
+            # 0-based gram index within its doc
+            gidx = np.arange(len(gp)) - np.repeat(gstarts, glen)
+            nwin = len(gr) - w + 1
+            if nwin > 0:
+                view = np.lib.stride_tricks.sliding_window_view(gr, w)
+                in_doc = gp[:nwin] == gp[w - 1 :]
+                # argmin of the reversed window = rightmost min
+                rev_am = np.argmin(view[:, ::-1], axis=1)
+                seli = np.arange(nwin) + (w - 1 - rev_am)
+                seli = np.unique(seli[in_doc])
+                if len(seli):
+                    vec_doc.append(docs[gp[seli]])
+                    vec_pos.append(gidx[seli] + 1)
+                    vec_gh.append(gr[seli])
+            # docs with 1..w-1 grams: one short window over all grams
+            for t in np.nonzero(glen < w)[0]:
+                s0 = int(gstarts[t])
+                seg = gr[s0 : s0 + int(glen[t])]
+                mn = seg.min()
+                off = len(seg) - 1 - int(np.argmax(seg[::-1] == mn))
+                sc_doc.append(int(docs[gp[s0]]))
+                sc_pos.append(off + 1)
+                sc_gh.append(int(seg[off]))
+    # short docs (< k words): scalar path, single short gram stream
+    for i in np.nonzero((counts > 0) & (counts < k))[0]:
+        for p, g in winnow_scalar(texts[i], k=k, w=w):
+            sc_doc.append(int(docs[i]))
+            sc_pos.append(p)
+            sc_gh.append(g)
+
+    dd = np.concatenate(
+        vec_doc + [np.asarray(sc_doc, dtype=np.int64)]
+    )
+    pp = np.concatenate(
+        vec_pos + [np.asarray(sc_pos, dtype=np.int64)]
+    )
+    gg = np.concatenate(vec_gh + [np.asarray(sc_gh, dtype=np.int64)])
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(dd, dtype="int64"),
+            "pos": pd.array(pp, dtype="int64"),
+            "gram_hash": pd.array(gg, dtype="int64"),
+        }
+    )
+
+
+
 def _distinct_kgram_counts(
     vids: np.ndarray, parent: np.ndarray, n_docs: int, k: int
 ) -> np.ndarray:
@@ -765,6 +900,52 @@ def vocab_growth(ds, steps: int = 10, buckets: int = 64):
     return pd.DataFrame(
         rows, columns=["step", "n_docs_prefix", "vocab_size"]
     ).astype({"step": "int64", "n_docs_prefix": "int64", "vocab_size": "int64"})
+
+
+def zipf_fit(ds, max_vocab: int = 1000):
+    """Zipf rank-frequency diagnostic: integer-exact OLS components of
+    ln(ctf) vs ln(rank) over the top-``max_vocab`` terms by (ctf desc,
+    term asc) — the capped-vocab contract of :func:`_fit_capped_unigram`.
+    The fitted slope (Zipf exponent, ~-1 for natural text) flags OCR
+    noise / boilerplate-ID vocabularies; pairs with :func:`vocab_growth`
+    (Heaps law) as a corpus-health check.
+
+    Exactness contract: both logs quantize to ``floor(ln(v) * 1e6)``
+    micro-units with scalar ``math.log`` (libm — DuckDB ``ln`` is
+    bit-identical, the BM25-idf contract), so the shipped sums are
+    order-free BIGINT and the slope derives on either side as
+    ``(n*sxy - sx*sy) / (n*sxx - sx*sx)`` with no cross-engine float
+    reduction.  The division itself is NOT shipped (the DuckDB ``//``
+    truncation lesson — components only, like label_centroids).
+    Magnitudes: x <= ln(V)*1e6, y <= ln(T)*1e6, so sum_xy <
+    V * ln(V) * ln(T) * 1e12 — asserted < 2^62.  Returns one row
+    ``(n_terms, sum_x, sum_y, sum_xx, sum_xy)``."""
+    import math
+
+    _, topv, _, v_eff = _fit_capped_unigram(ds, max_vocab)
+    if v_eff == 0:
+        return pd.DataFrame(
+            {
+                c: pd.array([0], dtype="int64")
+                for c in ("n_terms", "sum_x", "sum_y", "sum_xx", "sum_xy")
+            }
+        )
+    ctf = topv["sum(ctf)"].to_numpy().astype(np.int64)
+    xs = [math.floor(math.log(r) * 1e6) for r in range(1, v_eff + 1)]
+    ys = [math.floor(math.log(int(c)) * 1e6) for c in ctf]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    assert max(abs(sxx), abs(sxy)) < (1 << 62), "zipf_fit micro-unit overflow"
+    return pd.DataFrame(
+        {
+            "n_terms": pd.array([v_eff], dtype="int64"),
+            "sum_x": pd.array([sx], dtype="int64"),
+            "sum_y": pd.array([sy], dtype="int64"),
+            "sum_xx": pd.array([sxx], dtype="int64"),
+            "sum_xy": pd.array([sxy], dtype="int64"),
+        }
+    )
 
 
 def lang_id(ds):

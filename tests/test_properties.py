@@ -293,6 +293,76 @@ def test_text_stages_batch_match_scalar(texts):
 
 @given(
     st.lists(
+        st.lists(
+            # tiny alphabet: forces gram-hash ties so the rightmost-tie
+            # winnowing rule is actually exercised
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            max_size=16,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_winnow_batch_matches_scalar_and_brute(texts):
+    """Vectorized winnowing == scalar reference == independent brute force
+    (windows enumerated naively, rightmost tie by linear scan)."""
+    import pandas as pd
+
+    from searchengines_ray.stages.text import (
+        _FP_BASE,
+        _FP_CHAR_BASE,
+        _M31,
+        _WINNOW_W,
+        _FP_SHINGLE,
+        _winnow_batch,
+        winnow_scalar,
+    )
+
+    def brute(text, k=_FP_SHINGLE, w=_WINNOW_W):
+        import re as _re
+
+        words = _re.findall(r"[0-9a-z]+", (text or "").lower())
+        if not words:
+            return []
+        whs = []
+        for wd in words:
+            h = 0
+            for c in wd.encode():
+                h = (h * _FP_CHAR_BASE + c) % _M31
+            whs.append(h)
+        ke = min(k, len(whs))
+        m = len(whs) - ke + 1
+        grams = []
+        for i in range(m):
+            r = 0
+            for j in range(ke):
+                r = (r * _FP_BASE + whs[i + j]) % _M31
+            grams.append(r)
+        wins = [(s, w) for s in range(m - w + 1)] if m >= w else [(0, m)]
+        sel = set()
+        for s, width in wins:
+            best, bi = None, None
+            for j in range(width):
+                if best is None or grams[s + j] <= best:
+                    best, bi = grams[s + j], s + j
+            sel.add(bi)
+        return sorted((p + 1, grams[p]) for p in sel)
+
+    batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = _winnow_batch(batch, _FP_SHINGLE, _WINNOW_W)
+    got = {
+        d: sorted(zip(g["pos"], g["gram_hash"]))
+        for d, g in out.groupby("doc_id")
+    }
+    for i, t in enumerate(texts):
+        exp = winnow_scalar(t)
+        assert exp == brute(t), (i, t)
+        assert got.get(i, []) == [(int(p), int(h)) for p, h in exp], (i, t)
+
+
+@given(
+    st.lists(
         st.tuples(
             st.lists(st.integers(0, 60), min_size=1, max_size=12, unique=True),
             st.lists(st.integers(0, 60), min_size=1, max_size=12, unique=True),

@@ -3211,3 +3211,103 @@ def test_html_extract_byte_identity():
     html = ("<html><head><script>s</script></head><body><p>"
             + esc.replace("\n", "</p>\n<p>") + "</p></body></html>").encode()
     assert extract_text(html) == t
+
+
+def test_boilerplate_filter_planted(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import boilerplate_filter
+
+    rows = [
+        # shared >=10-char line in docs 0/1/2: dropped EVERYWHERE
+        {"doc_id": 0, "text": "unique first line\nSHARED BOILERPLATE LINE\nshort"},
+        {"doc_id": 1, "text": "SHARED BOILERPLATE LINE\nanother unique line here"},
+        # all-boilerplate doc survives as (doc_id, '')
+        {"doc_id": 2, "text": "SHARED BOILERPLATE LINE"},
+        # WITHIN-doc repeat is not boilerplate (1 distinct doc): kept twice
+        {"doc_id": 3, "text": "repeated inside\nrepeated inside"},
+        # short lines never dedup, even cross-doc
+        {"doc_id": 4, "text": "short\nshort"},
+        {"doc_id": 5, "text": "short\nlast unique line"},
+    ]
+    out = (
+        boilerplate_filter(ray.data.from_items(rows), min_chars=10, max_docs=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text"]) == [
+        "unique first line\nshort",
+        "another unique line here",
+        "",
+        "repeated inside\nrepeated inside",
+        "short\nshort",
+        "short\nlast unique line",
+    ]
+    # max_docs=2 tolerates a 2-doc line but still kills the 3-doc one
+    out2 = (
+        boilerplate_filter(ray.data.from_items(rows), min_chars=10, max_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out2["text"])[:3] == [
+        "unique first line\nshort",
+        "another unique line here",
+        "",
+    ]
+
+
+def test_winnow_fingerprints_dataset(ray_session):
+    import random
+
+    import ray.data
+
+    from searchengines_ray.stages.text import winnow_fingerprints, winnow_scalar
+
+    rng = random.Random(11)
+    texts = [
+        " ".join(rng.choice(["aa", "bb", "cc"]) for _ in range(rng.randint(0, 20)))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+    out = (
+        winnow_fingerprints(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+    )
+    got = {
+        int(d): list(zip(g["pos"].astype(int), g["gram_hash"].astype(int)))
+        for d, g in out.groupby("doc_id")
+    }
+    for i, t in enumerate(texts):
+        assert got.get(i, []) == winnow_scalar(t), (i, t)
+    # a doc with >= 1 token always yields >= 1 fingerprint
+    assert all(i in got for i, t in enumerate(texts) if t)
+
+
+def test_zipf_fit_tiny(ray_session):
+    import math
+
+    import ray.data
+
+    from searchengines_ray.stages.text import zipf_fit
+
+    # ctfs: a=3, b=2, c=1 -> ranks 1..3 by (ctf desc, term asc)
+    df = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a a b c", "a b"]}
+    )
+    out = zipf_fit(ray.data.from_pandas(df), max_vocab=1000)
+    xs = [math.floor(math.log(r) * 1e6) for r in (1, 2, 3)]
+    ys = [math.floor(math.log(c) * 1e6) for c in (3, 2, 1)]
+    assert int(out["n_terms"][0]) == 3
+    assert int(out["sum_x"][0]) == sum(xs)
+    assert int(out["sum_y"][0]) == sum(ys)
+    assert int(out["sum_xx"][0]) == sum(x * x for x in xs)
+    assert int(out["sum_xy"][0]) == sum(x * y for x, y in zip(xs, ys))
+    # empty corpus -> single all-zero row
+    empty = zipf_fit(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": [""]})),
+        max_vocab=10,
+    )
+    assert int(empty["n_terms"][0]) == 0 and int(empty["sum_xy"][0]) == 0
