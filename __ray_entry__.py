@@ -1024,7 +1024,11 @@ def _q_curate(sf_dir: str) -> pd.DataFrame:
     curated, _ = curate_corpus(
         _docs(sf_dir), lang="en", min_words=25, minhash_threshold=0.5
     )
-    out = curated.to_pandas()[["doc_id"]]
+    out = curated.to_pandas()
+    if out.empty:
+        # zero survivors: to_pandas() on an empty Dataset loses the schema
+        out = pd.DataFrame({"doc_id": pd.array([], dtype="int64")})
+    out = out[["doc_id"]]
     return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
 
 
@@ -1443,6 +1447,16 @@ def _q_dup_spans(sf_dir: str) -> pd.DataFrame:
     out = repeated_spans(
         _docs(sf_dir), k=8, min_docs=2, top_k=50
     ).to_pandas()
+    if out.empty:
+        # zero surviving spans: to_pandas() on an empty Dataset loses
+        # the schema — rebuild the typed empty frame
+        out = pd.DataFrame(
+            {
+                "gram": pd.array([], dtype="object"),
+                "n_docs": pd.array([], dtype="int64"),
+                "n_occ": pd.array([], dtype="int64"),
+            }
+        )
     return (
         out.sort_values(
             ["n_docs", "n_occ", "gram"],
@@ -4687,7 +4701,11 @@ def _ltr_rerank_sql(inner: str) -> str:
         f"CAST(a.{c} AS DOUBLE) - CAST(b.{c} AS DOUBLE) AS d_{c}"
         for c in feats
     )
-    wcols = ", ".join(f"0.1 * 0.5 * AVG(d_{c}) AS w_{c}" for c in feats)
+    # COALESCE: with ZERO preference pairs (every query ranks <= 2 docs)
+    # the one-iteration-from-w=0 trainer leaves w at 0, not NULL
+    wcols = ", ".join(
+        f"0.1 * 0.5 * COALESCE(AVG(d_{c}), 0.0) AS w_{c}" for c in feats
+    )
     dot = " + ".join(f"CAST(l.{c} AS DOUBLE) * w.w_{c}" for c in feats)
     return f"""
         WITH base AS ({inner}),
@@ -4739,8 +4757,9 @@ def _prf_from_ranking_sql() -> str:
     return f"""
         WITH {_FULL_TOKS_CTES},
         fstats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_len FROM doclen),
-        -- empty docs have no raw rows but DO sit in the ranking formula's
-        -- id space: their PRF contribution uses dl = 0
+        -- scoring-side doc lengths (docs in ud always hold >= 1 term, the
+        -- COALESCE is belt-and-braces); the EXPANSION side joins doclen
+        -- directly — zero-position feedback docs are engine-skipped
         doclen_all AS (
           SELECT d.doc_id, COALESCE(dl.dl, 0.0) AS dl
           FROM documents d LEFT JOIN doclen dl ON dl.doc_id = d.doc_id
@@ -4769,7 +4788,11 @@ def _prf_from_ranking_sql() -> str:
           FROM cand c
           JOIN init i ON i.qid = c.qid
           JOIN ctf ct ON ct.term = c.term
-          JOIN doclen_all dl ON dl.doc_id = i.doc_id
+          -- INNER join doclen: a feedback doc with ZERO raw positions has
+          -- no forward-index entry, so the engine SKIPS it entirely
+          -- (Lucene null-term-vector semantics) — it must not contribute
+          -- the dl=0 smoothing mass here
+          JOIN doclen dl ON dl.doc_id = i.doc_id
           LEFT JOIN tf ON tf.doc_id = i.doc_id AND tf.term = c.term
           CROSS JOIN fstats
           GROUP BY c.qid, c.term, fstats.sum_len
@@ -4784,8 +4807,15 @@ def _prf_from_ranking_sql() -> str:
         -- the learned query is re-parsed by the engine, so its terms pass
         -- through the analyzer's stemmer again (idempotent for most stems,
         -- but the contract models it)
+        -- the reparse consumes any float()-parsable bare token as a
+        -- STICKY WEIGHT (QryParser.java:317-357 contract): a purely
+        -- numeric learned term ('7', '2e5', 'nan', 'inf'/'infinity')
+        -- never survives as an operand — drop it AND its weight here
         lsrc AS (SELECT 0 AS doc_id, qid, score AS w0, term AS w
-                 FROM eranked WHERE r <= 8),
+                 FROM eranked
+                 WHERE r <= 8
+                   AND NOT regexp_matches(
+                         term, '^([0-9]+(e[0-9]+)?|nan|inf|infinity)$')),
         {_sql_stem_ctes('lsrc', 'lq_', ', qid, w0')},
         learned AS (SELECT qid, w0, term FROM lq_stemmed),
         lsum AS (SELECT qid, SUM(w0) AS s FROM learned GROUP BY qid),

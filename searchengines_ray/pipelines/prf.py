@@ -58,6 +58,9 @@ def expansion_terms_indri(
     for doc_id, score in top_docs[: params.num_docs]:
         terms = tvs.get(doc_id)
         if terms is None:
+            # a doc with ZERO positions has no forward-index entry —
+            # skipped entirely (Lucene null-term-vector semantics); the
+            # SQL oracle mirrors this with an INNER join on doclen
             continue
         doclen = float(len(terms))
         if doclen == 0.0 and mu == 0.0:

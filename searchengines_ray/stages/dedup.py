@@ -998,7 +998,13 @@ def _component_labels(pairs, driver_max_pairs: Optional[int] = None):
         )
     limit = DRIVER_CC_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
     pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
-    if pairs.count() <= limit:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        # a clean corpus yields ZERO candidate pairs; to_pandas() on an
+        # empty Dataset drops the schema, so guard before column access
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    if n_pairs <= limit:
         df = pairs.to_pandas()
         return _labels_np(df["doc_a"].to_numpy(), df["doc_b"].to_numpy())
     from .graph import connected_components

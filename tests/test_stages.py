@@ -3311,3 +3311,68 @@ def test_zipf_fit_tiny(ray_session):
         max_vocab=10,
     )
     assert int(empty["n_terms"][0]) == 0 and int(empty["sum_xy"][0]) == 0
+
+
+def test_component_labels_empty_pairs_dataset(ray_session):
+    """A clean corpus yields ZERO candidate pairs; the empty Dataset must
+    not crash the CC consolidation (to_pandas() drops the schema)."""
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        _component_labels,
+        dedup_drop_ids,
+    )
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+            }
+        )
+    )
+    nodes, comp = _component_labels(empty)
+    assert len(nodes) == 0 and len(comp) == 0
+    assert len(dedup_drop_ids(empty)) == 0
+
+
+def test_parser_numeric_term_is_sticky_weight():
+    """QryParser.java:317-357 contract: a float()-parsable bare token under
+    #WAND is consumed as a sticky weight, NEVER as an operand — a learned
+    PRF query whose expansion term is purely numeric ('7') silently loses
+    that term on reparse (and its dangling weight), exactly what the
+    prf_from_ranking oracle's numeric-term filter models."""
+    from searchengines_ray.parser import parse_query
+
+    q = parse_query("#WAND (0.4 apple 5.09 7 0.3 line)")
+    terms = [a.term for a in q.args]
+    assert "7" not in terms
+    assert terms == ["apple", "line"]
+    # the numeric term replaced the sticky weight; 'line' then replaced it
+    assert q.weights == (0.4, 0.3)
+    # trailing numeric term: dangling weight, no operand appended —
+    # the single surviving arg then collapses to a bare term node
+    q2 = parse_query("#WAND (0.4 apple 5.09 7)")
+    assert q2.op == "term" and q2.term == "apple"
+
+
+def test_prf_expansion_skips_zero_position_docs():
+    """A feedback doc with no forward-index entry (zero positions) is
+    skipped ENTIRELY — no smoothing mass, no sum_prev contribution."""
+    from searchengines_ray.pipelines.prf import (
+        PrfParams,
+        expansion_terms_indri,
+    )
+
+    tvs = {1: ["apple", "pear"], 3: ["apple"]}  # doc 2 absent (empty doc)
+    ctf = {"apple": 4, "pear": 2}
+    with_empty = expansion_terms_indri(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], tvs, ctf, 100.0,
+        PrfParams(num_docs=5, num_terms=8, mu=40.0),
+    )
+    without = expansion_terms_indri(
+        [(1, 3.0), (3, 1.0)], tvs, ctf, 100.0,
+        PrfParams(num_docs=5, num_terms=8, mu=40.0),
+    )
+    assert with_empty == without
