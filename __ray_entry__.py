@@ -3629,9 +3629,27 @@ def _q_substring_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup semantic dedup (stages/similarity.py semdedup): seeded
+    nearest-centroid clustering + exact in-cluster keep-first by
+    similarity-to-centroid (Abbas et al. 2023).  The SQL mirror is one
+    CROSS JOIN assignment + a per-cluster earlier-row pair check; the
+    drop decision (cosine >= 0.45) rides the same numpy-vs-DuckDB float
+    contract as similarity_join."""
+    from searchengines_ray.stages.similarity import semdedup
+
+    out = semdedup(_emb(sf_dir), n_clusters=8, threshold=0.45).to_pandas()
+    return (
+        out.sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype({"vec_id": "int64", "cluster": "int64", "dropped": "int64"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "semdedup": _q_semdedup,
         "winnowing": _q_winnowing,
         "zipf_fit": _q_zipf_fit,
         "boilerplate_filter": _q_boilerplate,
@@ -4954,6 +4972,52 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["semdedup"] = """
+        -- SemDeDup (Abbas et al. 2023): seeds = the 8 smallest-id
+        -- vectors; every vector joins its max-cosine seed (tie: seed
+        -- index asc); within a cluster rows order by (cos-to-seed
+        -- desc, vec_id asc) and a row is dropped iff ANY earlier row
+        -- is >= 0.45 cosine-similar (keep-closest-to-centroid).
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sidx, v AS sv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        asg AS (
+          SELECT e.vec_id, s.sidx,
+                 list_cosine_similarity(e.v, s.sv) AS cs,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, s.sv) DESC,
+                            s.sidx ASC
+                 ) AS rn
+          FROM e CROSS JOIN seeds s
+        ),
+        a AS (SELECT vec_id, sidx AS cluster, cs FROM asg WHERE rn = 1),
+        ord_t AS (
+          SELECT a.vec_id, a.cluster, a.cs, e.v,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.cluster
+                   ORDER BY a.cs DESC, a.vec_id ASC
+                 ) AS pos
+          FROM a JOIN e USING (vec_id)
+        ),
+        dr AS (
+          SELECT b.vec_id,
+                 COALESCE(MAX(CASE WHEN
+                   list_cosine_similarity(p.v, b.v) >= 0.45
+                   THEN 1 ELSE 0 END), 0) AS dropped
+          FROM ord_t b
+          LEFT JOIN ord_t p ON p.cluster = b.cluster AND p.pos < b.pos
+          GROUP BY b.vec_id
+        )
+        SELECT CAST(o.vec_id AS BIGINT) AS vec_id,
+               CAST(o.cluster AS BIGINT) AS cluster,
+               CAST(dr.dropped AS BIGINT) AS dropped
+        FROM ord_t o JOIN dr USING (vec_id) ORDER BY vec_id
+    """
     sqls["winnowing"] = """
         -- MOSS winnowing (Schleimer et al. 2003): per doc, over the
         -- stream of min(4, n_words)-word shingle hashes (the

@@ -699,3 +699,92 @@ def random_projection(emb_ds, d_out: int = 16,
         )
 
     return emb_ds.map_batches(project, batch_format="pandas")
+
+
+def semdedup(emb_ds, n_clusters: int = 8, threshold: float = 0.45,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then mark in-cluster
+    near-duplicates exactly — the released implementation's ordering
+    rule, keep-first by similarity-to-centroid.
+
+    Deterministic variant with a closed-form SQL mirror: cluster
+    "centroids" are the ``n_clusters`` vectors with the globally
+    smallest ids (a bounded per-batch combiner, no k-means iterations —
+    the iteration count is a quality knob, not a semantics change, and
+    a seeded assignment keeps the oracle one CROSS JOIN).  Each vector
+    joins the seed with the highest cosine (tie: smallest seed index);
+    within a cluster, rows ordered by (cosine-to-seed desc, id asc) and
+    row *i* is DROPPED iff some earlier row has cosine >= ``threshold``
+    — exactly the paper's keep-the-closest-to-centroid rule.
+
+    Scale shape: seeds broadcast once via ``ray.put``; assignment is an
+    embarrassingly-parallel per-batch matmul; the in-cluster exact pass
+    is one gram matrix per cluster (the O(n^2 / k) SemDeDup cost —
+    at 100 TB pick ``n_clusters`` ~ n / rows-per-task so a cluster fits
+    one task; cross-cluster near-dup pairs are the documented recall
+    trade-off).  Vectors ride the cluster shuffle as float64 BYTES
+    (the repo-wide array-column contract).
+
+    Returns a Dataset ``(vec_id, cluster, dropped)`` — cluster is the
+    seed index, dropped in {0, 1}.  Cosine-to-seed stays internal (its
+    self-similarity hits the one float expression numpy and DuckDB
+    round differently — exactly 1.0 vs dot-of-normalized ~0.99999999 —
+    so it is an ordering key, not an output value).
+    """
+    import ray
+
+    def batch_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(id_col).head(n_clusters)
+
+    seed_df = (
+        emb_ds.map_batches(batch_min, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .head(n_clusters)
+    )
+    seeds = _normalize(_as_matrix(seed_df[vec_col]))
+    seeds_ref = ray.put(seeds)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(seeds_ref)
+        vecs = _normalize(_as_matrix(batch[vec_col]))
+        sims = vecs @ s.T
+        cluster = np.argmax(sims, axis=1)  # first max = smallest index
+        cs = sims[np.arange(len(vecs)), cluster]
+        return pd.DataFrame(
+            {
+                "vec_id": batch[id_col].astype("int64").to_numpy(),
+                "cluster": cluster.astype(np.int64),
+                "cs": cs,
+                "vb": [v.tobytes() for v in vecs],
+                "dim": np.full(len(vecs), vecs.shape[1], dtype=np.int64),
+            }
+        )
+
+    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cs", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        mat = np.stack(
+            [
+                np.frombuffer(b, dtype=np.float64)
+                for b in g["vb"]
+            ]
+        )
+        sims = mat @ mat.T
+        earlier_dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "dropped": earlier_dup.astype(np.int64),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pandas")
+    )

@@ -3376,3 +3376,33 @@ def test_prf_expansion_skips_zero_position_docs():
         PrfParams(num_docs=5, num_terms=8, mu=40.0),
     )
     assert with_empty == without
+
+
+def test_semdedup_planted_duplicates(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [
+        {"vec_id": i, "embedding": base[i].tolist()} for i in range(12)
+    ]
+    # plant: 20 duplicates seed 0 exactly; 21 duplicates non-seed 10
+    rows.append({"vec_id": 20, "embedding": base[0].tolist()})
+    rows.append({"vec_id": 21, "embedding": base[10].tolist()})
+    out = (
+        semdedup(ray.data.from_items(rows), n_clusters=4, threshold=0.95)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 14
+    # an exact duplicate lands in its twin's cluster and the LARGER id
+    # drops (tie on cos-to-seed -> vec_id asc keeps the smaller)
+    assert out.loc[20, "cluster"] == out.loc[0, "cluster"]
+    assert out.loc[20, "dropped"] == 1 and out.loc[0, "dropped"] == 0
+    assert out.loc[21, "cluster"] == out.loc[10, "cluster"]
+    assert out.loc[21, "dropped"] == 1 and out.loc[10, "dropped"] == 0
+    # nothing else is >= 0.95-similar in a random normal corpus
+    assert int(out["dropped"].sum()) == 2
