@@ -3646,9 +3646,28 @@ def _q_semdedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_nb_classify(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes source classifier (stages/text.py
+    nb_classify): closed-form fastText-style curation classifier —
+    priors + add-one in-vocab token likelihoods over the capped top-1000
+    vocabulary (cap BELOW the sf0.01 vocab size so the OOV-skip path is
+    exercised), integer micro log-score sums, argmax tie -> class asc."""
+    from searchengines_ray.stages.text import nb_classify
+
+    out = nb_classify(
+        _docs(sf_dir, cols=("doc_id", "text", "source")), max_vocab=1000
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "score_micro": "int64"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "nb_classify": _q_nb_classify,
         "semdedup": _q_semdedup,
         "winnowing": _q_winnowing,
         "zipf_fit": _q_zipf_fit,
@@ -4972,6 +4991,71 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["nb_classify"] = """
+        -- multinomial Naive Bayes over the capped top-1000 vocab:
+        -- p(c) = n_c/n, p(t|c) = (cnt+1)/(tok_c + V_eff), OOV tokens
+        -- skipped (INNER JOIN topv), per-term/prior micro-units floored
+        -- then integer-summed; argmax tie -> source asc.
+        WITH toks AS (
+          SELECT doc_id, source,
+                 unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS term
+          FROM documents
+        ),
+        gctf AS (SELECT term, COUNT(*) AS ctf FROM toks GROUP BY term),
+        topv AS (
+          SELECT term FROM gctf ORDER BY ctf DESC, term ASC LIMIT 1000
+        ),
+        veff AS (SELECT COUNT(*) AS v FROM topv),
+        cls AS (SELECT source, COUNT(*) AS n_docs
+                FROM documents GROUP BY source),
+        tot AS (SELECT COUNT(*) AS n FROM documents),
+        prior AS (
+          SELECT source,
+                 CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / t.n) * 1000000)
+                      AS BIGINT) AS prior_m
+          FROM cls, tot t
+        ),
+        kcnt AS (
+          SELECT source, term, COUNT(*) AS cnt
+          FROM toks JOIN topv USING (term) GROUP BY source, term
+        ),
+        ctok AS (
+          SELECT c.source, v.term, COALESCE(k.cnt, 0) AS cnt
+          FROM cls c CROSS JOIN topv v
+          LEFT JOIN kcnt k ON k.source = c.source AND k.term = v.term
+        ),
+        tokc AS (
+          SELECT source, CAST(SUM(cnt) AS BIGINT) AS tok
+          FROM ctok GROUP BY source
+        ),
+        lp AS (
+          SELECT ct.source, ct.term,
+                 CAST(FLOOR(LN((ct.cnt + 1.0) / (tc.tok + vf.v)) * 1000000)
+                      AS BIGINT) AS lp_m
+          FROM ctok ct JOIN tokc tc USING (source), veff vf
+        ),
+        docscore AS (
+          SELECT d.doc_id, c.source,
+                 p.prior_m + CAST(COALESCE(SUM(lp.lp_m), 0) AS BIGINT)
+                   AS score_m
+          FROM documents d
+          CROSS JOIN cls c
+          JOIN prior p ON p.source = c.source
+          LEFT JOIN toks t ON t.doc_id = d.doc_id
+          LEFT JOIN lp ON lp.source = c.source AND lp.term = t.term
+          GROUP BY d.doc_id, c.source, p.prior_m
+        ),
+        pred AS (
+          SELECT doc_id, source, score_m,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score_m DESC, source ASC
+                 ) AS rn
+          FROM docscore
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS pred,
+               CAST(score_m AS BIGINT) AS score_micro
+        FROM pred WHERE rn = 1 ORDER BY doc_id
+    """
     sqls["semdedup"] = """
         -- SemDeDup (Abbas et al. 2023): seeds = the 8 smallest-id
         -- vectors; every vector joins its max-cosine seed (tie: seed

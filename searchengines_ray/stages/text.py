@@ -3129,3 +3129,148 @@ def cooccurrence_counts(ds, window: int = 2, top_k: int = 50,
         .sort(["cnt", "pair"], descending=[True, False])
         .limit(top_k)
     )
+
+
+def nb_classify(ds, class_col: str = "source", max_vocab: int = 2048):
+    """Multinomial Naive Bayes document classifier (the closed-form
+    fastText-style curation classifier: train on a labeled column, score
+    every document) with add-one smoothing over the shared capped
+    vocabulary contract.
+
+    Train: priors ``p(c) = n_docs_c / n_docs``; per-class token
+    likelihoods ``p(t|c) = (cnt_{c,t} + 1) / (tok_c + V_eff)`` over the
+    global top-``max_vocab`` terms by (ctf desc, term asc)
+    (:func:`_fit_capped_unigram`); ``tok_c`` counts IN-VOCAB tokens of
+    class *c* and OOV tokens are skipped (the SQL mirror is one INNER
+    JOIN topv).  Predict: ``argmax_c ln p(c) + sum_t ln p(t|c)`` with
+    tie -> class asc.
+
+    Scale shape: the model is BOUNDED — classes x top-V counts reach the
+    driver via a per-batch combiner + one ``groupby(key).sum`` over
+    integer keys ``cid * V + tid`` (never a vocabulary-sized Python
+    structure beyond the cap); per-(term, class) ``floor(ln p * 1e6)``
+    micro-units are precomputed once with scalar libm ``math.log``
+    (DuckDB ``ln`` bit-identical) and broadcast via ``ray.put``; scoring
+    is a per-batch flat-token-stream ``np.add.at`` — integer sums, so
+    the distributed result is order-free EXACT.
+
+    Returns ``(doc_id, pred, score_micro)`` — the argmax class and its
+    integer micro log-score.
+    """
+    import math
+
+    import ray
+
+    # -- classes + doc counts (bounded per-batch partials)
+    def class_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[class_col].value_counts()
+        return pd.DataFrame(
+            {"cls": vc.index.astype(str), "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    cdf = (
+        ds.map_batches(class_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("cls", as_index=False)["n"]
+        .sum()
+        .sort_values("cls")
+    )
+    classes = cdf["cls"].tolist()
+    n_by_class = cdf["n"].to_numpy().astype(np.int64)
+    n_total = int(n_by_class.sum())
+    C = len(classes)
+    prior_micro = np.array(
+        [
+            math.floor(math.log(int(n) / n_total) * 1e6)
+            for n in n_by_class
+        ],
+        dtype=np.int64,
+    )
+
+    _, topv, _, v_eff = _fit_capped_unigram(ds, max_vocab)
+    terms = topv["term"].tolist()
+    vref = ray.put(
+        ({t: i for i, t in enumerate(terms)}, {c: i for i, c in enumerate(classes)})
+    )
+    V = v_eff
+
+    if V > 0:
+        def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            tid_of, cid_of = ray.get(vref)
+            vocab, vids, parent, _ = _flat_word_stream(list(batch["text"]))
+            tids = np.asarray(
+                [tid_of.get(w, -1) for w in vocab], dtype=np.int64
+            )
+            cids = np.asarray(
+                [cid_of[c] for c in batch[class_col].astype(str)],
+                dtype=np.int64,
+            )
+            if len(parent) == 0:
+                return pd.DataFrame(
+                    {
+                        "key": pd.array([], dtype="int64"),
+                        "cnt": pd.array([], dtype="int64"),
+                    }
+                )
+            tt = tids[vids]
+            mask = tt >= 0
+            key = cids[parent[mask]] * V + tt[mask]
+            uniq, cnt = np.unique(key, return_counts=True)
+            return pd.DataFrame(
+                {
+                    "key": pd.array(uniq, dtype="int64"),
+                    "cnt": pd.array(cnt.astype(np.int64), dtype="int64"),
+                }
+            )
+
+        kdf = (
+            ds.map_batches(count_partial, batch_format="pandas")
+            .groupby("key")
+            .sum("cnt")
+            .to_pandas()
+        )
+        counts = np.zeros((V, C), dtype=np.int64)
+        if len(kdf):
+            keys = kdf["key"].to_numpy().astype(np.int64)
+            counts[keys % V, keys // V] = kdf["sum(cnt)"].to_numpy()
+        tok_c = counts.sum(axis=0)
+        lp_micro = np.empty((V, C), dtype=np.int64)
+        for c in range(C):
+            den = float(int(tok_c[c]) + V)
+            lp_micro[:, c] = [
+                math.floor(math.log((int(k) + 1.0) / den) * 1e6)
+                for k in counts[:, c]
+            ]
+    else:
+        lp_micro = np.zeros((0, C), dtype=np.int64)
+
+    mref = ray.put((lp_micro, prior_micro, np.array(classes, dtype=object)))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lp, prior, cls = ray.get(mref)
+        tid_of, _ = ray.get(vref)
+        n = len(batch)
+        scores = np.tile(prior, (n, 1))
+        if lp.shape[0] > 0:
+            vocab, vids, parent, _ = _flat_word_stream(
+                list(batch["text"])
+            )
+            if len(parent):
+                tids = np.asarray(
+                    [tid_of.get(w, -1) for w in vocab], dtype=np.int64
+                )
+                tt = tids[vids]
+                mask = tt >= 0
+                np.add.at(scores, parent[mask], lp[tt[mask]])
+        best = np.argmax(scores, axis=1)  # first max = class asc
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "pred": cls[best],
+                "score_micro": pd.array(
+                    scores[np.arange(n), best], dtype="int64"
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

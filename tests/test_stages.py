@@ -3406,3 +3406,36 @@ def test_semdedup_planted_duplicates(ray_session):
     assert out.loc[21, "dropped"] == 1 and out.loc[10, "dropped"] == 0
     # nothing else is >= 0.95-similar in a random normal corpus
     assert int(out["dropped"].sum()) == 2
+
+
+def test_nb_classify_planted(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import nb_classify
+
+    rows = []
+    for i in range(6):
+        rows.append(
+            {"doc_id": i, "text": "apple banana apple cider", "source": "fruit"}
+        )
+    for i in range(6, 12):
+        rows.append(
+            {"doc_id": i, "text": "quark gluon boson quark", "source": "physics"}
+        )
+    # unseen-mix doc: 3 fruit tokens vs 1 physics token -> fruit
+    rows.append(
+        {"doc_id": 20, "text": "apple banana cider quark", "source": "fruit"}
+    )
+    # empty doc: priors tie (7 fruit vs 7 physics docs) -> class asc
+    rows.append({"doc_id": 21, "text": "", "source": "physics"})
+    out = (
+        nb_classify(ray.data.from_items(rows), max_vocab=100)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 14
+    assert (out.loc[range(6), "pred"] == "fruit").all()
+    assert (out.loc[range(6, 12), "pred"] == "physics").all()
+    assert out.loc[20, "pred"] == "fruit"
+    assert out.loc[21, "pred"] == "fruit"  # equal priors, 'fruit' < 'physics'
+    assert out["score_micro"].dtype.kind == "i"
