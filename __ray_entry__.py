@@ -3664,9 +3664,27 @@ def _q_nb_classify(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_kn_bigram(sf_dir: str) -> pd.DataFrame:
+    """Interpolated Kneser-Ney bigram LM (stages/text.py
+    kn_bigram_scores): all statistics derive from the SAME capped
+    bigram table as bigram_lm (top-2000) + the capped-unigram V_eff
+    (top-1000), add-one-smoothed continuation probability, frozen
+    float expression trees, per-position floored micro-units."""
+    from searchengines_ray.stages.text import kn_bigram_scores
+
+    return (
+        kn_bigram_scores(_docs(sf_dir), max_vocab=1000, max_bigrams=2000)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_scored": "int64", "kn_micro": "int64"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "kn_bigram": _q_kn_bigram,
         "nb_classify": _q_nb_classify,
         "semdedup": _q_semdedup,
         "winnowing": _q_winnowing,
@@ -4991,6 +5009,76 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["kn_bigram"] = """
+        -- interpolated Kneser-Ney bigram LM (Kneser & Ney 1995):
+        -- every statistic derives from the capped top-2000 bigram
+        -- table; p_cont is add-one smoothed over (Ntypes + V_eff + 1);
+        -- expression trees mirror the engine operand-for-operand
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+          FROM documents
+        ),
+        toks AS (SELECT doc_id, unnest(l) AS term FROM t),
+        model AS (SELECT term, COUNT(*) AS ctf FROM toks GROUP BY term),
+        veff AS (
+          SELECT CAST(LEAST(1000, COUNT(*)) AS BIGINT) AS v FROM model
+        ),
+        pairs AS (
+          SELECT doc_id,
+                 unnest(l[1 : len(l) - 1]) AS w1,
+                 unnest(l[2 : len(l)]) AS w2
+          FROM t WHERE len(l) >= 2
+        ),
+        big AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY w1, w2
+        ),
+        topb AS (
+          SELECT w1, w2, cnt FROM big
+          ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 2000
+        ),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM topb),
+        vstat AS (
+          SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctx,
+                 CAST(COUNT(*) AS BIGINT) AS n1f
+          FROM topb GROUP BY w1
+        ),
+        wstat AS (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+          FROM topb GROUP BY w2
+        ),
+        scored AS (
+          SELECT p.doc_id,
+                 CAST(FLOOR(ln(
+                   CASE
+                     WHEN tb.cnt IS NOT NULL THEN
+                       (tb.cnt - 0.75) / vs.ctx
+                       + (0.75 * vs.n1f / vs.ctx)
+                         * ((COALESCE(ws.n1b, 0) + 1.0)
+                            / (nt.n + veff.v + 1))
+                     WHEN vs.ctx IS NOT NULL THEN
+                       (0.75 * vs.n1f / vs.ctx)
+                         * ((COALESCE(ws.n1b, 0) + 1.0)
+                            / (nt.n + veff.v + 1))
+                     ELSE
+                       (COALESCE(ws.n1b, 0) + 1.0)
+                       / (nt.n + veff.v + 1)
+                   END) * 1000000.0) AS BIGINT) AS micro
+          FROM pairs p
+          LEFT JOIN topb tb ON tb.w1 = p.w1 AND tb.w2 = p.w2
+          LEFT JOIN vstat vs ON vs.w1 = p.w1
+          LEFT JOIN wstat ws ON ws.w2 = p.w2
+          CROSS JOIN nt CROSS JOIN veff
+        )
+        SELECT t.doc_id,
+               CAST(GREATEST(len(t.l) - 1, 0) AS BIGINT) AS n_scored,
+               CAST(COALESCE(s.total, 0) AS BIGINT) AS kn_micro
+        FROM t
+        LEFT JOIN (SELECT doc_id, SUM(micro) AS total FROM scored
+                   GROUP BY doc_id) s USING (doc_id)
+        ORDER BY t.doc_id
+    """
     sqls["nb_classify"] = """
         -- multinomial Naive Bayes over the capped top-1000 vocab:
         -- p(c) = n_c/n, p(t|c) = (cnt+1)/(tok_c + V_eff), OOV tokens

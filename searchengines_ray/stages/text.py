@@ -1151,35 +1151,15 @@ def unigram_lm_scores(ds, max_vocab: int = 1 << 16):
     return ds.map_batches(score, batch_format="pandas")
 
 
-def bigram_lm_scores(ds, max_vocab: int = 1 << 16,
-                     max_bigrams: int = 1 << 17, buckets: int = 64):
-    """Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
-    Language Models in Machine Translation" — the backoff designed FOR
-    distributed map-reduce LM estimation): each token position ``i >= 1``
-    scores ``ln(cnt(w_{i-1} w_i) / ctf(w_{i-1}))`` when the bigram is in
-    the capped model, else ``ln(0.4 * p_uni(w_i))`` with the SAME add-one
-    capped-vocabulary unigram contract as :func:`unigram_lm_scores`
-    (``p_uni = (ctf*+1)/(T+V_eff+1)``, OOV at ctf*=0).
-
-    Scale shape: the bigram model is BOUNDED — per-batch unique-bigram
-    partial counts (the ``next_word_topk`` combiner) bucket by
+def _fit_capped_bigram(ds, max_bigrams: int, buckets: int = 64):
+    """Shared capped bigram-table fit (the bigram_lm_scores /
+    kn_bigram_scores model contract — any change re-verifies BOTH
+    entries): per-batch unique-bigram partial counts bucket by
     ``crc32(w1||w2)``, each bucket aggregates + keeps its local
     top-``max_bigrams``, and a global (cnt desc, w1 asc, w2 asc)
-    sort/limit caps the table; backoff context counts come from ONE
-    bounded filter over the aggregated term-count Dataset (only the
-    <= max_bigrams distinct contexts), never a vocabulary broadcast.
-    Per-position ``floor(ln(s)*1e6)`` micro-units are precomputed with
-    scalar libm ``math.log`` (DuckDB ``ln`` bit-identical) and summed as
-    order-free integers.  Returns ``(doc_id, n_scored,
-    lm_bigram_micro)`` with ``n_scored = max(n_tokens - 1, 0)``.
-    """
-    import math
+    sort/limit caps the table.  The driver receives only the
+    <= ``max_bigrams``-row DataFrame ``(w1, w2, cnt)``."""
     import zlib
-
-    import ray
-
-    model_ds, topv, total, v_eff = _fit_capped_unigram(ds, max_vocab)
-    denom = float(total + v_eff + 1)
 
     big_empty = pd.DataFrame(
         {
@@ -1225,7 +1205,7 @@ def bigram_lm_scores(ds, max_vocab: int = 1 << 16,
             kind="mergesort",
         ).head(max_bigrams)
 
-    topb = (
+    return (
         ds.map_batches(big_partial, batch_format="pandas")
         .groupby("_b")
         .map_groups(bucket_top, batch_format="pandas")
@@ -1233,6 +1213,39 @@ def bigram_lm_scores(ds, max_vocab: int = 1 << 16,
         .limit(max_bigrams)
         .to_pandas()
     )
+
+
+def bigram_lm_scores(ds, max_vocab: int = 1 << 16,
+                     max_bigrams: int = 1 << 17, buckets: int = 64):
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the backoff designed FOR
+    distributed map-reduce LM estimation): each token position ``i >= 1``
+    scores ``ln(cnt(w_{i-1} w_i) / ctf(w_{i-1}))`` when the bigram is in
+    the capped model, else ``ln(0.4 * p_uni(w_i))`` with the SAME add-one
+    capped-vocabulary unigram contract as :func:`unigram_lm_scores`
+    (``p_uni = (ctf*+1)/(T+V_eff+1)``, OOV at ctf*=0).
+
+    Scale shape: the bigram model is BOUNDED — per-batch unique-bigram
+    partial counts (the ``next_word_topk`` combiner) bucket by
+    ``crc32(w1||w2)``, each bucket aggregates + keeps its local
+    top-``max_bigrams``, and a global (cnt desc, w1 asc, w2 asc)
+    sort/limit caps the table; backoff context counts come from ONE
+    bounded filter over the aggregated term-count Dataset (only the
+    <= max_bigrams distinct contexts), never a vocabulary broadcast.
+    Per-position ``floor(ln(s)*1e6)`` micro-units are precomputed with
+    scalar libm ``math.log`` (DuckDB ``ln`` bit-identical) and summed as
+    order-free integers.  Returns ``(doc_id, n_scored,
+    lm_bigram_micro)`` with ``n_scored = max(n_tokens - 1, 0)``.
+    """
+    import math
+    import zlib
+
+    import ray
+
+    model_ds, topv, total, v_eff = _fit_capped_unigram(ds, max_vocab)
+    denom = float(total + v_eff + 1)
+
+    topb = _fit_capped_bigram(ds, max_bigrams, buckets)
 
     # context counts for the <= max_bigrams distinct w1's: one bounded
     # filter over the aggregated term-count Dataset (never a broadcast
@@ -3270,6 +3283,128 @@ def nb_classify(ds, class_col: str = "source", max_vocab: int = 2048):
                 "score_micro": pd.array(
                     scores[np.arange(n), best], dtype="int64"
                 ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def kn_bigram_scores(ds, max_vocab: int = 1 << 16,
+                     max_bigrams: int = 1 << 17, buckets: int = 64,
+                     discount: float = 0.75):
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated variant) — the classic
+    perplexity-quality smoothing next to :func:`bigram_lm_scores`'s
+    stupid backoff.
+
+    Model contract (frozen — ALL statistics derive from the capped
+    bigram table ``B`` = :func:`_fit_capped_bigram` top-``max_bigrams``
+    by (cnt desc, w1 asc, w2 asc), so engine and SQL compute from the
+    same bounded object): ``ctx(v) = sum cnt over B[w1=v]``,
+    ``n1f(v) = |{w2 : (v,w2) in B}|``, ``n1b(w) = |{w1 : (w1,w) in B}|``,
+    ``Ntypes = |B|``; continuation probability is add-one smoothed so
+    it is never zero, ``p_cont(w) = (n1b(w)+1) / (Ntypes + V_eff + 1)``
+    with ``V_eff`` from the capped unigram fit.  Each position i >= 1
+    with bigram (v, w) scores ``ln s`` where::
+
+        s = (cnt - D)/ctx(v) + ((D * n1f(v))/ctx(v)) * p_cont(w)   (v,w) in B
+        s =                    ((D * n1f(v))/ctx(v)) * p_cont(w)   v in B contexts
+        s =                                            p_cont(w)   otherwise
+
+    (D = 0.75; cnt >= 1 keeps branch 1 positive).  The float expression
+    TREES are mirrored operand-for-operand in the SQL oracle; ``ln`` is
+    applied with scalar libm ``math.log`` per UNIQUE s-value per batch
+    (the np.log SIMD path is not bit-identical to DuckDB — same ban as
+    np.power), and per-position ``floor(ln s * 1e6)`` micro-units sum
+    order-free as int64.
+
+    Scale shape: identical to bigram_lm_scores — the driver holds only
+    the capped table and three bounded dicts, broadcast once via
+    ``ray.put``; scoring is one vectorized pass per batch.  Returns
+    ``(doc_id, n_scored, kn_micro)``.
+    """
+    import math
+
+    import ray
+
+    _, _, _, v_eff = _fit_capped_unigram(ds, max_vocab)
+    topb = _fit_capped_bigram(ds, max_bigrams, buckets)
+
+    D = float(discount)
+    ntypes = len(topb)
+    pden = float(ntypes + v_eff + 1)
+    if ntypes:
+        bg = {
+            (a, b): int(c)
+            for a, b, c in zip(topb["w1"], topb["w2"], topb["cnt"])
+        }
+        g1 = topb.groupby("w1")["cnt"]
+        ctx = g1.sum().astype(np.int64).to_dict()
+        n1f = g1.size().astype(np.int64).to_dict()
+        n1b = topb.groupby("w2")["cnt"].size().astype(np.int64).to_dict()
+    else:
+        bg, ctx, n1f, n1b = {}, {}, {}, {}
+    mref = ray.put((bg, ctx, n1f, n1b))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        bgd, ctxd, n1fd, n1bd = ray.get(mref)
+        vocab, vids, parent, counts = _flat_word_stream(list(batch["text"]))
+        n = len(batch)
+        s_doc = np.zeros(n, dtype=np.int64)
+        m = len(vids) - 1
+        if m > 0:
+            valid = parent[:m] == parent[1:]
+            if valid.any():
+                a = vids[:m][valid].astype(np.int64)
+                b2 = vids[1:][valid].astype(np.int64)
+                pi = parent[1:][valid]
+                ctx_voc = np.fromiter(
+                    (ctxd.get(w, 0) for w in vocab), np.float64, len(vocab)
+                )
+                n1f_voc = np.fromiter(
+                    (n1fd.get(w, 0) for w in vocab), np.float64, len(vocab)
+                )
+                n1b_voc = np.fromiter(
+                    (n1bd.get(w, 0) for w in vocab), np.float64, len(vocab)
+                )
+                L = np.int64(len(vocab))
+                key = a * L + b2
+                ukey, inv = np.unique(key, return_inverse=True)
+                ucnt = np.fromiter(
+                    (
+                        bgd.get((vocab[int(k // L)], vocab[int(k % L)]), 0)
+                        for k in ukey
+                    ),
+                    np.float64,
+                    len(ukey),
+                )
+                cnt = ucnt[inv]
+                cx = ctx_voc[a]
+                safe_cx = np.where(cx > 0, cx, 1.0)
+                lam = (D * n1f_voc[a]) / safe_cx
+                pc = (n1b_voc[b2] + 1.0) / pden
+                s = np.where(
+                    cnt > 0,
+                    (cnt - D) / safe_cx + lam * pc,
+                    np.where(cx > 0, lam * pc, pc),
+                )
+                us, sinv = np.unique(s, return_inverse=True)
+                umicro = np.fromiter(
+                    (math.floor(math.log(x) * 1e6) for x in us),
+                    np.int64,
+                    len(us),
+                )
+                s_doc = np.bincount(
+                    pi, weights=umicro[sinv].astype(np.float64), minlength=n
+                ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_scored": pd.array(
+                    np.maximum(counts.astype(np.int64) - 1, 0),
+                    dtype="int64",
+                ),
+                "kn_micro": pd.array(s_doc, dtype="int64"),
             }
         )
 

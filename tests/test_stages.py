@@ -3439,3 +3439,76 @@ def test_nb_classify_planted(ray_session):
     assert out.loc[20, "pred"] == "fruit"
     assert out.loc[21, "pred"] == "fruit"  # equal priors, 'fruit' < 'physics'
     assert out["score_micro"].dtype.kind == "i"
+
+
+def test_kn_bigram_random_vs_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from searchengines_ray.stages.text import kn_bigram_scores
+
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for seed in (5, 23):
+        rng = np.random.RandomState(seed)
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    rng.choice(words, size=rng.randint(0, 12))
+                ),
+            }
+            for i in range(40)
+        ]
+        V, B = 4, 5  # both caps bind
+        got = (
+            kn_bigram_scores(
+                ray.data.from_items(rows).repartition(5),
+                max_vocab=V,
+                max_bigrams=B,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+        tok = {r["doc_id"]: [w for w in r["text"].split() if w]
+               for r in rows}
+        uni = Counter(w for t in tok.values() for w in t)
+        big = Counter(
+            (t[i], t[i + 1])
+            for t in tok.values()
+            for i in range(len(t) - 1)
+        )
+        v_eff = min(V, len(uni))
+        topb = dict(
+            sorted(
+                big.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[:B]
+        )
+        ctx = Counter()
+        n1f = Counter()
+        n1b = Counter()
+        for (a, b), c in topb.items():
+            ctx[a] += c
+            n1f[a] += 1
+            n1b[b] += 1
+        pden = float(len(topb) + v_eff + 1)
+        D = 0.75
+        for d, t in tok.items():
+            s = 0
+            for i in range(1, len(t)):
+                v, w = t[i - 1], t[i]
+                pc = (n1b.get(w, 0) + 1.0) / pden
+                if (v, w) in topb:
+                    x = (topb[(v, w)] - D) / ctx[v] + (
+                        D * n1f[v] / ctx[v]
+                    ) * pc
+                elif v in ctx:
+                    x = (D * n1f[v] / ctx[v]) * pc
+                else:
+                    x = pc
+                s += math.floor(math.log(x) * 1e6)
+            assert got.loc[d, "n_scored"] == max(len(t) - 1, 0), (seed, d)
+            assert got.loc[d, "kn_micro"] == s, (seed, d)
