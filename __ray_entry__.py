@@ -3681,9 +3681,44 @@ def _q_kn_bigram(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL export -> re-ingest -> content fingerprint
+    (sources/formats.py jsonl_roundtrip): the oracle hashes the ORIGINAL
+    parquet text, so any escape-roundtrip corruption (newlines, quotes,
+    unicode) in the JSON surface breaks the hash equality."""
+    from searchengines_ray.sources.formats import jsonl_roundtrip
+    from searchengines_ray.stages.text import fingerprints
+
+    back = jsonl_roundtrip(_docs(sf_dir), "/tmp/seray_rt/jsonl")
+    return (
+        fingerprints(back)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV export -> re-ingest (Arrow reader, quoted-newline + pinned
+    column types) -> content fingerprint; oracle = hash of the original
+    parquet text (sources/formats.py csv_roundtrip)."""
+    from searchengines_ray.sources.formats import csv_roundtrip
+    from searchengines_ray.stages.text import fingerprints
+
+    back = csv_roundtrip(_docs(sf_dir), "/tmp/seray_rt/csv")
+    return (
+        fingerprints(back)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "kn_bigram": _q_kn_bigram,
         "nb_classify": _q_nb_classify,
         "semdedup": _q_semdedup,
@@ -5009,6 +5044,11 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    # roundtrip entries re-hash content AFTER a JSONL / CSV
+    # export+re-ingest; the oracle hashes the ORIGINAL parquet rows —
+    # equality IS the fidelity check
+    sqls["jsonl_roundtrip"] = sqls["fingerprints"]
+    sqls["csv_roundtrip"] = sqls["fingerprints"]
     sqls["kn_bigram"] = """
         -- interpolated Kneser-Ney bigram LM (Kneser & Ney 1995):
         -- every statistic derives from the capped top-2000 bigram

@@ -228,3 +228,44 @@ def read_feature_vectors(path: str) -> list[tuple[int, str, dict, str]]:
                 feats[int(i)] = float(v)
             out.append((int(toks[0]), toks[1][4:], feats, extid.strip()))
     return out
+
+
+def jsonl_roundtrip(ds, out_dir: str):
+    """Write a Dataset as line-delimited JSON shards and read it back —
+    the JSONL ingest path every crawl/LLM-corpus pipeline starts from
+    (one file per block, so a 100-TB export stays partitioned and a
+    failed run resumes per shard).  Returns the re-read Dataset; the
+    caller pins fidelity by hashing content on both sides (escape
+    round-trips — newlines, quotes, unicode — are exactly what this
+    surface can silently corrupt)."""
+    import shutil
+
+    import ray.data
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_json(out_dir)
+    return ray.data.read_json(out_dir)
+
+
+def csv_roundtrip(ds, out_dir: str, column_types: Optional[dict] = None):
+    """Write a Dataset as CSV shards and read it back through the Arrow
+    CSV reader with ``newlines_in_values`` enabled (quoted embedded
+    newlines are legal CSV and the default reader rejects them) and
+    explicit ``column_types`` so an all-digits text shard cannot be
+    silently re-inferred as integers."""
+    import shutil
+
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    import ray.data
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_csv(out_dir)
+    if column_types is None:
+        column_types = {"doc_id": pa.int64(), "text": pa.string()}
+    return ray.data.read_csv(
+        out_dir,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(column_types=column_types),
+    )
