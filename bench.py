@@ -240,6 +240,19 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     bigram_lm_scores(docs, max_vocab=1000, max_bigrams=2000).materialize()
     timings["bigram_lm"] = time.perf_counter() - t0
 
+    from searchengines_ray.stages.text import kn_bigram_scores, nb_classify
+
+    t0 = time.perf_counter()
+    kn_bigram_scores(docs, max_vocab=1000, max_bigrams=2000).materialize()
+    timings["kn_bigram"] = time.perf_counter() - t0
+
+    docs_src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    t0 = time.perf_counter()
+    nb_classify(docs_src, max_vocab=1000).materialize()
+    timings["nb_classify"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "SPIMI index build + BM25 query batch + data pipelines",
