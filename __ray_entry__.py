@@ -3714,9 +3714,22 @@ def _q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """T5-style temperature-smoothed mixture allocation (alpha = 0.5;
+    stages/sample.py temperature_mix): integer micro-sqrt weights,
+    HUGEINT-safe base allocation, largest-INTEGER-remainder leftover —
+    no float sums, so engine and SQL agree exactly."""
+    from searchengines_ray.stages.sample import temperature_mix
+
+    return temperature_mix(
+        _docs(sf_dir, cols=("doc_id", "text", "source"))
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "temperature_mix": _q_temperature_mix,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "kn_bigram": _q_kn_bigram,
@@ -5044,6 +5057,57 @@ def _rrf_fusion_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_impl()
+    sqls["temperature_mix"] = """
+        -- T5 temperature sampling (alpha=0.5): w_c = floor(sqrt(n_c)*1e6)
+        -- (sqrt is IEEE-correctly-rounded => libm == DuckDB), base
+        -- alloc = (B*w)//W in HUGEINT, leftover by largest integer
+        -- remainder (tie -> source asc); zero-token sources kept
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(lower(text), '[0-9a-z]+'))
+                   AS n_tok
+          FROM documents
+        ),
+        per AS (
+          SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens
+          FROM t GROUP BY source
+        ),
+        b AS (
+          SELECT CAST(SUM(tokens) // 2 AS BIGINT) AS b FROM per
+        ),
+        w AS (
+          SELECT source, tokens,
+                 CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS wm
+          FROM per
+        ),
+        ww AS (SELECT CAST(SUM(wm) AS BIGINT) AS w FROM w),
+        base AS (
+          SELECT w.source, w.tokens, w.wm,
+                 CAST(COALESCE(
+                   (CAST(b.b AS HUGEINT) * w.wm) // NULLIF(ww.w, 0), 0)
+                   AS BIGINT) AS alloc0,
+                 CAST(COALESCE(
+                   (CAST(b.b AS HUGEINT) * w.wm) % NULLIF(ww.w, 0), 0)
+                   AS BIGINT) AS rem
+          FROM w, b, ww
+        ),
+        lo AS (
+          SELECT CAST(b.b - (SELECT SUM(alloc0) FROM base) AS BIGINT)
+                   AS l
+          FROM b
+        ),
+        rk AS (
+          SELECT source, tokens, wm, alloc0, rem,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rn
+          FROM base
+        )
+        SELECT source, tokens, wm AS w_micro,
+               CAST(alloc0 + CASE WHEN rn <= lo.l THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM rk, lo
+        ORDER BY source
+    """
     # roundtrip entries re-hash content AFTER a JSONL / CSV
     # export+re-ingest; the oracle hashes the ORIGINAL parquet rows —
     # equality IS the fidelity check

@@ -276,3 +276,87 @@ def mixture_plan(
             "epochs_ppm": epochs_ppm,
         }
     )
+
+
+def temperature_mix(
+    ds,
+    budget_tokens: int | None = None,
+    source_col: str = "source",
+) -> pd.DataFrame:
+    """Temperature-smoothed mixture allocation (the T5 / multilingual-LM
+    sampling rule, Raffel et al. 2020 §3.4.3: sample sources
+    proportionally to ``n_c^alpha`` with alpha = 0.5 so head corpora are
+    damped and tail corpora up-weighted), next to :func:`mixture_plan`'s
+    priority-weight waterfill.
+
+    All-integer, SQL-replicable contract: per-source token inventories
+    ``n_c`` (the ``[0-9a-z]+`` contract — zero-token sources KEPT for
+    auditability); weights ``w_c = floor(sqrt(n_c) * 1e6)`` (sqrt is
+    IEEE-correctly-rounded, so libm and DuckDB agree bit-for-bit — the
+    one transcendental this contract allows); ``W = sum w_c`` exact
+    int; base allocation ``a_c = (B * w_c) // W`` with the leftover
+    ``B - sum a_c`` distributed by largest INTEGER remainder
+    ``(B * w_c) % W`` (tie -> source asc) — no float sums anywhere, so
+    no reduction-order drift.  ``budget_tokens=None`` defaults to half
+    the corpus total.  Products run in arbitrary-precision Python int /
+    SQL HUGEINT (B * w_c overflows int64 at real corpus scale).
+
+    Scale: token counting is the per-batch combiner; the allocation
+    arithmetic runs on the driver over the bounded source registry.
+    Returns ``(source, tokens, w_micro, alloc)`` sorted by source.
+    """
+    import math
+
+    from .text import _flat_word_stream
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "source": pd.array([], dtype="object"),
+                    "tokens": pd.array([], dtype="int64"),
+                }
+            )
+        _, _, _, counts = _flat_word_stream(list(batch["text"]))
+        df = pd.DataFrame(
+            {
+                "source": batch[source_col].to_numpy(),
+                "tokens": counts.astype(np.int64),
+            }
+        )
+        return df.groupby("source", as_index=False)["tokens"].sum()
+
+    per = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)["tokens"]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    sources = per["source"].tolist()
+    tokens = [int(t) for t in per["tokens"]]
+    total = sum(tokens)
+    B = (total // 2) if budget_tokens is None else int(budget_tokens)
+    w = [math.floor(math.sqrt(t) * 1e6) for t in tokens]
+    W = sum(w)
+    if W > 0:
+        base = [(B * wc) // W for wc in w]
+        rem = [(B * wc) % W for wc in w]
+        left = B - sum(base)
+        order = sorted(
+            range(len(sources)), key=lambda i: (-rem[i], sources[i])
+        )
+        alloc = list(base)
+        for i in order[: left]:
+            alloc[i] += 1
+    else:
+        alloc = [0] * len(sources)
+    return pd.DataFrame(
+        {
+            "source": pd.array(sources, dtype="object"),
+            "tokens": pd.array(tokens, dtype="int64"),
+            "w_micro": pd.array(w, dtype="int64"),
+            "alloc": pd.array(alloc, dtype="int64"),
+        }
+    )

@@ -3512,3 +3512,37 @@ def test_kn_bigram_random_vs_bruteforce(ray_session):
                 s += math.floor(math.log(x) * 1e6)
             assert got.loc[d, "n_scored"] == max(len(t) - 1, 0), (seed, d)
             assert got.loc[d, "kn_micro"] == s, (seed, d)
+
+
+def test_temperature_mix_hand_computed(ray_session):
+    import math
+
+    import ray.data
+
+    from searchengines_ray.stages.sample import temperature_mix
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d", "source": "big"},       # 4
+        {"doc_id": 1, "text": "e f g h i j k l m", "source": "big"},  # 9
+        {"doc_id": 2, "text": "x", "source": "small"},           # 1
+        {"doc_id": 3, "text": "", "source": "zero"},             # 0 kept
+    ]
+    out = temperature_mix(ray.data.from_items(rows)).set_index("source")
+    assert out.loc["big", "tokens"] == 13
+    assert out.loc["small", "tokens"] == 1
+    assert out.loc["zero", "tokens"] == 0
+    w_big = math.floor(math.sqrt(13) * 1e6)
+    w_small = 1000000
+    W = w_big + w_small
+    B = 14 // 2
+    assert out.loc["big", "w_micro"] == w_big
+    base_big, rem_big = (B * w_big) // W, (B * w_big) % W
+    base_small, rem_small = (B * w_small) // W, (B * w_small) % W
+    left = B - base_big - base_small
+    alloc = {"big": base_big, "small": base_small, "zero": 0}
+    for s in sorted(alloc, key=lambda s: (-{"big": rem_big, "small": rem_small, "zero": 0}[s], s))[:left]:
+        alloc[s] += 1
+    assert out.loc["big", "alloc"] == alloc["big"]
+    assert out.loc["small", "alloc"] == alloc["small"]
+    assert out.loc["zero", "alloc"] == alloc["zero"]
+    assert int(out["alloc"].sum()) == B
