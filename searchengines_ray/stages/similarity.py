@@ -744,6 +744,18 @@ def semdedup(emb_ds, n_clusters: int = 8, threshold: float = 0.45,
         .sort_values(id_col)
         .head(n_clusters)
     )
+    if not len(seed_df):  # empty corpus: nothing to cluster or drop
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": pd.array([], dtype="int64"),
+                    "cluster": pd.array([], dtype="int64"),
+                    "dropped": pd.array([], dtype="int64"),
+                }
+            )
+        )
     seeds = _normalize(_as_matrix(seed_df[vec_col]))
     seeds_ref = ray.put(seeds)
 
