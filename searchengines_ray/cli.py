@@ -275,9 +275,9 @@ def main(argv=None) -> None:
     b.add_argument(
         "--codec",
         default="bw",
-        choices=("bw", "vb", "pfor"),
+        choices=("bw", "vb", "pfor", "ef"),
         help="posting compression: byte-width blocks / LEB128 varint / "
-        "patched frame-of-reference",
+        "patched frame-of-reference / Elias-Fano",
     )
     b.set_defaults(fn=cmd_build)
 

@@ -383,8 +383,8 @@ def build_index(
     Pass ``dedup=True`` for inputs that may contain url recrawls.
     ``codec`` selects the posting compression (``encode.CODECS``: ``bw``
     byte-width blocks, ``vb`` LEB128 varint, ``pfor`` patched
-    frame-of-reference); serving results are codec-independent by
-    contract (pinned in tests).
+    frame-of-reference, ``ef`` Elias-Fano); serving results are
+    codec-independent by contract (pinned in tests).
 
     ``termstats=False`` skips the merged global (field,term)->(df,ctf)
     table: the query engine then computes exact global stats at query time

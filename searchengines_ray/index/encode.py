@@ -26,6 +26,19 @@ serve correctly):
     cost (packed + 9 bytes/exception), ties to the smaller width —
     deterministic, so encode(decode(x)) is stable.
 
+``ef`` — Elias-Fano (Vigna 2013, "Quasi-succinct indices"): blocks of
+    128, per block ``base:u64 | count:u16 | l:u1 | hi_bytes:u4``.  The
+    monotone body (docid offsets from base in delta mode; in-block
+    prefix sums of the raw values in absolute mode, recovered by
+    ``np.diff``) splits each value into ``l`` low bits (bit-packed, same
+    machinery as pfor) and a high part unary-coded in a bitvector with
+    bit ``(v>>l) + i`` set for the i-th value.  ``l = floor(log2(u/m))``
+    for universe ``u`` and ``m`` encoded values — the classic
+    2 + log2(u/m) bits/value bound.  Absolute blocks whose max value
+    exceeds 2^55 store raw little-endian u64 instead (``l = 0xFF``
+    sentinel) so the in-block prefix sum can never overflow uint64;
+    real tfs/positions never take this path.
+
 ``encode_values`` uses the same codec machinery but absolute values
 (tfs, flat positions — no delta), base unused/zero.
 
@@ -290,12 +303,128 @@ def _pfor_decode(buf: bytes, delta: bool) -> np.ndarray:
     return np.concatenate(chunks)
 
 
+# ------------------------------------------------- ef (Elias-Fano)
+
+_EF_HEADER = np.dtype(
+    [("base", "<u8"), ("count", "<u2"), ("l", "u1"), ("hi_bytes", "<u4")]
+)
+_EF_RAW = 0xFF  # l sentinel: block stored as raw <u8 values
+# absolute blocks above this max take the raw path: 128 values ≤ 2^55
+# sum to < 2^62, so the monotone in-block prefix sum stays exact in u64
+_EF_MAX_ABS = np.uint64(1 << 55)
+
+
+def _ef_encode_mono(rel: np.ndarray) -> tuple[int, bytes, bytes]:
+    """Monotone non-decreasing uint64 -> (l, low_bytes, high_bytes)."""
+    m = len(rel)
+    u = int(rel[-1])
+    q = u // m
+    l = q.bit_length() - 1 if q >= 1 else 0
+    lo = _bitpack(rel & np.uint64((1 << l) - 1), l) if l else b""
+    p = (rel >> np.uint64(l)).astype(np.int64) + np.arange(m, dtype=np.int64)
+    bits = np.zeros(int(p[-1]) + 1, dtype=np.uint8)
+    bits[p] = 1
+    hi = np.packbits(bits, bitorder="little").tobytes()
+    return l, lo, hi
+
+
+def _ef_decode_mono(
+    mv: memoryview, pos: int, m: int, l: int, hi_bytes: int
+) -> tuple[np.ndarray, int]:
+    packed_len = (m * l + 7) // 8
+    lo = _bitunpack(mv[pos : pos + packed_len], m, l)
+    pos += packed_len
+    raw = np.unpackbits(
+        np.frombuffer(mv, dtype=np.uint8, count=hi_bytes, offset=pos),
+        bitorder="little",
+    )
+    pos += hi_bytes
+    q = np.flatnonzero(raw)[:m]  # exactly m set bits (+ zero padding)
+    high = (q - np.arange(m, dtype=np.int64)).astype(np.uint64)
+    return (high << np.uint64(l)) | lo, pos
+
+
+def _ef_encode(arr: np.ndarray, delta: bool) -> bytes:
+    out = []
+    n = len(arr)
+    for start in range(0, n, BLOCK):
+        blk = arr[start : start + BLOCK]
+        hdr = np.zeros(1, dtype=_EF_HEADER)
+        hdr["count"] = len(blk)
+        if delta:
+            base = int(blk[0])
+            body = blk[1:] - blk[0]  # monotone, starts >= 0
+            hdr["base"] = base
+        else:
+            if len(blk) and int(blk.max()) > int(_EF_MAX_ABS):
+                hdr["l"] = _EF_RAW
+                out.append(hdr.tobytes())
+                out.append(blk.astype("<u8").tobytes())
+                continue
+            body = np.cumsum(blk, dtype=np.uint64)  # monotone (vals >= 0)
+        if len(body) == 0:
+            out.append(hdr.tobytes())
+            continue
+        l, lo, hi = _ef_encode_mono(body)
+        hdr["l"] = l
+        hdr["hi_bytes"] = len(hi)
+        out.append(hdr.tobytes())
+        out.append(lo)
+        out.append(hi)
+    return b"".join(out)
+
+
+def _ef_decode(buf: bytes, delta: bool) -> np.ndarray:
+    pos = 0
+    hs = _EF_HEADER.itemsize
+    mv = memoryview(buf)
+    chunks = []
+    while pos < len(buf):
+        hdr = np.frombuffer(mv, dtype=_EF_HEADER, count=1, offset=pos)[0]
+        pos += hs
+        count, l = int(hdr["count"]), int(hdr["l"])
+        if l == _EF_RAW:
+            chunks.append(
+                np.frombuffer(mv, dtype="<u8", count=count, offset=pos).astype(
+                    np.uint64
+                )
+            )
+            pos += count * 8
+            continue
+        m = count - 1 if delta else count
+        if m == 0:
+            if delta:
+                chunks.append(np.array([hdr["base"]], dtype=np.uint64))
+            continue
+        body, pos = _ef_decode_mono(mv, pos, m, l, int(hdr["hi_bytes"]))
+        if delta:
+            blk = np.empty(count, dtype=np.uint64)
+            blk[0] = hdr["base"]
+            blk[1:] = hdr["base"] + body
+            chunks.append(blk)
+        else:
+            chunks.append(np.diff(body, prepend=np.uint64(0)))
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(chunks)
+
+
 # ------------------------------------------------------------ dispatch
 
-CODECS = ("bw", "vb", "pfor")
+CODECS = ("bw", "vb", "pfor", "ef")
 
-_ENC = {"bw": _encode_blocks, "vb": _vb_encode, "pfor": _pfor_encode}
-_DEC = {"bw": _decode_blocks, "vb": _vb_decode, "pfor": _pfor_decode}
+_ENC = {
+    "bw": _encode_blocks,
+    "vb": _vb_encode,
+    "pfor": _pfor_encode,
+    "ef": _ef_encode,
+}
+_DEC = {
+    "bw": _decode_blocks,
+    "vb": _vb_decode,
+    "pfor": _pfor_decode,
+    "ef": _ef_decode,
+}
 
 
 def encode_doc_ids(doc_ids: np.ndarray, codec: str = "bw") -> bytes:

@@ -4,7 +4,8 @@ storage property, never a semantics property).
 
 The north rule names "delta-encoded docID gaps + varint/PForDelta
 blocks" — `vb` is LEB128 varint, `pfor` is NewPFD-style patched
-frame-of-reference, `bw` the original byte-width blocks."""
+frame-of-reference, `bw` the original byte-width blocks, `ef`
+Elias-Fano (Vigna 2013, quasi-succinct indices)."""
 
 import json
 import os
@@ -77,6 +78,11 @@ def test_compressed_codecs_beat_bytewidth_on_small_gaps():
     }
     assert sizes["vb"] <= sizes["bw"]
     assert sizes["pfor"] <= sizes["vb"]
+    # ef's 2 + log2(u/m) bits/value bound beats byte-aligned varints on
+    # low-entropy value streams (tfs are overwhelmingly 1-4)
+    tfs = np.random.default_rng(7).integers(1, 5, 4096).astype(np.uint64)
+    vsizes = {c: len(encode.encode_values(tfs, c)) for c in encode.CODECS}
+    assert vsizes["ef"] <= vsizes["vb"]
 
 
 @pytest.fixture(scope="module")
@@ -109,7 +115,7 @@ def test_serving_is_codec_independent(codec_indexes):
             drop=True
         )
     base = frames["bw"]
-    for codec in ("vb", "pfor"):
+    for codec in ("vb", "pfor", "ef"):
         assert frames[codec].equals(base), codec
 
 
