@@ -3752,9 +3752,33 @@ def _q_temperature_mix(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunk dedup (stages/dedup.py cdc_chunk_dedup;
+    landmark chunking, Manber 1994 / Spring & Wetherall 2000): a chunk
+    boundary falls after word j whenever the 4-word rolling gram hash
+    ending at j is divisible by 16; duplicated chunk hashes are
+    aggregated cross-corpus (n_occ, n_docs, first occurrence =
+    lexicographic min (doc_id, chunk_idx)).  All hashes are the
+    SQL-replicable mod-(2^31-1) polynomial folds."""
+    from searchengines_ray.stages.dedup import cdc_chunk_dedup
+
+    out = cdc_chunk_dedup(_docs(sf_dir)).to_pandas()
+    cols = ["chunk_hash", "n_words", "n_occ", "n_docs", "first_doc",
+            "first_idx"]
+    if not len(out):  # empty Dataset -> to_pandas loses the schema
+        return pd.DataFrame({c: pd.array([], dtype="int64") for c in cols})
+    return (
+        out[cols]
+        .astype("int64")
+        .sort_values("chunk_hash")
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "cdc_dedup": _q_cdc_dedup,
         "temperature_mix": _q_temperature_mix,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -5320,6 +5344,81 @@ def oracle_sql() -> dict[str, str]:
                CAST(o.cluster AS BIGINT) AS cluster,
                CAST(dr.dropped AS BIGINT) AS dropped
         FROM ord_t o JOIN dr USING (vec_id) ORDER BY vec_id
+    """
+    sqls["cdc_dedup"] = """
+        -- Content-defined (landmark) chunking: boundary after word j
+        -- when the 4-word gram hash ending at j is = 0 (mod 16), no
+        -- boundary after a doc's last word; chunk_hash = base-1000003
+        -- fold of the chunk's base-131 word hashes; duplicated chunks
+        -- aggregated with first occurrence = min doc, min idx within it.
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+          FROM documents
+        ),
+        wh AS (
+          SELECT doc_id,
+                 list_transform(ws, t ->
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(t, ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                     (a, c) -> (a * 131 + c) % 2147483647)) AS whs
+          FROM w WHERE len(ws) > 0
+        ),
+        cuts AS (
+          SELECT doc_id, i + 3 AS b FROM (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(whs) - 3)) AS i,
+                   unnest(list_transform(
+                     generate_series(1, len(whs) - 3),
+                     i -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                         whs[i : i + 3]),
+                            (a, x) -> (a * 1000003 + x) % 2147483647)))
+                     AS gh,
+                   len(whs) AS n
+            FROM wh WHERE len(whs) >= 4
+          ) WHERE gh % 16 = 0 AND i + 3 < n
+        ),
+        starts AS (
+          SELECT doc_id, 1 AS s FROM wh
+          UNION ALL
+          SELECT doc_id, b + 1 AS s FROM cuts
+        ),
+        bounds AS (
+          SELECT st.doc_id, st.s,
+                 ROW_NUMBER() OVER (PARTITION BY st.doc_id
+                                    ORDER BY st.s) - 1 AS chunk_idx,
+                 COALESCE(LEAD(st.s) OVER (PARTITION BY st.doc_id
+                                           ORDER BY st.s) - 1,
+                          len(wh.whs)) AS e
+          FROM starts st JOIN wh ON wh.doc_id = st.doc_id
+        ),
+        chunks AS (
+          SELECT b.doc_id, b.chunk_idx,
+                 b.e - b.s + 1 AS n_words,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), wh.whs[b.s : b.e]),
+                   (a, x) -> (a * 1000003 + x) % 2147483647) AS chunk_hash
+          FROM bounds b JOIN wh ON wh.doc_id = b.doc_id
+        ),
+        agg AS (
+          SELECT chunk_hash, MIN(n_words) AS n_words,
+                 COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+                 MIN(doc_id) AS first_doc
+          FROM chunks GROUP BY chunk_hash HAVING COUNT(*) >= 2
+        )
+        SELECT CAST(a.chunk_hash AS BIGINT) AS chunk_hash,
+               CAST(a.n_words AS BIGINT) AS n_words,
+               CAST(a.n_occ AS BIGINT) AS n_occ,
+               CAST(a.n_docs AS BIGINT) AS n_docs,
+               CAST(a.first_doc AS BIGINT) AS first_doc,
+               CAST(MIN(c.chunk_idx) AS BIGINT) AS first_idx
+        FROM agg a JOIN chunks c
+          ON c.chunk_hash = a.chunk_hash AND c.doc_id = a.first_doc
+        GROUP BY a.chunk_hash, a.n_words, a.n_occ, a.n_docs, a.first_doc
+        ORDER BY chunk_hash
     """
     sqls["winnowing"] = """
         -- MOSS winnowing (Schleimer et al. 2003): per doc, over the

@@ -2025,3 +2025,177 @@ def allpairs_jaccard_ds(
     # verify collapses duplicate candidates (groups by pair) and applies
     # the exact n-gram Jaccard >= threshold filter
     return minhash_verify_pairs_ds(ds, pairs, threshold, shingle)
+
+
+# ------------------------------------------------- CDC chunk dedup
+
+
+def cdc_chunk_rows(ds, k: int = 4, divisor: int = 16):
+    """Content-defined chunking over the word stream (landmark chunking:
+    Manber 1994 "Finding similar files in a large file system";
+    Spring & Wetherall 2000): a chunk boundary falls AFTER word ``j``
+    whenever the ``k``-word rolling gram hash ending at ``j`` satisfies
+    ``gh % divisor == 0`` — boundaries move with the content, so an
+    insertion reshuffles only the chunks it touches (fixed-stride
+    chunking would shift every later chunk).  Expected chunk length is
+    ``divisor`` words; no min/max clamps (the pure landmark rule keeps
+    the SQL oracle exact).
+
+    Contract (all SQL-replicable mod-(2^31-1) folds, the
+    :class:`~searchengines_ray.stages.text.Fingerprinter` space): word
+    hash = base-131 char fold; gram hash over ``k`` consecutive word
+    hashes = base-1000003 fold; a boundary after the doc's LAST word is
+    dropped (no empty trailing chunk); docs with fewer than ``k`` words
+    (or no landmark) form a single chunk; ``chunk_hash`` = base-1000003
+    fold over the chunk's word hashes; empty docs emit nothing.
+
+    Purely per-doc ``map_batches`` (no shuffle).  Vectorized: one
+    rolling Horner sweep for grams, one masked Horner sweep over chunk
+    positions for chunk hashes (iterations = max chunk length in the
+    batch, never a per-chunk Python loop).  Returns
+    ``(doc_id, chunk_idx, n_words, chunk_hash)``, chunk_idx 0-based in
+    word order.
+    """
+    from .text import _M31, _flat_word_stream, _poly_word_hashes
+
+    B = 1000003
+
+    def rows(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "chunk_idx": pd.array([], dtype="int64"),
+                "n_words": pd.array([], dtype="int64"),
+                "chunk_hash": pd.array([], dtype="int64"),
+            }
+        )
+        vocab, vids, parent, counts = _flat_word_stream(
+            list(batch["text"])
+        )
+        if not len(vids):
+            return empty
+        wh = _poly_word_hashes(vocab, 131)[vids]
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        n = counts.astype(np.int64)
+        doc_start = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=doc_start[1:])
+
+        # rolling k-gram hashes over the flat word-hash stream
+        m = len(wh) - k + 1
+        cut_flat = np.empty(0, dtype=np.int64)  # flat index of last gram word
+        cut_doc = np.empty(0, dtype=np.int64)
+        if m > 0:
+            roll = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                roll = (roll * B + wh[j : m + j]) % _M31
+            valid = parent[:m] == parent[k - 1 :]
+            is_cut = valid & (roll % divisor == 0)
+            gi = np.nonzero(is_cut)[0]
+            cut_flat = gi + k - 1
+            cut_doc = parent[gi].astype(np.int64)
+            # a boundary after the doc's last word yields no new chunk
+            keep = cut_flat < doc_start[cut_doc + 1] - 1
+            cut_flat, cut_doc = cut_flat[keep], cut_doc[keep]
+
+        nonempty = np.nonzero(n > 0)[0]
+        owners = np.concatenate([nonempty, cut_doc])
+        starts = np.concatenate([doc_start[nonempty], cut_flat + 1])
+        order = np.lexsort((starts, owners))
+        owners, starts = owners[order], starts[order]
+        first = np.concatenate(([True], owners[1:] != owners[:-1]))
+        gstarts = np.nonzero(first)[0]
+        glen = np.diff(np.append(gstarts, len(owners)))
+        cidx = np.arange(len(owners)) - np.repeat(gstarts, glen)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[np.append(gstarts[1:] - 1, len(owners) - 1)] = doc_start[
+            owners[np.append(gstarts[1:] - 1, len(owners) - 1)] + 1
+        ]
+        clen = ends - starts
+
+        acc = np.zeros(len(owners), dtype=np.int64)
+        j = 0
+        active = clen > 0
+        while active.any():
+            acc[active] = (
+                acc[active] * B + wh[starts[active] + j]
+            ) % _M31
+            j += 1
+            active = clen > j
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids[owners], dtype="int64"),
+                "chunk_idx": pd.array(cidx, dtype="int64"),
+                "n_words": pd.array(clen, dtype="int64"),
+                "chunk_hash": pd.array(acc, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pandas")
+
+
+def cdc_chunk_dedup(ds, k: int = 4, divisor: int = 16,
+                    buckets: int = 64):
+    """Cross-corpus duplicated-chunk table over :func:`cdc_chunk_rows`:
+    for every chunk content hash occurring more than once, its size, the
+    occurrence/doc counts and the first occurrence (lexicographic min
+    (doc_id, chunk_idx) — min doc, then min index within it).
+
+    The aggregation is bucket-hashed (``chunk_hash % buckets`` +
+    per-bucket vectorized pandas agg), never a Ray-native groupby on the
+    fine hash key (the round-3 shuffle-shape lesson).  Returns
+    ``(chunk_hash, n_words, n_occ, n_docs, first_doc, first_idx)``.
+    """
+    rows = cdc_chunk_rows(ds, k=k, divisor=divisor)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["chunk_hash"] % buckets).astype("int32")
+        return b
+
+    def agg(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("chunk_hash", sort=False)
+        out = g.agg(
+            n_words=("n_words", "min"),
+            n_occ=("chunk_hash", "size"),
+            n_docs=("doc_id", "nunique"),
+            first_doc=("doc_id", "min"),
+        ).reset_index()
+        out = out[out["n_occ"] >= 2]
+        if not len(out):
+            return pd.DataFrame(
+                {
+                    "chunk_hash": pd.array([], dtype="int64"),
+                    "n_words": pd.array([], dtype="int64"),
+                    "n_occ": pd.array([], dtype="int64"),
+                    "n_docs": pd.array([], dtype="int64"),
+                    "first_doc": pd.array([], dtype="int64"),
+                    "first_idx": pd.array([], dtype="int64"),
+                }
+            )
+        fi = (
+            group.merge(
+                out[["chunk_hash", "first_doc"]],
+                left_on=["chunk_hash", "doc_id"],
+                right_on=["chunk_hash", "first_doc"],
+            )
+            .groupby("chunk_hash", sort=False)["chunk_idx"]
+            .min()
+        )
+        out["first_idx"] = out["chunk_hash"].map(fi).astype("int64")
+        return out.astype(
+            {
+                "chunk_hash": "int64",
+                "n_words": "int64",
+                "n_occ": "int64",
+                "n_docs": "int64",
+                "first_doc": "int64",
+                "first_idx": "int64",
+            }
+        )
+
+    return (
+        rows.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(agg, batch_format="pandas")
+    )

@@ -3546,3 +3546,95 @@ def test_temperature_mix_hand_computed(ray_session):
     assert out.loc["small", "alloc"] == alloc["small"]
     assert out.loc["zero", "alloc"] == alloc["zero"]
     assert int(out["alloc"].sum()) == B
+
+
+def test_cdc_chunk_random_vs_bruteforce(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        cdc_chunk_dedup,
+        cdc_chunk_rows,
+    )
+
+    M, K, D = 2147483647, 4, 16
+    words = ["aa", "bb", "cc", "dd", "ee", "fff", "g7"]
+
+    def wh(w):
+        h = 0
+        for c in w.encode():
+            h = (h * 131 + c) % M
+        return h
+
+    def fold(hs):
+        h = 0
+        for x in hs:
+            h = (h * 1000003 + x) % M
+        return h
+
+    for seed in (5, 23):
+        rng = np.random.RandomState(seed)
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    rng.choice(words, size=rng.randint(0, 60))
+                ),
+            }
+            for i in range(50)
+        ]
+        rows[7]["text"] = ""  # empty doc emits nothing
+        rows[9]["text"] = "!!! ???"  # punctuation-only: no tokens
+        rows[11]["text"] = "aa bb"  # fewer than K words: one chunk
+
+        # scalar brute force of the exact landmark-chunking contract
+        want = []
+        for r in rows:
+            t = [w for w in r["text"].lower().split() if w.isalnum()]
+            hs = [wh(w) for w in t]
+            n = len(hs)
+            if n == 0:
+                continue
+            cuts = [
+                j
+                for j in range(K - 1, n - 1)
+                if fold(hs[j - K + 1 : j + 1]) % D == 0
+            ]
+            starts = [0] + [c + 1 for c in cuts]
+            ends = starts[1:] + [n]
+            for ci, (s, e) in enumerate(zip(starts, ends)):
+                want.append(
+                    (r["doc_id"], ci, e - s, fold(hs[s:e]))
+                )
+
+        ds = ray.data.from_items(rows).repartition(6)
+        got = (
+            cdc_chunk_rows(ds, k=K, divisor=D)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        assert (
+            list(got.itertuples(index=False, name=None)) == sorted(want)
+        ), seed
+
+        # dedup aggregation vs brute force over the same chunk stream
+        agg = {}
+        for d, ci, nw, h in sorted(want):
+            e = agg.setdefault(h, [nw, 0, set(), (d, ci)])
+            e[0] = min(e[0], nw)
+            e[1] += 1
+            e[2].add(d)
+        want_agg = sorted(
+            (h, nw, occ, len(ds_), fd, fi)
+            for h, (nw, occ, ds_, (fd, fi)) in agg.items()
+            if occ >= 2
+        )
+        got_agg = (
+            cdc_chunk_dedup(ds, k=K, divisor=D)
+            .to_pandas()
+            .sort_values("chunk_hash")
+            .reset_index(drop=True)
+        )
+        assert (
+            list(got_agg.itertuples(index=False, name=None)) == want_agg
+        ), seed
