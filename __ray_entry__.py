@@ -3775,9 +3775,35 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """Dolma/CCNet-style PII redaction (stages/text.py pii_scrub):
+    sequentially mask emails, IPv4s and US-style phone numbers with
+    typed placeholders, counting matches per pattern stage.  Engine and
+    oracle both run RE2 (pyarrow compute / DuckDB regexp_*) over the
+    SAME pattern constants — the SQL is generated from
+    text.PII_PATTERNS."""
+    from searchengines_ray.stages.text import pii_scrub
+
+    out = pii_scrub(_docs(sf_dir)).to_pandas()
+    return (
+        out[["doc_id", "n_email", "n_ipv4", "n_phone", "clean_text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_email": "int64",
+                "n_ipv4": "int64",
+                "n_phone": "int64",
+            }
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "pii_scrub": _q_pii_scrub,
         "cdc_dedup": _q_cdc_dedup,
         "temperature_mix": _q_temperature_mix,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -5345,6 +5371,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(dr.dropped AS BIGINT) AS dropped
         FROM ord_t o JOIN dr USING (vec_id) ORDER BY vec_id
     """
+    # pii_scrub oracle is GENERATED from the engine's PII_PATTERNS
+    # constant (stages/text.py): one CTE per pattern stage, counting on
+    # the current text then rewriting it — both sides run RE2, so the
+    # pattern list IS the shared contract.
+    from searchengines_ray.stages.text import PII_PATTERNS as _PII
+
+    _pii_ctes = ["s0 AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)"]
+    for _i, (_n, _pat, _repl) in enumerate(_PII, 1):
+        _p = _pat.replace("'", "''")
+        _carry = "".join(f"n_{m}, " for m, _, _ in _PII[: _i - 1])
+        _pii_ctes.append(
+            f"s{_i} AS (SELECT doc_id, {_carry}"
+            f"len(regexp_extract_all(t, '{_p}')) AS n_{_n}, "
+            f"regexp_replace(t, '{_p}', '{_repl}', 'g') AS t "
+            f"FROM s{_i - 1})"
+        )
+    sqls["pii_scrub"] = (
+        "WITH "
+        + ",\n             ".join(_pii_ctes)
+        + f"""
+        SELECT doc_id, n_email, n_ipv4, n_phone, t AS clean_text
+        FROM s{len(_PII)} ORDER BY doc_id
+    """
+    )
     sqls["cdc_dedup"] = """
         -- Content-defined (landmark) chunking: boundary after word j
         -- when the 4-word gram hash ending at j is = 0 (mod 16), no

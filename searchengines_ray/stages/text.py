@@ -3434,3 +3434,52 @@ def kn_bigram_scores(ds, max_vocab: int = 1 << 16,
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ------------------------------------------------- PII scrubbing
+
+# (name, RE2 pattern, replacement) applied IN ORDER, each pattern
+# counting matches on (and rewriting) the output of the previous one.
+# Both pyarrow.compute and DuckDB regexp functions run RE2 with
+# leftmost-first semantics, so the engine and the SQL oracle agree
+# bit-for-bit by construction — the patterns are part of the contract
+# (oracle SQL is GENERATED from this tuple; see __ray_entry__.py).
+# Replacement tokens contain no digits or '@', so a later pattern can
+# never match inside an earlier substitution.
+PII_PATTERNS = (
+    ("email", r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(ds):
+    """Dolma/CCNet-style PII redaction: mask emails, IPv4 addresses and
+    US-style phone numbers with typed placeholder tokens and report
+    per-document match counts — the standard pre-training scrub pass.
+
+    Patterns run sequentially per :data:`PII_PATTERNS` (count on the
+    current text, then rewrite).  Entirely Arrow-native: RE2 kernels
+    (``count_substring_regex`` / ``replace_substring_regex``) on
+    zero-copy string batches, no Python per-row work, no shuffle.
+    Returns ``(doc_id, n_email, n_ipv4, n_phone, clean_text)``; null
+    text scrubs to the empty string.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_fn(batch):
+        pa.set_cpu_count(1)
+        t = pc.fill_null(batch.column("text").cast(pa.string()), "")
+        cols = {"doc_id": batch.column("doc_id").cast(pa.int64())}
+        for name, pat, repl in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.count_substring_regex(
+                t, pattern=pat
+            ).cast(pa.int64())
+            t = pc.replace_substring_regex(
+                t, pattern=pat, replacement=repl
+            )
+        cols["clean_text"] = t
+        return pa.table(cols)
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")

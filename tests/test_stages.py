@@ -3638,3 +3638,41 @@ def test_cdc_chunk_random_vs_bruteforce(ray_session):
         assert (
             list(got_agg.itertuples(index=False, name=None)) == want_agg
         ), seed
+
+
+def test_pii_scrub_hand_computed(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.text import pii_scrub
+
+    rows = [
+        {"doc_id": 0, "text": "mail bob.smith+x@ex-a.co.uk now"},
+        {"doc_id": 1, "text": "host 10.0.255.7 and 1.2.3.4 up"},
+        {"doc_id": 2, "text": "call 412-555-0199 or 412 555 0100"},
+        # email eaten first, so its digits never count as ipv4/phone
+        {"doc_id": 3, "text": "a1.2.3.4@b.io then 5.6.7.8"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": None},
+        {"doc_id": 6, "text": "punct !!! only"},
+        # version-ish dotted number: matches the ipv4 shape (by design,
+        # same as the oracle) but 1.2.3.4.5 overlaps leftmost-first
+        {"doc_id": 7, "text": "v 1.2.3.4.5 rel"},
+    ]
+    got = (
+        pii_scrub(ray.data.from_items(rows).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = [
+        (0, 1, 0, 0, "mail <EMAIL> now"),
+        (1, 0, 2, 0, "host <IP> and <IP> up"),
+        (2, 0, 0, 2, "call <PHONE> or <PHONE>"),
+        (3, 1, 1, 0, "<EMAIL> then <IP>"),
+        (4, 0, 0, 0, ""),
+        (5, 0, 0, 0, ""),
+        (6, 0, 0, 0, "punct !!! only"),
+        (7, 0, 1, 0, "v <IP>.5 rel"),
+    ]
+    cols = ["doc_id", "n_email", "n_ipv4", "n_phone", "clean_text"]
+    assert list(got[cols].itertuples(index=False, name=None)) == want
