@@ -3800,9 +3800,33 @@ def _q_pii_scrub(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_bottomk_neardup(sf_dir: str) -> pd.DataFrame:
+    """Bottom-k shingle-sketch near-dup estimates (stages/dedup.py
+    bottomk_neardup; Broder 1997, Cohen & Kaplan 2007): per doc the 16
+    smallest distinct 4-word shingle hashes (the cdc_dedup gram
+    contract), then for every pair sharing a sketch hash the integer
+    estimator (inter, denom) = (|both sketches ∩ bottom-k(union)|,
+    min(k, |union|)) — ship the integers, never the quotient."""
+    from searchengines_ray.stages.dedup import bottomk_neardup
+
+    out = bottomk_neardup(
+        _docs(sf_dir), k=16, shingle=4, min_inter=1
+    ).to_pandas()
+    cols = ["doc_a", "doc_b", "inter", "denom"]
+    if out.empty:
+        return pd.DataFrame({c: pd.array([], dtype="int64") for c in cols})
+    return (
+        out[cols]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in cols})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "bottomk_neardup": _q_bottomk_neardup,
         "pii_scrub": _q_pii_scrub,
         "cdc_dedup": _q_cdc_dedup,
         "temperature_mix": _q_temperature_mix,
@@ -5395,6 +5419,80 @@ def oracle_sql() -> dict[str, str]:
         FROM s{len(_PII)} ORDER BY doc_id
     """
     )
+    sqls["bottomk_neardup"] = """
+        -- Bottom-k shingle sketch near-dup estimator: per doc the 16
+        -- smallest distinct 4-word shingle hashes (cdc gram contract:
+        -- base-131 word folds, base-1000003 gram fold, mod 2^31-1);
+        -- for every pair sharing a sketch hash, inter = shared hashes
+        -- inside the union's own bottom-16, denom = min(16, |union|).
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+          FROM documents
+        ),
+        wh AS (
+          SELECT doc_id,
+                 list_transform(ws, t ->
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(t, ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                     (a, c) -> (a * 131 + c) % 2147483647)) AS whs
+          FROM w WHERE len(ws) >= 4
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(whs) - 3),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                                       whs[i : i + 3]),
+                          (a, x) -> (a * 1000003 + x) % 2147483647)))
+                   AS sh
+          FROM wh
+        ),
+        sk AS (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, sh,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY sh) AS rn
+            FROM g) WHERE rn <= 16
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM sk a JOIN sk b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+        ),
+        pairsk AS (
+          SELECT c.da, c.db, s.sh, 1 AS ia, 0 AS ib
+          FROM cand c JOIN sk s ON s.doc_id = c.da
+          UNION ALL
+          SELECT c.da, c.db, s.sh, 0 AS ia, 1 AS ib
+          FROM cand c JOIN sk s ON s.doc_id = c.db
+        ),
+        tagged AS (
+          SELECT da, db, sh, MAX(ia) AS ia, MAX(ib) AS ib
+          FROM pairsk GROUP BY da, db, sh
+        ),
+        ranked AS (
+          SELECT da, db, ia, ib,
+                 ROW_NUMBER() OVER (PARTITION BY da, db
+                                    ORDER BY sh) AS rn,
+                 COUNT(*) OVER (PARTITION BY da, db) AS nu
+          FROM tagged
+        ),
+        est AS (
+          SELECT da, db,
+                 CAST(SUM(CASE WHEN ia = 1 AND ib = 1
+                                AND rn <= LEAST(16, nu)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+                 CAST(LEAST(16, MAX(nu)) AS BIGINT) AS denom
+          FROM ranked GROUP BY da, db
+        )
+        SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+               inter, denom
+        FROM est WHERE inter >= 1 ORDER BY doc_a, doc_b
+    """
     sqls["cdc_dedup"] = """
         -- Content-defined (landmark) chunking: boundary after word j
         -- when the 4-word gram hash ending at j is = 0 (mod 16), no

@@ -2199,3 +2199,271 @@ def cdc_chunk_dedup(ds, k: int = 4, divisor: int = 16,
         .groupby("bucket")
         .map_groups(agg, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- bottom-k sketch near-dup
+
+
+def bottomk_sketch_rows(ds, k: int = 16, shingle: int = 4):
+    """Bottom-k shingle sketches (Broder 1997 "On the resemblance and
+    containment of documents"; Cohen & Kaplan 2007 "Summarizing data
+    using bottom-k sketches"): per doc, the ``k`` SMALLEST distinct
+    shingle hashes under ONE hash function — a distinct sketch family
+    from k-permutation MinHash (k order statistics of a single hash
+    instead of k independent minima), supporting unbiased union /
+    Jaccard estimation from the union's own bottom-k.
+
+    Contract (SQL-replicable Fingerprinter space, the cdc_dedup gram
+    contract): word hash = base-131 char fold mod 2^31-1 over the
+    ``[0-9a-z]+`` ASCII-lower token stream; shingle hash over
+    ``shingle`` consecutive word hashes = base-1000003 fold; per-doc
+    DISTINCT shingles; docs with fewer than ``shingle`` words emit
+    nothing (no padding — short docs have no w-shingles).
+
+    Purely per-doc ``map_batches`` (no shuffle), one rolling Horner
+    sweep per batch.  Returns one row per doc: ``(doc_id, sk)`` with
+    the sketch as sorted-ascending int64 BYTES (variable-length arrays
+    ride shuffles as blobs — the TensorArray densification trap).
+    """
+    from .text import _M31, _flat_word_stream
+
+    B = 1000003
+
+    def rows(batch: pd.DataFrame) -> pd.DataFrame:
+        from .text import _poly_word_hashes
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "sk": pd.array([], dtype="object"),
+            }
+        )
+        vocab, vids, parent, counts = _flat_word_stream(
+            list(batch["text"])
+        )
+        if not len(vids):
+            return empty
+        wh = _poly_word_hashes(vocab, 131)[vids]
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        m = len(wh) - shingle + 1
+        if m <= 0:
+            return empty
+        roll = np.zeros(m, dtype=np.int64)
+        for j in range(shingle):
+            roll = (roll * B + wh[j : m + j]) % _M31
+        valid = parent[:m] == parent[shingle - 1 :]
+        rp, rr = parent[:m][valid], roll[valid]
+        if not len(rp):
+            return empty
+        # per-doc sorted-unique shingles, then the first k of each doc
+        order = np.lexsort((rr, rp))
+        rp, rr = rp[order], rr[order]
+        first = np.ones(len(rp), dtype=bool)
+        first[1:] = (rp[1:] != rp[:-1]) | (rr[1:] != rr[:-1])
+        rp, rr = rp[first], rr[first]
+        starts = np.nonzero(np.concatenate(([True], rp[1:] != rp[:-1])))[0]
+        glen = np.diff(np.append(starts, len(rp)))
+        rank = np.arange(len(rp), dtype=np.int64) - np.repeat(starts, glen)
+        keep = rank < k
+        rp, rr = rp[keep], rr[keep]
+        s2 = np.nonzero(np.concatenate(([True], rp[1:] != rp[:-1])))[0]
+        bounds = np.append(s2, len(rp))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids[rp[s2]], dtype="int64"),
+                "sk": [
+                    rr[a:b].tobytes()
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ],
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pandas")
+
+
+def bottomk_neardup(
+    ds,
+    k: int = 16,
+    shingle: int = 4,
+    min_inter: int = 1,
+    coarse_buckets: int = 256,
+):
+    """Near-duplicate pair ESTIMATES from bottom-k sketches: for every
+    doc pair sharing at least one sketch hash, the standard bottom-k
+    Jaccard estimator — ``inter`` = number of hashes present in BOTH
+    sketches that fall inside the bottom-``k`` of the sketch UNION,
+    ``denom`` = ``min(k, |union|)`` — shipped as the INTEGER pair
+    ``(inter, denom)`` (never a quotient; the caller divides, per the
+    signed-division / float-contract rules).  A pair with
+    ``inter/denom`` ~ J(A,B) >= t can be filtered caller-side.
+
+    Plan (pairs stay a Dataset; the sketches ARE the shuffled payload —
+    never the corpus): sketch blobs (per-doc map, no shuffle) ->
+    [explode] shingle rows bucketed by hash -> per-bucket triu
+    candidate pairs -> two slot rows per pair keyed by endpoint-doc
+    bucket, unioned with the blob rows -> one doc-bucket groupby
+    attaches blobs to slots (and drops duplicate candidates) -> one
+    pair-bucket groupby computes all estimates vectorized (pad-to-k
+    matrices, one np.sort per bucket — no per-pair Python).  Scale
+    note: candidate fan-out is bounded by sketch size (<= k rows per
+    doc enter the join); a globally-hot shingle hash still triangles
+    within its bucket — salt/cap it upstream if a corpus has
+    pathological boilerplate (the exact estimator here keeps the SQL
+    oracle reproducible).
+    """
+    import ray.data
+
+    kn = np.uint64(2654435761)
+    cb = np.uint64(coarse_buckets)
+    PAD = np.int64(1) << 62
+
+    sk = bottomk_sketch_rows(ds, k=k, shingle=shingle).materialize()
+
+    def sh_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        blobs = list(batch["sk"])
+        lens = np.asarray([len(b) // 8 for b in blobs], dtype=np.int64)
+        sh = (
+            np.frombuffer(b"".join(blobs), dtype=np.int64)
+            if blobs
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "sh": pd.array(sh, dtype="int64"),
+                "doc_id": pd.array(np.repeat(ids, lens), dtype="int64"),
+                "_sb": pd.array(
+                    ((sh.astype(np.uint64) * kn) % cb).astype(np.int64),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sh", "doc_id"], kind="mergesort")
+        sizes = g.groupby("sh", sort=False)["doc_id"].transform("size")
+        multi = g.loc[sizes.to_numpy() > 1]
+        frames = []
+        for _, sub in multi.groupby("sh", sort=False):
+            ids = np.unique(sub["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), 1)
+            frames.append(
+                pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def slot_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        pa_ = batch["doc_a"].to_numpy().astype(np.int64)
+        pb_ = batch["doc_b"].to_numpy().astype(np.int64)
+        doc = np.concatenate([pa_, pb_])
+        doc_a = np.concatenate([pa_, pa_])
+        doc_b = np.concatenate([pb_, pb_])
+        side = np.concatenate(
+            [
+                np.zeros(len(pa_), dtype=np.int64),
+                np.ones(len(pb_), dtype=np.int64),
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "doc": pd.array(doc, dtype="int64"),
+                "doc_a": pd.array(doc_a, dtype="int64"),
+                "doc_b": pd.array(doc_b, dtype="int64"),
+                "side": pd.array(side, dtype="int64"),
+                "sk": pd.array([b""] * len(doc), dtype="object"),
+                "_db": pd.array(
+                    ((doc.astype(np.uint64) * kn) % cb).astype(np.int64),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def blob_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        n = len(ids)
+        return pd.DataFrame(
+            {
+                "doc": pd.array(ids, dtype="int64"),
+                "doc_a": pd.array(np.full(n, -1), dtype="int64"),
+                "doc_b": pd.array(np.full(n, -1), dtype="int64"),
+                "side": pd.array(np.full(n, -1), dtype="int64"),
+                "sk": pd.array(list(batch["sk"]), dtype="object"),
+                "_db": pd.array(
+                    ((ids.astype(np.uint64) * kn) % cb).astype(np.int64),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        blobs = group.loc[group["side"] < 0, ["doc", "sk"]]
+        slots = group.loc[group["side"] >= 0].drop_duplicates(
+            ["doc_a", "doc_b", "side"]
+        )
+        m = slots[["doc", "doc_a", "doc_b", "side"]].merge(
+            blobs, on="doc", how="inner"
+        )
+        pa_ = m["doc_a"].to_numpy().astype(np.uint64)
+        pb_ = m["doc_b"].to_numpy().astype(np.uint64)
+        m["_pb"] = pd.array(
+            ((pa_ * np.uint64(1000003) + pb_) % cb).astype(np.int64),
+            dtype="int64",
+        )
+        return m[["doc_a", "doc_b", "side", "sk", "_pb"]]
+
+    def estimate(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["doc_a", "doc_b", "side"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(g) // 2
+        A = np.full((n, k), PAD, dtype=np.int64)
+        Bm = np.full((n, k), PAD, dtype=np.int64)
+        for i in range(n):
+            a = np.frombuffer(g["sk"].iat[2 * i], dtype=np.int64)
+            b = np.frombuffer(g["sk"].iat[2 * i + 1], dtype=np.int64)
+            A[i, : len(a)] = a
+            Bm[i, : len(b)] = b
+        X = np.sort(np.concatenate([A, Bm], axis=1), axis=1)
+        newv = np.ones_like(X, dtype=bool)
+        newv[:, 1:] = X[:, 1:] != X[:, :-1]
+        isval = X < PAD
+        drank = np.cumsum(newv & isval, axis=1)
+        ku = np.minimum(k, drank[:, -1])
+        dup = (~newv) & isval
+        inter = np.sum(dup & (drank <= ku[:, None]), axis=1)
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.array(
+                    g["doc_a"].to_numpy()[0::2], dtype="int64"
+                ),
+                "doc_b": pd.array(
+                    g["doc_b"].to_numpy()[0::2], dtype="int64"
+                ),
+                "inter": pd.array(inter, dtype="int64"),
+                "denom": pd.array(ku, dtype="int64"),
+            }
+        )
+        return out.loc[out["inter"] >= min_inter]
+
+    pairs = (
+        sk.map_batches(sh_rows, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(cand_pairs, batch_format="pandas")
+        .map_batches(slot_rows, batch_format="pandas")
+    )
+    return (
+        pairs.union(sk.map_batches(blob_rows, batch_format="pandas"))
+        .groupby("_db")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(estimate, batch_format="pandas")
+    )

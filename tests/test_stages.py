@@ -3676,3 +3676,79 @@ def test_pii_scrub_hand_computed(ray_session):
     ]
     cols = ["doc_id", "n_email", "n_ipv4", "n_phone", "clean_text"]
     assert list(got[cols].itertuples(index=False, name=None)) == want
+
+
+def test_bottomk_neardup_random_vs_bruteforce(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        bottomk_neardup,
+        bottomk_sketch_rows,
+    )
+
+    M, W, K = 2147483647, 4, 6
+    words = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+
+    def wh(w):
+        h = 0
+        for c in w.encode():
+            h = (h * 131 + c) % M
+        return h
+
+    def sketch(text):
+        t = text.lower().split()
+        hs = [wh(w) for w in t]
+        grams = set()
+        for i in range(len(hs) - W + 1):
+            g = 0
+            for x in hs[i : i + W]:
+                g = (g * 1000003 + x) % M
+            grams.add(g)
+        return sorted(grams)[:K]
+
+    rng = np.random.RandomState(11)
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(words, size=rng.randint(0, 40))),
+        }
+        for i in range(40)
+    ]
+    rows[3]["text"] = ""  # no shingles
+    rows[5]["text"] = "aa bb cc"  # < W words: no shingles
+    rows[8]["text"] = rows[9]["text"] = "xx " + rows[0]["text"]  # dups
+
+    ds = ray.data.from_items(rows).repartition(5)
+
+    # sketch rows vs scalar brute force
+    got_sk = {
+        r["doc_id"]: list(np.frombuffer(r["sk"], dtype=np.int64))
+        for r in bottomk_sketch_rows(ds, k=K, shingle=W).take_all()
+    }
+    want_sk = {
+        r["doc_id"]: sketch(r["text"]) for r in rows if sketch(r["text"])
+    }
+    assert got_sk == want_sk
+
+    # pair estimates vs scalar brute force over the sketches
+    want = {}
+    ids = sorted(want_sk)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = set(want_sk[ids[x]]), set(want_sk[ids[y]])
+            if not (a & b):
+                continue
+            u = sorted(a | b)
+            ku = min(K, len(u))
+            thr = u[ku - 1]
+            inter = sum(1 for v in a & b if v <= thr)
+            if inter >= 1:
+                want[(ids[x], ids[y])] = (inter, ku)
+    got = bottomk_neardup(ds, k=K, shingle=W, min_inter=1).to_pandas()
+    got_d = {
+        (r.doc_a, r.doc_b): (r.inter, r.denom)
+        for r in got.itertuples(index=False)
+    }
+    assert got_d == want
+    # planted exact dups estimate at full similarity
+    assert got_d[(8, 9)][0] == got_d[(8, 9)][1]
