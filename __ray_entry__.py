@@ -3823,9 +3823,53 @@ def _q_bottomk_neardup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_random_walks(sf_dir: str) -> pd.DataFrame:
+    """Derandomized DeepWalk sampling (stages/graph.py random_walks;
+    Perozzi et al. 2014): one walk per node of the undirected
+    user <-> item event graph, 3 steps, successor = out-neighbor
+    minimizing the hash (((v*131 + t) % M) * 137 + u) % M — exactly
+    replayable, partition-invariant, walk halts at a dead end."""
+    import ray.data
+
+    from searchengines_ray.stages.graph import random_walks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .str.extract(r'"k": (\d+)', expand=False)
+            .astype("int64")
+        )
+        u = b["user_id"].to_numpy().astype(np.int64)
+        it = (1_000_000 + k).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([u, it]),
+                "dst": np.concatenate([it, u]),
+            }
+        )
+
+    out = random_walks(
+        ev.map_batches(to_edges, batch_format="pandas"), steps=3
+    ).to_pandas()
+    cols = ["start", "step", "node"]
+    if out.empty:
+        return pd.DataFrame({c: pd.array([], dtype="int64") for c in cols})
+    return (
+        out[cols]
+        .sort_values(["start", "step"])
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in cols})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "random_walks": _q_random_walks,
         "bottomk_neardup": _q_bottomk_neardup,
         "pii_scrub": _q_pii_scrub,
         "cdc_dedup": _q_cdc_dedup,
@@ -5418,6 +5462,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_email, n_ipv4, n_phone, t AS clean_text
         FROM s{len(_PII)} ORDER BY doc_id
     """
+    )
+    # random_walks oracle: 3 unrolled argmin-hop CTEs (the frontier is
+    # one row per walk, so ROW_NUMBER per start replays the engine's
+    # per-walk argmin exactly); hash and tie-break mirror graph.py.
+    _rw_ctes = [
+        """e0 AS (
+          SELECT user_id AS src,
+                 1000000 + CAST(regexp_extract(props,
+                   '"k": (\\d+)', 1) AS BIGINT) AS dst
+          FROM events
+        )""",
+        """e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst, src FROM e0)
+        )""",
+        "w0 AS (SELECT DISTINCT src AS start, src AS cur FROM e)",
+    ]
+    for _t in (1, 2, 3):
+        _rw_ctes.append(
+            f"""w{_t} AS MATERIALIZED (
+          SELECT start, cur FROM (
+            SELECT w.start, e.dst AS cur,
+                   ROW_NUMBER() OVER (PARTITION BY w.start
+                     ORDER BY ((((w.cur * 131 + {_t}) % 2147483647)
+                                * 137 + e.dst) % 2147483647),
+                              e.dst) AS rn
+            FROM w{_t - 1} w JOIN e ON e.src = w.cur
+          ) WHERE rn = 1
+        )"""
+        )
+    sqls["random_walks"] = (
+        "WITH "
+        + ",\n        ".join(_rw_ctes)
+        + "\n        SELECT CAST(start AS BIGINT) AS start,"
+        + " CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node"
+        + " FROM ("
+        + " UNION ALL ".join(
+            f"SELECT start, {_t} AS step, cur AS node FROM w{_t}"
+            for _t in (0, 1, 2, 3)
+        )
+        + ") ORDER BY start, step"
     )
     sqls["bottomk_neardup"] = """
         -- Bottom-k shingle sketch near-dup estimator: per doc the 16

@@ -253,6 +253,20 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     nb_classify(docs_src, max_vocab=1000).materialize()
     timings["nb_classify"] = time.perf_counter() - t0
 
+    # round-5 final additions: Arrow-native RE2 PII masking (pure
+    # zero-copy map, no shuffle — the per-byte regex throughput probe)
+    # and the bottom-k sketch estimator (sketch-payload shuffles)
+    from searchengines_ray.stages.dedup import bottomk_neardup
+    from searchengines_ray.stages.text import pii_scrub
+
+    t0 = time.perf_counter()
+    pii_scrub(docs).materialize()
+    timings["pii_scrub"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bottomk_neardup(docs, k=16, shingle=4).materialize()
+    timings["bottomk_neardup"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "SPIMI index build + BM25 query batch + data pipelines",

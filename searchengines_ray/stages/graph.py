@@ -1059,3 +1059,231 @@ def synth_links(docs_ds, n_docs: int):
         )
 
     return docs_ds.map_batches(gen, batch_format="pandas")
+
+
+# ------------------------------------------------- deterministic walks
+
+WALKS_LOCAL_MAX_EDGES = 2_000_000
+
+
+def random_walks(
+    edges_ds,
+    steps: int = 3,
+    coarse_buckets: int = 64,
+    local_max_edges: int = WALKS_LOCAL_MAX_EDGES,
+):
+    """Derandomized random walks — DeepWalk / node2vec corpus sampling
+    (Perozzi et al. 2014; Grover & Leskovec 2016) made EXACTLY
+    reproducible: one walk starts at every distinct source node, and
+    the step-``t`` successor of node ``v`` is the out-neighbor ``u``
+    minimizing the SQL-replicable hash::
+
+        h(v, t, u) = (((v*131 + t) % M) * 137 + u) % M,   M = 2^31-1
+
+    ties (hash collisions only) broken ``u`` asc.  The hash orders each
+    (node, step)'s neighborhood pseudo-randomly and independently per
+    step, which is what de-correlates consecutive hops; determinism
+    makes the sampled corpus partition-invariant and lets the DuckDB
+    oracle replay every hop bit-for-bit.  A walk halts early at a node
+    with no out-edges.  Duplicate input edges are harmless (identical
+    (v, u) rows tie with themselves), so no dedup barrier is paid.
+
+    Plan: ONE bucketed shuffle per step — the frontier carries exactly
+    one row per live walk, every row of walk ``s`` shares its current
+    node ``cur``, so tag-unioning edges (keyed by ``src`` hash) with
+    the frontier (keyed by ``cur`` hash) co-locates each walk with its
+    full candidate neighborhood; the per-bucket callback merges,
+    hashes, and takes the per-walk argmin vectorized.  Step 1 needs no
+    input frontier (starts = the distinct ``src`` already co-located
+    in each bucket).  Each step's tiny frontier is materialized (it
+    feeds both the next step and the output union).
+
+    Adaptive fast path (the bounded-broadcast pattern shared with
+    pagerank/hits/triangles): at or below ``local_max_edges`` edges the
+    whole walk runs inside ONE map task with numpy searchsorted range
+    expansion — bit-identical integer argmins (forced-path pytest pins
+    it; pass ``local_max_edges=0`` to force the distributed plan).
+
+    Returns ``(start, step, node)`` with step 0..``steps``.
+    """
+    import ray.data
+
+    M = 2147483647
+
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "start": pd.array([], dtype="int64"),
+                "step": pd.array([], dtype="int64"),
+                "node": pd.array([], dtype="int64"),
+            }
+        )
+
+    n_edges = edges_ds.count()
+    if n_edges <= local_max_edges:
+
+        def solve(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty:
+                return _empty_out()
+            s = batch["src"].to_numpy().astype(np.int64)
+            d = batch["dst"].to_numpy().astype(np.int64)
+            order = np.lexsort((d, s))
+            s, d = s[order], d[order]
+            starts = np.unique(s)
+            out_s = [starts]
+            out_t = [np.zeros(len(starts), dtype=np.int64)]
+            out_n = [starts]
+            widx = np.arange(len(starts), dtype=np.int64)
+            cur = starts.copy()
+            for t in range(1, steps + 1):
+                lo = np.searchsorted(s, cur, "left")
+                hi = np.searchsorted(s, cur, "right")
+                alive = hi > lo
+                widx, cur = widx[alive], cur[alive]
+                lo, hi = lo[alive], hi[alive]
+                if not len(cur):
+                    break
+                cnt = hi - lo
+                rep = np.repeat(np.arange(len(cur)), cnt)
+                cum = np.zeros(len(cnt), dtype=np.int64)
+                np.cumsum(cnt[:-1], out=cum[1:])
+                pos = (
+                    np.arange(int(cnt.sum()), dtype=np.int64)
+                    - np.repeat(cum, cnt)
+                    + np.repeat(lo, cnt)
+                )
+                nbr = d[pos]
+                h = ((cur[rep] * 131 + t) % M * 137 + nbr) % M
+                o = np.lexsort((nbr, h, rep))
+                first = np.ones(len(o), dtype=bool)
+                first[1:] = rep[o][1:] != rep[o][:-1]
+                nxt = nbr[o][first]
+                cur = nxt
+                out_s.append(starts[widx])
+                out_t.append(np.full(len(cur), t, dtype=np.int64))
+                out_n.append(cur.copy())
+            return pd.DataFrame(
+                {
+                    "start": pd.array(
+                        np.concatenate(out_s), dtype="int64"
+                    ),
+                    "step": pd.array(
+                        np.concatenate(out_t), dtype="int64"
+                    ),
+                    "node": pd.array(
+                        np.concatenate(out_n), dtype="int64"
+                    ),
+                }
+            )
+
+        return edges_ds.repartition(1).map_batches(
+            solve, batch_format="pandas", batch_size=None
+        )
+
+    # ---------------- distributed plan: one bucketed shuffle per step
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": s,
+                "dst": batch["dst"].to_numpy().astype(np.int64),
+                "start": np.full(len(s), -1, dtype=np.int64),
+                "cur": np.full(len(s), -1, dtype=np.int64),
+                "_b": _nbucket(s, coarse_buckets),
+            }
+        )
+
+    def frontier_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["node"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.full(len(c), -1, dtype=np.int64),
+                "dst": np.full(len(c), -1, dtype=np.int64),
+                "start": batch["start"].to_numpy().astype(np.int64),
+                "cur": c,
+                "_b": _nbucket(c, coarse_buckets),
+            }
+        )
+
+    def _step_group(group: pd.DataFrame, t: int) -> pd.DataFrame:
+        ed = group.loc[group["start"] < 0, ["src", "dst"]]
+        if t == 1:
+            fr = pd.DataFrame({"start": np.unique(ed["src"])})
+            fr["cur"] = fr["start"]
+        else:
+            fr = group.loc[group["start"] >= 0, ["start", "cur"]]
+        m = fr.merge(ed, left_on="cur", right_on="src")
+        empty = pd.DataFrame(
+            {
+                "start": pd.array([], dtype="int64"),
+                "node": pd.array([], dtype="int64"),
+            }
+        )
+        if m.empty:
+            return empty
+        cur = m["cur"].to_numpy().astype(np.int64)
+        nbr = m["dst"].to_numpy().astype(np.int64)
+        st = m["start"].to_numpy().astype(np.int64)
+        h = (cur * 131 + t) % M * 137 + nbr
+        h %= M
+        o = np.lexsort((nbr, h, st))
+        first = np.ones(len(o), dtype=bool)
+        first[1:] = st[o][1:] != st[o][:-1]
+        return pd.DataFrame(
+            {
+                "start": pd.array(st[o][first], dtype="int64"),
+                "node": pd.array(nbr[o][first], dtype="int64"),
+            }
+        )
+
+    from functools import partial
+
+    eb = edges_ds.map_batches(edge_rows, batch_format="pandas")
+    outs = []
+    frontier = None
+    for t in range(1, steps + 1):
+        inp = (
+            eb
+            if t == 1
+            else eb.union(
+                frontier.map_batches(
+                    frontier_rows, batch_format="pandas"
+                )
+            )
+        )
+        frontier = (
+            inp.groupby("_b")
+            .map_groups(partial(_step_group, t=t), batch_format="pandas")
+            .materialize()
+        )
+        outs.append((t, frontier))
+
+    def stamp(batch: pd.DataFrame, t: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "start": batch["start"].astype("int64"),
+                "step": pd.array(
+                    np.full(len(batch), t, dtype=np.int64), dtype="int64"
+                ),
+                "node": batch["node"].astype("int64"),
+            }
+        )
+
+    # step-0 rows: every walk present at step 1 started at its own node
+    out = outs[0][1].map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "start": b["start"].astype("int64"),
+                "step": pd.array(
+                    np.zeros(len(b), dtype=np.int64), dtype="int64"
+                ),
+                "node": b["start"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    for t, fr in outs:
+        out = out.union(
+            fr.map_batches(partial(stamp, t=t), batch_format="pandas")
+        )
+    return out

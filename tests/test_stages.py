@@ -3752,3 +3752,49 @@ def test_bottomk_neardup_random_vs_bruteforce(ray_session):
     assert got_d == want
     # planted exact dups estimate at full similarity
     assert got_d[(8, 9)][0] == got_d[(8, 9)][1]
+
+
+def test_random_walks_bruteforce_and_forced_distributed(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.graph import random_walks
+
+    M = 2147483647
+    rng = np.random.RandomState(7)
+    # directed graph WITH dead ends (dst 90..99 have no out-edges)
+    src = rng.randint(0, 30, size=200)
+    dst = np.where(rng.rand(200) < 0.2, rng.randint(90, 100, size=200),
+                   rng.randint(0, 30, size=200))
+    edges = pd.DataFrame({"src": src, "dst": dst}).astype("int64")
+
+    adj = {}
+    for s, d in edges.itertuples(index=False):
+        adj.setdefault(s, set()).add(d)
+    want = []
+    for s0 in sorted(adj):
+        cur = s0
+        want.append((s0, 0, s0))
+        for t in (1, 2, 3, 4):
+            if cur not in adj:
+                break
+            cur = min(
+                adj[cur],
+                key=lambda u: (((cur * 131 + t) % M) * 137 + u) % M,
+            )
+            want.append((s0, t, cur))
+
+    ds = ray.data.from_pandas(edges).repartition(6)
+    got = (
+        random_walks(ds, steps=4)
+        .to_pandas()
+        .sort_values(["start", "step"])
+        .reset_index(drop=True)
+    )
+    assert list(got.itertuples(index=False, name=None)) == want
+    forced = (
+        random_walks(ds, steps=4, local_max_edges=0)
+        .to_pandas()
+        .sort_values(["start", "step"])
+        .reset_index(drop=True)
+    )
+    assert forced.equals(got)
