@@ -267,6 +267,39 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     bottomk_neardup(docs, k=16, shingle=4).materialize()
     timings["bottomk_neardup"] = time.perf_counter() - t0
 
+    # deterministic DeepWalk sampling over the event graph (forced
+    # distributed plan: one bucketed shuffle per hop)
+    from searchengines_ray.stages.graph import random_walks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+
+    def to_edges(b):
+        import pandas as pd
+
+        k = (
+            b["props"]
+            .str.extract(r'"k": (\d+)', expand=False)
+            .astype("int64")
+        )
+        u = b["user_id"].to_numpy().astype(np.int64)
+        it = (1_000_000 + k).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([u, it]),
+                "dst": np.concatenate([it, u]),
+            }
+        )
+
+    t0 = time.perf_counter()
+    random_walks(
+        ev.map_batches(to_edges, batch_format="pandas"),
+        steps=3,
+        local_max_edges=0,
+    ).materialize()
+    timings["random_walks"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "SPIMI index build + BM25 query batch + data pipelines",

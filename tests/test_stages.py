@@ -3798,3 +3798,50 @@ def test_random_walks_bruteforce_and_forced_distributed(ray_session):
         .reset_index(drop=True)
     )
     assert forced.equals(got)
+
+
+def test_pii_scrub_fuzz_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from searchengines_ray.stages.text import pii_scrub
+
+    rng = np.random.RandomState(31)
+    frags = [
+        "a@b.io", "x.y@ex.co.uk", "no.at.sign", "@", "a@b", "a@b.c",
+        "1.2.3.4", "10.0.255.77", "1.2.3", "1.2.3.4.5", "999.999.999.999",
+        "412-555-0199", "412 555 0100", "412.555.0123", "4125550199",
+        "word", "W0rd5", "...", "-", "+", "%", "_", " ", "\n", "\t",
+        "a+b_c%d@e-f.gh", "ip:1.2.3.4,", "(412-555-0199)", "v1.2.3.44",
+    ]
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 12)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": "".join(
+                    frags[j] + (" " if rng.rand() < 0.7 else "")
+                    for j in rng.randint(0, len(frags), size=n)
+                ),
+            }
+        )
+    rows.append({"doc_id": 300, "text": None})
+    df = pd.DataFrame(rows)
+
+    got = (
+        pii_scrub(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(entrymod.oracle_sql()["pii_scrub"]).df()
+    cols = ["doc_id", "n_email", "n_ipv4", "n_phone", "clean_text"]
+    a = got[cols].astype({c: "int64" for c in cols[:4]})
+    b = want[cols].astype({c: "int64" for c in cols[:4]})
+    assert a.equals(b.reset_index(drop=True))
