@@ -3775,6 +3775,19 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact phi-frequent tokens (cnt * k > N) via Misra-Gries candidate
+    sketching + broadcast exact recount (stages/text.py heavy_hitters;
+    Misra & Gries 1982, mergeable per Agarwal et al. 2012).  Two streamed
+    passes, nothing vocabulary-sized shuffles or reaches the driver; the
+    exact recount filter makes the output deterministic regardless of
+    batch/merge order."""
+    from searchengines_ray.stages.text import heavy_hitters
+
+    out = heavy_hitters(_docs(sf_dir), k=100)
+    return out.astype({"cnt": "int64"}).reset_index(drop=True)
+
+
 def _q_pii_scrub(sf_dir: str) -> pd.DataFrame:
     """Dolma/CCNet-style PII redaction (stages/text.py pii_scrub):
     sequentially mask emails, IPv4s and US-style phone numbers with
@@ -3869,6 +3882,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "heavy_hitters": _q_heavy_hitters,
         "random_walks": _q_random_walks,
         "bottomk_neardup": _q_bottomk_neardup,
         "pii_scrub": _q_pii_scrub,
@@ -5463,6 +5477,18 @@ def oracle_sql() -> dict[str, str]:
         FROM s{len(_PII)} ORDER BY doc_id
     """
     )
+    # heavy_hitters oracle: the exact phi-frequent definition over the
+    # simple word stream — the engine's MG sketch is only a candidate
+    # generator; its exact-recount filter must reproduce this set
+    # bit-for-bit (k matches _q_heavy_hitters).
+    sqls["heavy_hitters"] = f"""
+        WITH toks AS ({_TOKS}),
+        tot AS (SELECT COUNT(*) AS n FROM toks),
+        cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
+        SELECT term, CAST(cnt AS BIGINT) AS cnt
+        FROM cnt, tot WHERE cnt * 100 > tot.n
+        ORDER BY cnt DESC, term ASC
+    """
     # random_walks oracle: 3 unrolled argmin-hop CTEs (the frontier is
     # one row per walk, so ROW_NUMBER per start replays the engine's
     # per-walk argmin exactly); hash and tie-break mirror graph.py.

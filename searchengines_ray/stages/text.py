@@ -3483,3 +3483,111 @@ def pii_scrub(ds):
         return pa.table(cols)
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def _mg_reduce(terms: np.ndarray, counts: np.ndarray, cap: int):
+    """Misra-Gries reduction: keep at most ``cap`` counters by subtracting
+    the (cap+1)-th largest count from every counter and dropping the
+    non-positive ones (the mergeable-summaries merge step of Agarwal et
+    al. 2013).  Decrement per call <= N_input/(cap+1), so any item with
+    true count > N/(cap+1) summed over all reductions survives with a
+    positive counter."""
+    if len(terms) <= cap:
+        return terms, counts
+    kth = np.partition(counts, len(counts) - cap - 1)[len(counts) - cap - 1]
+    dec = counts - kth
+    keep = dec > 0
+    return terms[keep], dec[keep]
+
+
+def heavy_hitters(ds, k: int = 100, cap: int | None = None) -> pd.DataFrame:
+    """Exact phi-frequent tokens (count * k > N) via Misra-Gries candidate
+    sketching + an exact recount — the deterministic heavy-hitter pass of
+    a web-scale corpus audit (Misra & Gries 1982; mergeable summaries per
+    Agarwal et al., PODS 2012).
+
+    Scale design: NOTHING vocabulary-sized ever shuffles or reaches the
+    driver.  Pass 1 reduces each batch's exact unique-token histogram to a
+    ``cap``-entry MG sketch (cap defaults to 4k); the driver folds the
+    per-batch sketches (<= cap+1 rows each) and reduces once more.  The
+    total undercount is <= 2N/(cap+1) < N/k for cap >= 2k, so the fold is
+    a guaranteed SUPERSET of the true heavy hitters regardless of batch
+    or merge order.  Pass 2 broadcasts the <= cap candidate terms
+    (``ray.put`` once) and exactly recounts ONLY those tokens map-side;
+    the exact filter ``cnt * k > N`` then kills every order-dependent
+    false candidate, making the output deterministic.  Returns a bounded
+    pandas DataFrame ``(term, cnt)`` sorted (cnt desc, term asc).
+    """
+    import pyarrow as pa
+    import ray
+
+    if cap is None:
+        cap = 4 * k
+    if cap < 2 * k:
+        raise ValueError("cap must be >= 2*k for the superset guarantee")
+
+    def sketch_fn(batch):
+        pa.set_cpu_count(1)
+        vocab, vids, _, _ = _flat_word_stream_arr(batch.column("text"))
+        cnt = np.bincount(vids, minlength=len(vocab)).astype(np.int64)
+        terms, kept = _mg_reduce(np.asarray(vocab, dtype=object), cnt, cap)
+        # one sentinel row carries the batch's exact token total ('' can
+        # never be a token: the stream splitter drops empty strings)
+        return pa.table(
+            {
+                "term": pa.array(
+                    list(terms) + [""], pa.string()
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [kept, [np.int64(len(vids))]]
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    sk = (
+        ds.map_batches(sketch_fn, batch_format="pyarrow")
+        .to_pandas()  # bounded: (cap+1) rows per input block
+        .groupby("term", as_index=False)["cnt"]
+        .sum()
+    )
+    n_total = int(sk.loc[sk["term"] == "", "cnt"].sum())
+    sk = sk[sk["term"] != ""]
+    cand_terms, _ = _mg_reduce(
+        sk["term"].to_numpy(), sk["cnt"].to_numpy().astype(np.int64), cap
+    )
+    cand = np.sort(cand_terms.astype(str))
+    if n_total == 0 or len(cand) == 0:
+        return pd.DataFrame(
+            {"term": pd.array([], dtype=object), "cnt": pd.array([], dtype="int64")}
+        )
+    cref = ray.put(cand)
+
+    def recount_fn(batch):
+        pa.set_cpu_count(1)
+        c = ray.get(cref)
+        vocab, vids, _, _ = _flat_word_stream_arr(batch.column("text"))
+        cnt = np.bincount(vids, minlength=len(vocab)).astype(np.int64)
+        v = np.asarray(vocab, dtype=str)
+        idx = np.searchsorted(c, v)
+        idx[idx == len(c)] = 0
+        m = c[idx] == v
+        return pa.table(
+            {
+                "term": pa.array(v[m], pa.string()),
+                "cnt": pa.array(cnt[m]),
+            }
+        )
+
+    ex = (
+        ds.map_batches(recount_fn, batch_format="pyarrow")
+        .to_pandas()  # bounded: <= cap rows per input block
+        .groupby("term", as_index=False)["cnt"]
+        .sum()
+    )
+    out = ex[ex["cnt"].to_numpy() * np.int64(k) > np.int64(n_total)]
+    out = out.sort_values(
+        ["cnt", "term"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out.astype({"cnt": "int64"})

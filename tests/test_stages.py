@@ -3845,3 +3845,47 @@ def test_pii_scrub_fuzz_vs_duckdb(ray_session):
     a = got[cols].astype({c: "int64" for c in cols[:4]})
     b = want[cols].astype({c: "int64" for c in cols[:4]})
     assert a.equals(b.reset_index(drop=True))
+
+
+def test_heavy_hitters_exact_vs_counter(ray_session):
+    import re
+
+    from collections import Counter
+
+    import ray.data
+
+    from searchengines_ray.stages.text import heavy_hitters
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(80)]
+    probs = 1.0 / np.arange(1, 81)
+    probs /= probs.sum()
+    rows = []
+    for d in range(500):
+        toks = rng.choice(vocab, size=rng.randint(0, 30), p=probs)
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+    rows += [
+        {"doc_id": 500, "text": None},
+        {"doc_id": 501, "text": "!!! ..."},
+    ]
+    df = pd.DataFrame(rows)
+    c = Counter()
+    for t in df["text"]:
+        if t:
+            c.update(re.findall(r"[0-9a-z]+", t.lower()))
+    N = sum(c.values())
+    # tight caps force MG decrements in every batch AND in the driver
+    # fold — the exact-recount filter must still kill every
+    # order-dependent false candidate
+    for k, cap in [(4, 8), (10, 25), (30, 60)]:
+        got = heavy_hitters(
+            ray.data.from_pandas(df).repartition(9), k=k, cap=cap
+        )
+        want = sorted(
+            ((t, n) for t, n in c.items() if n * k > N),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert list(zip(got["term"], got["cnt"])) == want
+
+    with pytest.raises(ValueError):
+        heavy_hitters(ray.data.from_pandas(df), k=10, cap=10)
