@@ -3775,6 +3775,20 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_kcenter_select(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985;
+    stages/similarity.py kcenter_select) — embedding-based data-pruning
+    pass.  Integer-exact micro-quantized squared-euclidean distances, seed
+    = min vec_id, argmax tie -> vec_id asc, selected ids excluded; one
+    streamed pass per round, the driver holds k rows."""
+    from searchengines_ray.stages.similarity import kcenter_select
+
+    out = kcenter_select(_emb(sf_dir), k=8)
+    return out.astype(
+        {"round": "int64", "vec_id": "int64", "dist_sq": "int64"}
+    ).reset_index(drop=True)
+
+
 def _q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Exact phi-frequent tokens (cnt * k > N) via Misra-Gries candidate
     sketching + broadcast exact recount (stages/text.py heavy_hitters;
@@ -3882,6 +3896,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "kcenter_select": _q_kcenter_select,
         "heavy_hitters": _q_heavy_hitters,
         "random_walks": _q_random_walks,
         "bottomk_neardup": _q_bottomk_neardup,
@@ -5476,6 +5491,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_email, n_ipv4, n_phone, t AS clean_text
         FROM s{len(_PII)} ORDER BY doc_id
     """
+    )
+    # kcenter_select oracle: 8 unrolled greedy rounds — each round an
+    # incremental LEAST(prev min-dist, dist to the newest center) plus an
+    # (dist desc, vec_id asc) argmax excluding selected ids; quantization
+    # and distance mirror similarity.py kcenter_select bit-for-bit.
+    # (chained plain CTEs, no recursion — qd materialized once)
+    _kc_k = 8
+    _kc_ctes = [
+        """qd AS MATERIALIZED (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) AS k,
+                 unnest(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0)
+                             AS BIGINT))) AS qv
+          FROM embeddings
+        )""",
+        "c0 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id,"
+        " CAST(0 AS BIGINT) AS d FROM embeddings)",
+    ]
+    for _i in range(1, _kc_k):
+        _prev = f"c{_i - 1}"
+        _sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{_j}" for _j in range(_i)
+        )
+        # the newest center's 64-row quantized vector gets its own
+        # MATERIALIZED CTE: filtering qd by the scalar subquery INSIDE
+        # the join predicate is not pushed down, so the join would key
+        # on k alone (64 distinct values) and blow up to n^2 x d rows
+        _dist = (
+            f"cq{_i} AS MATERIALIZED (SELECT k, qv FROM qd "
+            f"WHERE vec_id = (SELECT vec_id FROM {_prev})), "
+            f"d{_i} AS (SELECT p.vec_id, "
+            "CAST(SUM((p.qv - c.qv) * (p.qv - c.qv)) AS BIGINT) AS d "
+            f"FROM qd p JOIN cq{_i} c ON p.k = c.k "
+            "GROUP BY p.vec_id)"
+        )
+        # every c{i}/m{i} is referenced several times downstream (the
+        # scalar-subquery center, every later NOT IN union, the final
+        # UNION ALL) — without MATERIALIZED DuckDB re-inlines the whole
+        # upstream chain per reference and the plan grows exponentially
+        # in rounds (no recursion here, so MATERIALIZED is safe)
+        if _i == 1:
+            _min = "m1 AS MATERIALIZED (SELECT vec_id, d FROM d1)"
+        else:
+            _min = (
+                f"m{_i} AS MATERIALIZED (SELECT d{_i}.vec_id, "
+                f"LEAST(d{_i}.d, m{_i - 1}.d) AS d "
+                f"FROM d{_i} JOIN m{_i - 1} "
+                f"ON d{_i}.vec_id = m{_i - 1}.vec_id)"
+            )
+        _pick = (
+            f"c{_i} AS MATERIALIZED (SELECT vec_id, d FROM m{_i} "
+            f"WHERE vec_id NOT IN ({_sel}) "
+            "ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        _kc_ctes += [_dist, _min, _pick]
+    sqls["kcenter_select"] = (
+        "WITH "
+        + ",\n        ".join(_kc_ctes)
+        + "\n        "
+        + " UNION ALL ".join(
+            f"SELECT CAST({_j} AS BIGINT) AS round, vec_id,"
+            f" d AS dist_sq FROM c{_j}"
+            for _j in range(_kc_k)
+        )
+        + "\n        ORDER BY round"
     )
     # heavy_hitters oracle: the exact phi-frequent definition over the
     # simple word stream — the engine's MG sketch is only a candidate

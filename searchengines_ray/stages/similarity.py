@@ -800,3 +800,119 @@ def semdedup(emb_ds, n_clusters: int = 8, threshold: float = 0.45,
         .groupby("cluster")
         .map_groups(dedup_group, batch_format="pandas")
     )
+
+
+def kcenter_select(emb_ds, k: int = 8, vec_col: str = "embedding",
+                   id_col: str = "vec_id", scale: int = 10**6) -> pd.DataFrame:
+    """Greedy k-center / farthest-point selection (Gonzalez 1985) — the
+    classic coreset pass of embedding-based data pruning: pick the point
+    farthest (max-min distance) from everything selected so far, k times,
+    giving a 2-approximate k-center cover that spans the corpus's modes.
+
+    Integer-exact contract: vectors quantize to ``floor(v * scale)``
+    int64 micro-units (the label_centroids / random_projection
+    quantization) and distances are exact int64 squared-euclidean sums —
+    SQL-replicable, order-free.  Deterministic: the seed is the smallest
+    ``vec_id``; each round's winner maximizes the min squared distance to
+    ALL previously selected centers with ties broken ``vec_id`` asc;
+    already-selected ids are excluded (an all-duplicates corpus still
+    selects k distinct ids, each at distance 0).
+
+    Scale design: one streamed pass per round — the <= k selected centers
+    (a k x d int64 matrix) broadcast via ``ray.put`` once per round, each
+    batch emits ONE winner row (plus its vector as bytes), the driver
+    folds block-count rows.  O(k) passes, no shuffle, no corpus
+    materialization; at 100 TB run it over the random-projected corpus.
+    Returns a k-row DataFrame ``(round, vec_id, dist_sq)`` (round 0 has
+    dist_sq 0; fewer than k points returns them all).
+    """
+    import ray
+
+    def quantize(batch: pd.DataFrame) -> np.ndarray:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+        )
+        q = np.floor(mat * float(scale)).astype(np.int64)
+        # d * (2 * max|q|)^2 must fit int64 for the exact distance sums
+        m = np.abs(q).max(initial=0)
+        if q.shape[1] * (2 * m) ** 2 >= 2**62:
+            raise ValueError("quantized magnitude too large for exact int64")
+        return q
+
+    selected: list[tuple[int, int, np.ndarray]] = []  # (vec_id, dist, qvec)
+    for rnd in range(k):
+        if rnd == 0:
+            payload = None
+        else:
+            payload = ray.put(
+                (
+                    np.array([s[0] for s in selected], dtype=np.int64),
+                    np.stack([s[2] for s in selected]),
+                )
+            )
+
+        def best_fn(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            if len(ids) == 0:
+                return pd.DataFrame(
+                    {"vec_id": pd.array([], dtype="int64"),
+                     "dist": pd.array([], dtype="int64"),
+                     "vb": pd.array([], dtype=object)}
+                )
+            q = quantize(batch)
+            if payload is None:
+                # seeding round: min vec_id wins, distance defined as 0
+                j = int(np.argmin(ids))
+                return pd.DataFrame(
+                    {"vec_id": [ids[j]], "dist": [np.int64(0)],
+                     "vb": [q[j].tobytes()]}
+                )
+            sel_ids, c = ray.get(payload)
+            keep = ~np.isin(ids, sel_ids)
+            if not keep.any():
+                return pd.DataFrame(
+                    {"vec_id": pd.array([], dtype="int64"),
+                     "dist": pd.array([], dtype="int64"),
+                     "vb": pd.array([], dtype=object)}
+                )
+            ids, q = ids[keep], q[keep]
+            # exact int64 (a-b)^2 sums via the matmul identity
+            d2 = (
+                (q * q).sum(axis=1)[:, None]
+                + (c * c).sum(axis=1)[None, :]
+                - 2 * (q @ c.T)
+            ).min(axis=1)
+            # per-batch argmax, tie vec_id asc (ids ascend within batch
+            # only by construction of the winner fold below, so order
+            # explicitly)
+            order = np.lexsort((ids, -d2))
+            j = order[0]
+            return pd.DataFrame(
+                {"vec_id": [ids[j]], "dist": [np.int64(d2[j])],
+                 "vb": [q[j].tobytes()]}
+            )
+
+        wins = emb_ds.map_batches(best_fn, batch_format="pandas").to_pandas()
+        if len(wins) == 0:
+            break  # corpus exhausted (< k distinct points)
+        if rnd == 0:
+            wins = wins.sort_values("vec_id", kind="mergesort")
+        else:
+            wins = wins.sort_values(
+                ["dist", "vec_id"], ascending=[False, True], kind="mergesort"
+            )
+        w = wins.iloc[0]
+        selected.append(
+            (
+                int(w["vec_id"]),
+                int(w["dist"]),
+                np.frombuffer(w["vb"], dtype=np.int64),
+            )
+        )
+    return pd.DataFrame(
+        {
+            "round": np.arange(len(selected), dtype=np.int64),
+            "vec_id": np.array([s[0] for s in selected], dtype=np.int64),
+            "dist_sq": np.array([s[1] for s in selected], dtype=np.int64),
+        }
+    )

@@ -3889,3 +3889,72 @@ def test_heavy_hitters_exact_vs_counter(ray_session):
 
     with pytest.raises(ValueError):
         heavy_hitters(ray.data.from_pandas(df), k=10, cap=10)
+
+
+def test_kcenter_select_vs_bruteforce(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import kcenter_select
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(4, 6)
+    rows = []
+    for b in range(4):
+        for _ in range(25):
+            v = base[b] + rng.randn(6) * 0.05
+            rows.append(
+                {
+                    "vec_id": len(rows),
+                    "embedding": v.astype(np.float32).tolist(),
+                }
+            )
+    # exact duplicates of the seed (tie pressure at dist 0)
+    for _ in range(3):
+        rows.append(
+            {"vec_id": len(rows), "embedding": rows[0]["embedding"]}
+        )
+    df = pd.DataFrame(rows)
+
+    def brute(k, scale=10**6):
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        q = np.floor(
+            np.stack(
+                [np.asarray(v, np.float64) for v in df["embedding"]]
+            )
+            * scale
+        ).astype(np.int64)
+        sel = [(int(ids[0]), 0)]
+        chosen = {int(ids[0])}
+        selq = [q[0]]
+        for _ in range(k - 1):
+            mask = np.array([i not in chosen for i in ids])
+            if not mask.any():
+                break
+            c = np.stack(selq)
+            d2 = (
+                ((q[:, None, :] - c[None, :, :]) ** 2)
+                .sum(axis=2)
+                .min(axis=1)
+            )
+            d2m, idm = d2[mask], ids[mask]
+            j = np.lexsort((idm, -d2m))[0]
+            sel.append((int(idm[j]), int(d2m[j])))
+            chosen.add(int(idm[j]))
+            selq.append(q[mask][j])
+        return sel
+
+    for k in (1, 5, 8):
+        got = kcenter_select(
+            ray.data.from_pandas(df).repartition(6), k=k
+        )
+        assert list(zip(got["vec_id"], got["dist_sq"])) == brute(k)
+
+    # all-duplicate corpus: k distinct ids, all at distance 0
+    dd = pd.DataFrame(
+        {"vec_id": range(7), "embedding": [rows[0]["embedding"]] * 7}
+    )
+    got = kcenter_select(ray.data.from_pandas(dd).repartition(3), k=4)
+    assert list(got["vec_id"]) == [0, 1, 2, 3]
+    assert list(got["dist_sq"]) == [0] * 4
+    # fewer points than k returns them all
+    assert len(kcenter_select(ray.data.from_pandas(dd.head(2)), k=5)) == 2
