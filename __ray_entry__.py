@@ -3775,6 +3775,24 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_bradley_terry(sf_dir: str) -> pd.DataFrame:
+    """Bradley-Terry preference strengths via Hunter's MM iteration
+    (stages/rank.py bradley_terry) — the RLHF preference-aggregation /
+    arena-leaderboard op.  Duels = consecutive same-user events (higher
+    value wins, tie -> earlier; same-type skipped), derived through one
+    bucketed shuffle; 5 exact integer MM rounds over the bounded
+    (winner, loser, n) table."""
+    import ray.data
+
+    from searchengines_ray.stages.rank import bradley_terry
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    return bradley_terry(ev).reset_index(drop=True)
+
+
 def _q_kcenter_select(sf_dir: str) -> pd.DataFrame:
     """Greedy k-center / farthest-point coreset selection (Gonzalez 1985;
     stages/similarity.py kcenter_select) — embedding-based data-pruning
@@ -3896,6 +3914,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "bradley_terry": _q_bradley_terry,
         "kcenter_select": _q_kcenter_select,
         "heavy_hitters": _q_heavy_hitters,
         "random_walks": _q_random_walks,
@@ -5490,6 +5509,83 @@ def oracle_sql() -> dict[str, str]:
         + f"""
         SELECT doc_id, n_email, n_ipv4, n_phone, t AS clean_text
         FROM s{len(_PII)} ORDER BY doc_id
+    """
+    )
+    # bradley_terry oracle: LEAD-window duel derivation + 5 unrolled MM
+    # rounds in exact HUGEINT floor arithmetic (all operands positive, so
+    # DuckDB's truncating // equals floor); every per-round CTE is
+    # referenced multiple times -> MATERIALIZED (no recursion, safe).
+    _bt_scale = 10**6
+    _bt_s2 = _bt_scale * _bt_scale
+    _bt_ctes = [
+        """duel AS (
+          SELECT event_type AS t1, value AS v1,
+                 LEAD(event_type) OVER w AS t2,
+                 LEAD(value) OVER w AS v2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )""",
+        """p AS MATERIALIZED (
+          SELECT CASE WHEN v2 > v1 THEN t2 ELSE t1 END AS winner,
+                 CASE WHEN v2 > v1 THEN t1 ELSE t2 END AS loser,
+                 COUNT(*) AS n
+          FROM duel WHERE t2 IS NOT NULL AND t1 <> t2
+          GROUP BY 1, 2
+        )""",
+        """g AS MATERIALIZED (
+          SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+            SELECT winner AS i, loser AS j, n FROM p
+            UNION ALL SELECT loser, winner, n FROM p
+          ) GROUP BY i, j
+        )""",
+        """items AS MATERIALIZED (SELECT DISTINCT i FROM g)""",
+        """wins AS MATERIALIZED (
+          SELECT items.i,
+                 CAST(COALESCE(pw.w, 0) AS BIGINT) AS w
+          FROM items LEFT JOIN (
+            SELECT winner AS i, SUM(n) AS w FROM p GROUP BY winner
+          ) pw ON items.i = pw.i
+        )""",
+        f"s0 AS MATERIALIZED (SELECT i, CAST({_bt_scale} AS HUGEINT)"
+        " AS s FROM items)",
+    ]
+    for _t in range(1, 6):
+        _bt_ctes.append(
+            f"""d{_t} AS MATERIALIZED (
+          SELECT g.i,
+                 SUM((CAST(g.n AS HUGEINT) * {_bt_s2}) // (si.s + sj.s))
+                   AS d
+          FROM g JOIN s{_t - 1} si ON g.i = si.i
+                 JOIN s{_t - 1} sj ON g.j = sj.i
+          GROUP BY g.i
+        )"""
+        )
+        _bt_ctes.append(
+            f"""r{_t} AS MATERIALIZED (
+          SELECT wins.i,
+                 CASE WHEN d.d > 0
+                      THEN (CAST(wins.w AS HUGEINT) * {_bt_s2}) // d.d
+                      ELSE CAST(0 AS HUGEINT) END AS r
+          FROM wins JOIN d{_t} d ON wins.i = d.i
+        )"""
+        )
+        _bt_ctes.append(
+            f"""s{_t} AS MATERIALIZED (
+          SELECT i, CASE WHEN r > 0
+                    THEN GREATEST(CAST(1 AS HUGEINT),
+                         (r * {_bt_scale}) // (SELECT MAX(r) FROM r{_t}))
+                    ELSE CAST(0 AS HUGEINT) END AS s
+          FROM r{_t}
+        )"""
+        )
+    sqls["bradley_terry"] = (
+        "WITH "
+        + ",\n        ".join(_bt_ctes)
+        + """
+        SELECT wins.i AS item, wins.w AS wins,
+               CAST(s5.s AS BIGINT) AS score
+        FROM wins JOIN s5 ON wins.i = s5.i
+        ORDER BY score DESC, item ASC
     """
     )
     # kcenter_select oracle: 8 unrolled greedy rounds — each round an

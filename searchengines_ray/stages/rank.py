@@ -324,3 +324,139 @@ def ranking_eval(
         .groupby("_cb")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def bradley_terry(events_ds, iters: int = 5, scale: int = 10**6,
+                  coarse_buckets: int = 256) -> pd.DataFrame:
+    """Bradley-Terry preference-strength aggregation (Bradley & Terry
+    1952) fitted by Hunter's (2004) MM iteration — the standard model
+    behind RLHF preference datasets and arena-style model leaderboards.
+
+    Comparisons derive from the event stream: within each user's
+    (ts, event_id)-ordered timeline, every consecutive pair of events is
+    an implicit duel between the two event types; the event with the
+    HIGHER ``value`` wins (tie -> the earlier event), same-type duels are
+    skipped (p = 1/2 regardless of strength).  That derivation is the
+    distributed work — one user-keyed bucketed shuffle over an unbounded
+    stream (the event_transitions plan), pre-aggregated partial counts —
+    and it folds to a bounded ``(winner, loser, n)`` table (<= T^2 rows
+    for T item types), which is all the driver ever holds.
+
+    MM updates run driver-side in EXACT integer arithmetic (Python ints,
+    no overflow; the temperature_mix idiom): with scores s in
+    ``scale``-units, each round computes per item i
+
+        D_i  = sum over opponents j of (n_ij * scale^2) // (s_i + s_j)
+        s'_i = (W_i * scale^2) // D_i          (W_i = total wins, D_i > 0
+                                                whenever i played a game)
+
+    then max-normalizes ``s''_i = (s'_i * scale) // max_j s'_j`` (the
+    HITS normalization), clamping winning items to >= 1 so no duel's
+    denominator can vanish — every step a floor division of positive
+    integers, order-free sums, SQL-replicable bit-for-bit.  An item that
+    never wins fixes at 0.  Returns a bounded DataFrame
+    ``(item, wins, score)`` sorted (score desc, item asc).
+    """
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": batch["event_id"].to_numpy().astype(np.int64),
+                "ts_us": batch["ts"]
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "event_type": batch["event_type"],
+                "value": batch["value"].to_numpy().astype(np.float64),
+                "_cb": (
+                    (u.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(coarse_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    def duel_partials(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        same = g["user_id"].to_numpy()[:-1] == g["user_id"].to_numpy()[1:]
+        t1 = g["event_type"].to_numpy()[:-1][same]
+        t2 = g["event_type"].to_numpy()[1:][same]
+        v1 = g["value"].to_numpy()[:-1][same]
+        v2 = g["value"].to_numpy()[1:][same]
+        diff = t1 != t2
+        t1, t2, v1, v2 = t1[diff], t2[diff], v1[diff], v2[diff]
+        later_wins = v2 > v1  # tie -> the earlier event wins
+        win = np.where(later_wins, t2, t1)
+        lose = np.where(later_wins, t1, t2)
+        c = pd.DataFrame({"winner": win, "loser": lose}).groupby(
+            ["winner", "loser"], as_index=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "winner": c["winner"],
+                "loser": c["loser"],
+                "n": c["size"].astype("int64"),
+            }
+        )
+
+    pairs = (
+        events_ds.map_batches(tag, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(duel_partials, batch_format="pandas")
+        .to_pandas()  # bounded: <= T^2 rows per coarse bucket
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {
+                "item": pd.array([], dtype=object),
+                "wins": pd.array([], dtype="int64"),
+                "score": pd.array([], dtype="int64"),
+            }
+        )
+    pairs = pairs.groupby(["winner", "loser"], as_index=False)["n"].sum()
+    items = sorted(set(pairs["winner"]) | set(pairs["loser"]))
+    idx = {t: i for i, t in enumerate(items)}
+    wins = [0] * len(items)
+    # games[i][j] = duels between i and j regardless of outcome
+    games: dict[tuple[int, int], int] = {}
+    for w, l, n in pairs.itertuples(index=False):
+        wi, li, n = idx[w], idx[l], int(n)
+        wins[wi] += n
+        games[(wi, li)] = games.get((wi, li), 0) + n
+        games[(li, wi)] = games.get((li, wi), 0) + n
+    s = [int(scale)] * len(items)
+    s2 = int(scale) * int(scale)
+    for _ in range(iters):
+        d = [0] * len(items)
+        for (i, j), n in games.items():
+            d[i] += (n * s2) // (s[i] + s[j])
+        raw = [
+            ((wins[i] * s2) // d[i]) if d[i] > 0 else 0
+            for i in range(len(items))
+        ]
+        mx = max(raw)
+        if mx == 0:
+            s = raw
+            break
+        # winning items clamp to >= 1 micro-unit: a duel's denominator
+        # s_i + s_j can only vanish if BOTH sides are winless, and a
+        # dueling pair always contains a winner — so with the clamp no
+        # denominator is ever 0
+        s = [
+            max(1, (r * int(scale)) // mx) if r > 0 else 0 for r in raw
+        ]
+    out = pd.DataFrame(
+        {
+            "item": items,
+            "wins": np.array(wins, dtype=np.int64),
+            "score": np.array(s, dtype=np.int64),
+        }
+    )
+    return (
+        out.sort_values(["score", "item"], ascending=[False, True],
+                        kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"wins": "int64", "score": "int64"})
+    )

@@ -3958,3 +3958,86 @@ def test_kcenter_select_vs_bruteforce(ray_session):
     assert list(got["dist_sq"]) == [0] * 4
     # fewer points than k returns them all
     assert len(kcenter_select(ray.data.from_pandas(dd.head(2)), k=5)) == 2
+
+
+def test_bradley_terry_vs_scalar(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.rank import bradley_terry
+
+    rng = np.random.RandomState(17)
+    types = ["a", "b", "c", "z"]  # z always loses
+    rows = []
+    eid = 0
+    for uid in range(40):
+        n = rng.randint(2, 8)
+        for s in range(n):
+            t = types[rng.randint(0, 3)] if rng.rand() < 0.85 else "z"
+            v = float(rng.randint(0, 5))  # coarse values force ties
+            if t == "z":
+                v = -1.0  # z never wins a duel
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(minutes=eid),
+                    "user_id": uid,
+                    "event_type": t,
+                    "value": v,
+                }
+            )
+            eid += 1
+    df = pd.DataFrame(rows)
+
+    got = bradley_terry(
+        ray.data.from_pandas(df).repartition(7), iters=5
+    )
+
+    # independent scalar rederivation
+    duels = []
+    for _, g in df.sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    ).groupby("user_id"):
+        r = g.reset_index(drop=True)
+        for a in range(len(r) - 1):
+            t1, t2 = r.loc[a, "event_type"], r.loc[a + 1, "event_type"]
+            if t1 == t2:
+                continue
+            v1, v2 = r.loc[a, "value"], r.loc[a + 1, "value"]
+            duels.append((t2, t1) if v2 > v1 else (t1, t2))
+    from collections import Counter
+
+    p = Counter(duels)
+    items = sorted({x for d in duels for x in d})
+    idx = {t: i for i, t in enumerate(items)}
+    wins = [0] * len(items)
+    games = {}
+    for (w, l), n in p.items():
+        wins[idx[w]] += n
+        games[(idx[w], idx[l])] = games.get((idx[w], idx[l]), 0) + n
+        games[(idx[l], idx[w])] = games.get((idx[l], idx[w]), 0) + n
+    S = 10**6
+    s = [S] * len(items)
+    for _ in range(5):
+        d = [0] * len(items)
+        for (i, j), n in games.items():
+            d[i] += (n * S * S) // (s[i] + s[j])
+        raw = [
+            (wins[i] * S * S) // d[i] if d[i] > 0 else 0
+            for i in range(len(items))
+        ]
+        mx = max(raw)
+        if mx == 0:
+            s = raw
+            break
+        s = [max(1, (r * S) // mx) if r > 0 else 0 for r in raw]
+    want = sorted(zip(items, wins, s), key=lambda x: (-x[2], x[0]))
+    assert list(zip(got["item"], got["wins"], got["score"])) == want
+    # the planted always-loser fixes at score 0
+    assert got.loc[got["item"] == "z", "score"].iloc[0] == 0
+
+    # no duels at all -> empty result with stable schema
+    one = df.head(1)
+    empty = bradley_terry(ray.data.from_pandas(one))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["item", "wins", "score"]
