@@ -3775,6 +3775,29 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_hll_group(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type HLL register tables over user_id (stages/sketch.py
+    hll_group_registers) — mergeable approximate distinct-users-per-
+    segment sketches; batches contribute <= groups x 256 register rows
+    regardless of row count, merge = register-wise max in coarse
+    group-hash buckets.  Same pinned avalanche-hash contract as
+    hll_registers."""
+    import ray.data
+
+    from searchengines_ray.stages.sketch import hll_group_registers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = hll_group_registers(ev, p=8).to_pandas()
+    return (
+        out[["event_type", "bucket", "max_rho"]]
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+        .astype({"bucket": "int64", "max_rho": "int64"})
+    )
+
+
 def _q_bradley_terry(sf_dir: str) -> pd.DataFrame:
     """Bradley-Terry preference strengths via Hunter's MM iteration
     (stages/rank.py bradley_terry) — the RLHF preference-aggregation /
@@ -3914,6 +3937,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "hll_group": _q_hll_group,
         "bradley_terry": _q_bradley_terry,
         "kcenter_select": _q_kcenter_select,
         "heavy_hitters": _q_heavy_hitters,
@@ -8421,6 +8445,33 @@ def _oracle_sql_impl() -> dict[str, str]:
                    CAST(cell AS BIGINT) AS cell,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "hll_group": """
+            -- per-event-type HLL registers over user_id: the exact
+            -- hll_registers hash/rho contract with a group key
+            WITH h AS (
+              SELECT event_type,
+                     (((xor(h1, h1 // 65536) % 2147483648)
+                       * 2654435761) % 4294967296) AS h
+              FROM (
+                SELECT event_type,
+                       (((user_id % 2147483648) * 2654435761)
+                        % 4294967296) AS h1
+                FROM events
+              )
+            ),
+            r AS (
+              SELECT event_type, h % 256 AS bucket,
+                     COALESCE(
+                       (SELECT MIN(j) FROM generate_series(1, 24) s(j)
+                        WHERE ((h // 256) >> (24 - j)) & 1 = 1),
+                       25) AS rho
+              FROM h
+            )
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(rho) AS BIGINT) AS max_rho
+            FROM r GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
         """,
         "hll_registers": """
             -- HLL registers: avalanche Knuth-xor-Knuth 32-bit hash

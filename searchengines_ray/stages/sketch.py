@@ -293,3 +293,65 @@ def bloom_member(ds, bloom_bits: np.ndarray, text_col: str = "text",
         .groupby("_b")
         .map_groups(dedup, batch_format="pandas")
     )
+
+
+def hll_group_registers(ds, group_col: str = "event_type",
+                        key: str = "user_id", p: int = 8,
+                        coarse_buckets: int = 64):
+    """Per-group HyperLogLog register tables — the mergeable approximate
+    answer to "distinct users per segment" when the exact dedup shuffle
+    (:func:`~searchengines_ray.stages.windows.window_unique_users`) is
+    too expensive: each batch contributes at most ``groups_in_batch x
+    2^p`` register rows regardless of row count, merges are register-wise
+    MAX (order-free), and sketches for any union of groups combine
+    without re-reading data.
+
+    Same exact-integer hash/rho contract as :func:`hll_registers` (the
+    SQL-pinned avalanche hash); the merge is a coarse group-hash bucket +
+    vectorized per-bucket pandas max (never a Ray-native fine-key
+    groupby).  Returns a Dataset ``(group_col, bucket, max_rho)``.
+    """
+    import zlib
+
+    m = 1 << p
+    suffix_bits = 32 - p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _hll_hash(batch[key].to_numpy())
+        bucket = h % m
+        y = h // m
+        bl = np.zeros(len(y), np.int64)
+        tmp = y.copy()
+        while tmp.any():
+            nz = tmp > 0
+            bl[nz] += 1
+            tmp >>= 1
+        rho = np.where(y > 0, suffix_bits - bl + 1, suffix_bits + 1)
+        df = pd.DataFrame(
+            {group_col: batch[group_col], "bucket": bucket, "rho": rho}
+        )
+        g = df.groupby([group_col, "bucket"], as_index=False)["rho"].max()
+        cb = {
+            v: zlib.crc32(str(v).encode()) % coarse_buckets
+            for v in g[group_col].unique()
+        }
+        return pd.DataFrame(
+            {
+                group_col: g[group_col],
+                "bucket": g["bucket"].astype("int64"),
+                "max_rho": g["rho"].astype("int64"),
+                "_cb": g[group_col].map(cb).astype("int64"),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby([group_col, "bucket"], as_index=False)[
+            "max_rho"
+        ].max()
+        return g.astype({"bucket": "int64", "max_rho": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(merge, batch_format="pandas")
+    )

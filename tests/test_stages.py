@@ -4041,3 +4041,50 @@ def test_bradley_terry_vs_scalar(ray_session):
     empty = bradley_terry(ray.data.from_pandas(one))
     assert len(empty) == 0
     assert list(empty.columns) == ["item", "wins", "score"]
+
+
+def test_hll_group_registers_match_per_group_hll(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.sketch import (
+        hll_estimate,
+        hll_group_registers,
+        hll_registers,
+    )
+
+    rng = np.random.RandomState(23)
+    groups = ["a", "b", "c"]
+    sizes = {"a": 3000, "b": 400, "c": 25}
+    rows = []
+    for g in groups:
+        ids = rng.randint(0, 10**9, size=sizes[g] * 2)
+        for i in ids:  # duplicates on purpose
+            rows.append({"event_type": g, "user_id": int(i) % (sizes[g] * 3)})
+    df = pd.DataFrame(rows)
+
+    got = (
+        hll_group_registers(
+            ray.data.from_pandas(df).repartition(8), p=8
+        )
+        .to_pandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+
+    for g in groups:
+        sub = df[df["event_type"] == g][["user_id"]]
+        want = (
+            hll_registers(ray.data.from_pandas(sub), key="user_id", p=8)
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        gg = (
+            got[got["event_type"] == g][["bucket", "max_rho"]]
+            .reset_index(drop=True)
+        )
+        assert gg.equals(want.astype({"bucket": "int64", "max_rho": "int64"}))
+        # the estimator lands in the usual HLL accuracy band
+        true = sub["user_id"].nunique()
+        est = hll_estimate(gg, p=8)
+        assert abs(est - true) / true < 0.2
