@@ -3775,6 +3775,43 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Adamic-Adar link prediction over the undirected user <-> item
+    event graph (stages/graph.py adamic_adar): global top-50 co-neighbor
+    pairs, score = sum of floor(1e6/ln(deg z)) micro-units over shared
+    wedge centers z with 2 <= deg <= 64 (the cap is part of the
+    contract).  Two bucketed exchanges + combiner-first top-k."""
+    import ray.data
+
+    from searchengines_ray.stages.graph import adamic_adar
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .str.extract(r'"k": (\d+)', expand=False)
+            .astype("int64")
+        )
+        u = b["user_id"].to_numpy().astype(np.int64)
+        it = (1_000_000 + k).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([u, it]),
+                "dst": np.concatenate([it, u]),
+            }
+        )
+
+    out = adamic_adar(
+        ev.map_batches(to_edges, batch_format="pandas"),
+        cap=64,
+        topk=50,
+    )
+    return out.reset_index(drop=True)
+
+
 def _q_hll_group(sf_dir: str) -> pd.DataFrame:
     """Per-event-type HLL register tables over user_id (stages/sketch.py
     hll_group_registers) — mergeable approximate distinct-users-per-
@@ -3937,6 +3974,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "adamic_adar": _q_adamic_adar,
         "hll_group": _q_hll_group,
         "bradley_terry": _q_bradley_terry,
         "kcenter_select": _q_kcenter_select,
@@ -5535,6 +5573,41 @@ def oracle_sql() -> dict[str, str]:
         FROM s{len(_PII)} ORDER BY doc_id
     """
     )
+    # adamic_adar oracle: wedge self-join over the distinct undirected
+    # edge set with the SAME degree cap and floored-micro 1/ln(deg)
+    # term as the engine (libm ln, IEEE division — identical bits)
+    sqls["adamic_adar"] = """
+        WITH e0 AS (
+          SELECT user_id AS src,
+                 1000000 + CAST(regexp_extract(props,
+                   '"k": (\\d+)', 1) AS BIGINT) AS dst
+          FROM events
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst, src FROM e0)
+        ),
+        ctr AS MATERIALIZED (
+          SELECT src,
+                 CAST(FLOOR(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)))
+                      AS BIGINT) AS w
+          FROM e GROUP BY src
+          HAVING COUNT(*) BETWEEN 2 AND 64
+        ),
+        s AS MATERIALIZED (
+          SELECT e1.dst AS node_a, e2.dst AS node_b,
+                 CAST(SUM(ctr.w) AS BIGINT) AS score_micro
+          FROM ctr
+          JOIN e e1 ON e1.src = ctr.src
+          JOIN e e2 ON e2.src = ctr.src AND e1.dst < e2.dst
+          GROUP BY e1.dst, e2.dst
+        )
+        SELECT node_a, node_b, score_micro FROM s
+        QUALIFY ROW_NUMBER() OVER
+          (ORDER BY score_micro DESC, node_a, node_b) <= 50
+        ORDER BY score_micro DESC, node_a, node_b
+    """
     # bradley_terry oracle: LEAD-window duel derivation + 5 unrolled MM
     # rounds in exact HUGEINT floor arithmetic (all operands positive, so
     # DuckDB's truncating // equals floor); every per-round CTE is

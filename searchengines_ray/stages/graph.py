@@ -1287,3 +1287,146 @@ def random_walks(
             fr.map_batches(partial(stamp, t=t), batch_format="pandas")
         )
     return out
+
+
+def _pairs_within_groups(sizes: np.ndarray):
+    """Vectorized (i < j) pair enumeration within consecutive groups of
+    the given sizes over a flat array: returns global (left, right) index
+    arrays plus the group id per pair.  For each element at local
+    position t it appears as the RIGHT member of t pairs whose lefts are
+    local positions 0..t-1 — so pairs come out (j asc, i asc) per group,
+    no Python loop over groups."""
+    sizes = sizes.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    n = int(sizes.sum())
+    # local position of every element
+    local = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    right = np.repeat(np.arange(n, dtype=np.int64), local)
+    gid_row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    gid = np.repeat(gid_row, local)
+    p = int(local.sum())
+    excl = np.concatenate([[0], np.cumsum(local)[:-1]])
+    left_local = np.arange(p, dtype=np.int64) - np.repeat(excl, local)
+    left = np.repeat(starts[gid_row], local) + left_local
+    return left, right, gid
+
+
+def adamic_adar(edges_ds, cap: int = 64, topk: int = 50,
+                coarse_buckets: int = 256):
+    """Adamic-Adar link prediction (Adamic & Adar 2003): for every node
+    pair (a < b) sharing at least one neighbor, score = sum over common
+    neighbors z of 1/ln(deg z) — the classic "people/items you may also
+    like" co-neighbor signal.  Returns the exact global top-k pairs
+    ``(node_a, node_b, score_micro)``, tie-broken (score desc, a asc,
+    b asc).
+
+    Deterministic integer contract: each wedge center z with degree d
+    (2 <= d <= ``cap``) contributes ``floor(1e6 / ln(d))`` micro-units
+    (scalar libm ln once per unique degree) to every pair of its
+    neighbors; per-pair sums are order-free int64.  The degree cap is
+    PART OF THE CONTRACT (mirrored by the SQL oracle): hub centers cost
+    O(d^2) pairs while contributing the smallest terms, so capping is
+    the standard AA scale practice — without it one celebrity node
+    explodes the wedge join.
+
+    Plan: one src-bucketed shuffle builds per-center distinct sorted
+    neighbor groups (duplicate edges collapse there); pair enumeration is
+    fully vectorized (:func:`_pairs_within_groups`); per-pair partial
+    sums ride a packed-int64 pair key through a second bucketed exchange;
+    the exact global top-k uses the combiner-first grouped_topk.
+    """
+    import math
+
+    from .rank import grouped_topk
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        src = batch["src"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": src,
+                "dst": batch["dst"].to_numpy().astype(np.int64),
+                "_cb": _nbucket(src, coarse_buckets),
+            }
+        )
+
+    def wedge_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["src", "dst"]).sort_values(
+            ["src", "dst"], kind="mergesort"
+        )
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        centers, sizes = np.unique(src, return_counts=True)
+        ok = (sizes >= 2) & (sizes <= cap)
+        keep = np.repeat(ok, sizes)
+        dst = dst[keep]
+        sizes = sizes[ok]
+        if len(sizes) == 0:
+            return pd.DataFrame(
+                {
+                    "pair": pd.array([], dtype="int64"),
+                    "w": pd.array([], dtype="int64"),
+                }
+            )
+        if dst.min() < 0 or dst.max() >= (1 << 31):
+            raise ValueError(
+                "adamic_adar packs pairs into int64: node ids must be "
+                "in [0, 2^31)"
+            )
+        left, right, gid = _pairs_within_groups(sizes)
+        # libm ln once per unique degree (the frozen ln contract)
+        ud = np.unique(sizes)
+        term_by_deg = {
+            int(d): np.int64(math.floor(1e6 / math.log(d))) for d in ud
+        }
+        terms = np.fromiter(
+            (term_by_deg[int(d)] for d in sizes), np.int64, len(sizes)
+        )
+        a = dst[left]
+        b = dst[right]
+        # within a center's sorted neighbor list left < right => a < b;
+        # a == b is possible only via duplicate dst, removed above
+        pair = a * np.int64(1 << 31) + b  # node ids < 2^31 by contract
+        df = pd.DataFrame({"pair": pair, "w": terms[gid]})
+        c = df.groupby("pair", as_index=False)["w"].sum()
+        return c.astype({"pair": "int64", "w": "int64"})
+
+    def sum_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_cb"] = _nbucket(
+            batch["pair"].to_numpy().astype(np.int64), coarse_buckets
+        )
+        return batch
+
+    def sum_final(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby("pair", as_index=False)["w"].sum()
+        c["const"] = np.int64(0)
+        return c.astype({"pair": "int64", "w": "int64", "const": "int64"})
+
+    sums = (
+        edges_ds.map_batches(tag, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(wedge_pairs, batch_format="pandas")
+        .map_batches(sum_tag, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(sum_final, batch_format="pandas")
+    )
+    top = grouped_topk(
+        sums, by="const", val_col="w", k=topk, tie_col="pair"
+    ).to_pandas()
+    pair = top["pair"].to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "node_a": pair >> 31,
+            "node_b": pair & ((1 << 31) - 1),
+            "score_micro": top["w"].to_numpy().astype(np.int64),
+        }
+    )
+    return (
+        out.sort_values(
+            ["score_micro", "node_a", "node_b"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .reset_index(drop=True)
+        .astype("int64")
+    )

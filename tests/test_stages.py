@@ -4088,3 +4088,54 @@ def test_hll_group_registers_match_per_group_hll(ray_session):
         true = sub["user_id"].nunique()
         est = hll_estimate(gg, p=8)
         assert abs(est - true) / true < 0.2
+
+
+def test_adamic_adar_vs_bruteforce(ray_session):
+    import math
+    from collections import defaultdict
+
+    import ray.data
+
+    from searchengines_ray.stages.graph import adamic_adar
+
+    rng = np.random.RandomState(29)
+    edges = set()
+    # random bipartite-ish graph
+    for _ in range(300):
+        edges.add((int(rng.randint(0, 30)), 1000 + int(rng.randint(0, 20))))
+    # a hub center ABOVE the cap: its wedges must not contribute
+    for v in range(40):
+        edges.add((999, 2000 + v))
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    df = pd.DataFrame(sorted(und), columns=["src", "dst"])
+    # duplicate rows on purpose (must collapse before degrees)
+    df = pd.concat([df, df.head(50)], ignore_index=True)
+
+    got = adamic_adar(
+        ray.data.from_pandas(df).repartition(5), cap=8, topk=25
+    )
+
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+    score = defaultdict(int)
+    for z, ns in nbrs.items():
+        d = len(ns)
+        if not (2 <= d <= 8):
+            continue
+        w = math.floor(1e6 / math.log(d))
+        ns = sorted(ns)
+        for x in range(len(ns)):
+            for y in range(x + 1, len(ns)):
+                score[(ns[x], ns[y])] += w
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    want = [(a, b, s) for (a, b), s in want]
+    assert (
+        list(zip(got["node_a"], got["node_b"], got["score_micro"]))
+        == want
+    )
+    # the over-cap hub's leaves never pair
+    assert not ((got["node_a"] >= 2000) & (got["node_b"] >= 2000)).any()
