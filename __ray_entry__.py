@@ -3775,6 +3775,20 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_bleu_overlap(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level clipped n-gram overlap components (BLEU modified
+    precision, Papineni et al. 2002) between the deterministic hash
+    split's candidate (bucket < 200/1000) and reference docs
+    (stages/text.py bleu_overlap) — the split-memorization diagnostic.
+    Exact integer (matched, total) per n; one gram-bucketed shuffle,
+    the driver folds buckets x n ints."""
+    from searchengines_ray.stages.text import bleu_overlap
+
+    return bleu_overlap(
+        _docs(sf_dir), n_max=2, cand_permille=200
+    ).reset_index(drop=True)
+
+
 def _q_adamic_adar(sf_dir: str) -> pd.DataFrame:
     """Adamic-Adar link prediction over the undirected user <-> item
     event graph (stages/graph.py adamic_adar): global top-50 co-neighbor
@@ -3974,6 +3988,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "bleu_overlap": _q_bleu_overlap,
         "adamic_adar": _q_adamic_adar,
         "hll_group": _q_hll_group,
         "bradley_terry": _q_bradley_terry,
@@ -5573,6 +5588,45 @@ def oracle_sql() -> dict[str, str]:
         FROM s{len(_PII)} ORDER BY doc_id
     """
     )
+    # bleu_overlap oracle: the clipped-precision definition itself —
+    # split CASE is the hash_split contract, bigrams the list_zip idiom
+    sqls["bleu_overlap"] = """
+        WITH d AS (
+          SELECT ((((doc_id % 2147483648) * 2654435761)
+                   % 4294967296) % 1000) < 200 AS cand,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+          FROM documents
+        ),
+        g1 AS (SELECT cand, unnest(l) AS gram FROM d),
+        c1 AS (
+          SELECT gram,
+                 SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS c,
+                 SUM(CASE WHEN cand THEN 0 ELSE 1 END) AS r
+          FROM g1 GROUP BY gram
+        ),
+        z AS (
+          SELECT cand,
+                 unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS s
+          FROM d WHERE len(l) >= 2
+        ),
+        g2 AS (SELECT cand, s[1] || ' ' || s[2] AS gram FROM z),
+        c2 AS (
+          SELECT gram,
+                 SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS c,
+                 SUM(CASE WHEN cand THEN 0 ELSE 1 END) AS r
+          FROM g2 GROUP BY gram
+        )
+        SELECT CAST(1 AS BIGINT) AS n,
+               CAST(COALESCE(SUM(LEAST(c, r)), 0) AS BIGINT) AS matched,
+               CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total
+        FROM c1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               CAST(COALESCE(SUM(LEAST(c, r)), 0) AS BIGINT),
+               CAST(COALESCE(SUM(c), 0) AS BIGINT)
+        FROM c2
+        ORDER BY n
+    """
     # adamic_adar oracle: wedge self-join over the distinct undirected
     # edge set with the SAME degree cap and floored-micro 1/ln(deg)
     # term as the engine (libm ln, IEEE division — identical bits)

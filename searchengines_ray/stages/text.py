@@ -3591,3 +3591,129 @@ def heavy_hitters(ds, k: int = 100, cap: int | None = None) -> pd.DataFrame:
         ["cnt", "term"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
     return out.astype({"cnt": "int64"})
+
+
+def bleu_overlap(ds, n_max: int = 2, cand_permille: int = 200,
+                 buckets: int = 64) -> pd.DataFrame:
+    """Corpus-level clipped n-gram overlap — BLEU's modified-precision
+    components (Papineni et al. 2002) between a deterministic hash split
+    of the corpus (candidate = docs with Knuth bucket < ``cand_permille``
+    of 1000, reference = the rest): for each n,
+
+        matched_n = sum over grams g of min(C_g, R_g)
+        total_n   = sum over grams g of C_g
+
+    with C/R the candidate/reference corpus gram counts — the
+    memorization / split-overlap diagnostic (matched/total is the clipped
+    precision; this op ships the exact integer components and lets the
+    caller divide).
+
+    Scale design: per-batch UNIQUE-(n, gram, side) partial counts (the
+    ngram_counts combiner) ride ONE gram-bucketed shuffle; each bucket
+    folds its grams to ``n_max`` partial (matched, total) rows, so the
+    driver sums buckets x n_max integers — the gram table never leaves
+    the cluster.  Returns ``(n, matched, total)``, one row per n.
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    def partial(batch):
+        pa.set_cpu_count(1)
+        doc_ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        vocab, vids, parent, _ = _flat_word_stream_arr(
+            batch.column("text")
+        )
+        h = ((doc_ids % 2147483648) * 2654435761) % 4294967296
+        cand_doc = (h % 1000) < cand_permille
+        grams, cnts, ns, sides = [], [], [], []
+        for n in range(1, n_max + 1):
+            m = len(vids) - n + 1
+            if m <= 0:
+                continue
+            valid = parent[:m] == parent[n - 1:]
+            if not valid.any():
+                continue
+            arr = np.stack(
+                [vids[i: m + i][valid] for i in range(n)], axis=1
+            )
+            side = cand_doc[parent[:m][valid]].astype(np.int64)
+            key = np.concatenate([arr, side[:, None]], axis=1)
+            uniq, cnt = np.unique(key, axis=0, return_counts=True)
+            voc = np.asarray(vocab, dtype=object)
+            s = voc[uniq[:, 0]]
+            for i in range(1, n):
+                s = s + " " + voc[uniq[:, i]]
+            grams.append(s)
+            cnts.append(cnt.astype(np.int64))
+            ns.append(np.full(len(s), n, np.int64))
+            sides.append(uniq[:, -1].astype(np.int64))
+        if not grams:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "side": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int32()),
+                }
+            )
+        g = np.concatenate(grams)
+        return pa.table(
+            {
+                "n": pa.array(np.concatenate(ns)),
+                "gram": pa.array(g, pa.string()),
+                "side": pa.array(np.concatenate(sides)),
+                "cnt": pa.array(np.concatenate(cnts)),
+                "_b": pa.array(
+                    np.fromiter(
+                        (zlib.crc32(x.encode()) % buckets for x in g),
+                        np.int32,
+                        len(g),
+                    )
+                ),
+            }
+        )
+
+    def bucket_fold(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby(["n", "gram", "side"], as_index=False)[
+            "cnt"
+        ].sum()
+        w = c.pivot_table(
+            index=["n", "gram"],
+            columns="side",
+            values="cnt",
+            aggfunc="sum",
+            fill_value=0,
+        ).reset_index()
+        cc = w[1].to_numpy() if 1 in w.columns else np.zeros(len(w), np.int64)
+        rr = w[0].to_numpy() if 0 in w.columns else np.zeros(len(w), np.int64)
+        df = pd.DataFrame(
+            {
+                "n": w["n"].to_numpy().astype(np.int64),
+                "matched": np.minimum(cc, rr).astype(np.int64),
+                "total": cc.astype(np.int64),
+            }
+        )
+        out = df.groupby("n", as_index=False)[["matched", "total"]].sum()
+        return out.astype("int64")
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()  # bounded: buckets x n_max rows
+    )
+    base = pd.DataFrame({"n": np.arange(1, n_max + 1, dtype=np.int64)})
+    if len(parts):
+        agg = parts.groupby("n", as_index=False)[["matched", "total"]].sum()
+    else:
+        agg = pd.DataFrame(
+            {"n": pd.array([], dtype="int64"),
+             "matched": pd.array([], dtype="int64"),
+             "total": pd.array([], dtype="int64")}
+        )
+    out = base.merge(agg, on="n", how="left").fillna(0)
+    return out.astype("int64").reset_index(drop=True)

@@ -4139,3 +4139,57 @@ def test_adamic_adar_vs_bruteforce(ray_session):
     )
     # the over-cap hub's leaves never pair
     assert not ((got["node_a"] >= 2000) & (got["node_b"] >= 2000)).any()
+
+
+def test_bleu_overlap_vs_counter(ray_session):
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from searchengines_ray.stages.text import bleu_overlap
+
+    rng = np.random.RandomState(41)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        {
+            "doc_id": d,
+            "text": " ".join(rng.choice(vocab, size=rng.randint(0, 25))),
+        }
+        for d in range(300)
+    ]
+    rows.append({"doc_id": 300, "text": None})
+    df = pd.DataFrame(rows)
+
+    got = bleu_overlap(
+        ray.data.from_pandas(df).repartition(7), n_max=3,
+        cand_permille=300,
+    )
+
+    def cand(d):
+        return ((d % 2147483648) * 2654435761 % 4294967296) % 1000 < 300
+
+    C = {n: Counter() for n in (1, 2, 3)}
+    R = {n: Counter() for n in (1, 2, 3)}
+    for d, t in zip(df["doc_id"], df["text"]):
+        toks = re.findall(r"[0-9a-z]+", (t or "").lower())
+        tgt = C if cand(d) else R
+        for n in (1, 2, 3):
+            for i in range(len(toks) - n + 1):
+                tgt[n][" ".join(toks[i: i + n])] += 1
+    want = [
+        (
+            n,
+            sum(min(c, R[n][g]) for g, c in C[n].items()),
+            sum(C[n].values()),
+        )
+        for n in (1, 2, 3)
+    ]
+    assert list(zip(got["n"], got["matched"], got["total"])) == want
+
+    # empty corpus still yields one all-zero row per n
+    e = bleu_overlap(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": [5], "text": [None]})),
+        n_max=2,
+    )
+    assert list(e["matched"]) == [0, 0] and list(e["total"]) == [0, 0]
