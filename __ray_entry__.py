@@ -3775,6 +3775,55 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_lsh_registry(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup ingestion against a PERSISTED sketch registry
+    (stages/dedup.py lsh_registry_write/query): the corpus's bottom-k
+    sketches live as hive-partitioned parquet; an incoming batch (the
+    doc_id % 10 == 0 decile, ids remapped disjoint) reads ONLY the hash /
+    sketch partitions it touches (PathPartitionFilter — the IVF pruning
+    story) and keeps pairs with estimated jaccard >= 1/2 (integer
+    inter*2 >= denom).  The corpus is never rescanned."""
+    import shutil
+    import tempfile
+
+    from searchengines_ray.stages.dedup import (
+        lsh_registry_query,
+        lsh_registry_write,
+    )
+
+    docs = _docs(sf_dir)
+
+    def reg_side(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"].to_numpy() % 10 != 0]
+
+    def new_side(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["doc_id"].to_numpy() % 10 == 0].copy()
+        m["doc_id"] = m["doc_id"] + 10_000_000
+        return m
+
+    path = tempfile.mkdtemp(prefix="lshreg_", dir="/tmp")
+    try:
+        lsh_registry_write(
+            docs.map_batches(reg_side, batch_format="pandas"),
+            path,
+            parts=16,
+        )
+        out = lsh_registry_query(
+            docs.map_batches(new_side, batch_format="pandas"),
+            path,
+            tnum=1,
+            tden=2,
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    out["doc_id"] = out["doc_id"] - 10_000_000
+    return (
+        out.sort_values(["doc_id", "reg_doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def _q_bleu_overlap(sf_dir: str) -> pd.DataFrame:
     """Corpus-level clipped n-gram overlap components (BLEU modified
     precision, Papineni et al. 2002) between the deterministic hash
@@ -3988,6 +4037,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "lsh_registry": _q_lsh_registry,
         "bleu_overlap": _q_bleu_overlap,
         "adamic_adar": _q_adamic_adar,
         "hll_group": _q_hll_group,
@@ -5588,6 +5638,83 @@ def oracle_sql() -> dict[str, str]:
         FROM s{len(_PII)} ORDER BY doc_id
     """
     )
+    # lsh_registry oracle: the cross-side bottom-k estimator over the
+    # doc_id % 10 split — same sketch/estimate CTE chain as
+    # bottomk_neardup, candidate = shared sketch hash ACROSS sides,
+    # final filter = estimated jaccard >= 1/2 (integer)
+    sqls["lsh_registry"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[0-9a-z]+') AS ws
+          FROM documents
+        ),
+        wh AS (
+          SELECT doc_id,
+                 list_transform(ws, t ->
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(t, ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                     (a, c) -> (a * 131 + c) % 2147483647)) AS whs
+          FROM w WHERE len(ws) >= 4
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(whs) - 3),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                                       whs[i : i + 3]),
+                          (a, x) -> (a * 1000003 + x) % 2147483647)))
+                   AS sh
+          FROM wh
+        ),
+        sk AS MATERIALIZED (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, sh,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY sh) AS rn
+            FROM g) WHERE rn <= 16
+        ),
+        skn AS MATERIALIZED (
+          SELECT doc_id, sh FROM sk WHERE doc_id % 10 = 0),
+        skr AS MATERIALIZED (
+          SELECT doc_id, sh FROM sk WHERE doc_id % 10 <> 0),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM skn a JOIN skr b ON a.sh = b.sh
+        ),
+        pairsk AS (
+          SELECT c.da, c.db, s.sh, 1 AS ia, 0 AS ib
+          FROM cand c JOIN skn s ON s.doc_id = c.da
+          UNION ALL
+          SELECT c.da, c.db, s.sh, 0 AS ia, 1 AS ib
+          FROM cand c JOIN skr s ON s.doc_id = c.db
+        ),
+        tagged AS (
+          SELECT da, db, sh, MAX(ia) AS ia, MAX(ib) AS ib
+          FROM pairsk GROUP BY da, db, sh
+        ),
+        ranked AS (
+          SELECT da, db, ia, ib,
+                 ROW_NUMBER() OVER (PARTITION BY da, db
+                                    ORDER BY sh) AS rn,
+                 COUNT(*) OVER (PARTITION BY da, db) AS nu
+          FROM tagged
+        ),
+        est AS (
+          SELECT da, db,
+                 CAST(SUM(CASE WHEN ia = 1 AND ib = 1
+                                AND rn <= LEAST(16, nu)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+                 CAST(LEAST(16, MAX(nu)) AS BIGINT) AS denom
+          FROM ranked GROUP BY da, db
+        )
+        SELECT CAST(da AS BIGINT) AS doc_id,
+               CAST(db AS BIGINT) AS reg_doc_id, inter, denom
+        FROM est WHERE inter >= 1 AND inter * 2 >= denom
+        ORDER BY doc_id, reg_doc_id
+    """
     # bleu_overlap oracle: the clipped-precision definition itself —
     # split CASE is the hash_split contract, bigrams the list_zip idiom
     sqls["bleu_overlap"] = """

@@ -2315,7 +2315,6 @@ def bottomk_neardup(
 
     kn = np.uint64(2654435761)
     cb = np.uint64(coarse_buckets)
-    PAD = np.int64(1) << 62
 
     sk = bottomk_sketch_rows(ds, k=k, shingle=shingle).materialize()
 
@@ -2360,6 +2359,36 @@ def bottomk_neardup(
                 }
             )
         return pd.concat(frames, ignore_index=True)
+
+    pairs = (
+        sk.map_batches(sh_rows, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(cand_pairs, batch_format="pandas")
+    )
+    return bottomk_pair_estimates(
+        pairs, sk, k=k, min_inter=min_inter, coarse_buckets=coarse_buckets
+    )
+
+
+def bottomk_pair_estimates(pairs, blobs_ds, k: int = 16,
+                           min_inter: int = 1,
+                           coarse_buckets: int = 256):
+    """Vectorized bottom-k Jaccard estimates for a candidate-pair
+    Dataset: attach each endpoint's sketch blob through ONE doc-bucket
+    exchange (two slot rows per pair unioned with the blob rows — the
+    minhash consolidation shape), then compute every pair's
+    ``(inter, denom)`` union-bottom-k estimate per pair bucket with
+    pad-to-k matrices and a single np.sort — no per-pair Python.
+
+    ``pairs`` is a Dataset ``(doc_a, doc_b)``; ``blobs_ds`` a Dataset
+    ``(doc_id, sk)`` covering every endpoint (extra blobs are dropped by
+    the inner slot join).  Shared by :func:`bottomk_neardup`
+    (intra-corpus) and :func:`lsh_registry_query` (incoming batch vs a
+    persisted registry); the two endpoints of a pair must come from
+    disjoint id spaces or the same corpus."""
+    kn = np.uint64(2654435761)
+    cb = np.uint64(coarse_buckets)
+    PAD = np.int64(1) << 62
 
     def slot_rows(batch: pd.DataFrame) -> pd.DataFrame:
         pa_ = batch["doc_a"].to_numpy().astype(np.int64)
@@ -2454,16 +2483,284 @@ def bottomk_neardup(
         )
         return out.loc[out["inter"] >= min_inter]
 
-    pairs = (
-        sk.map_batches(sh_rows, batch_format="pandas")
-        .groupby("_sb")
-        .map_groups(cand_pairs, batch_format="pandas")
-        .map_batches(slot_rows, batch_format="pandas")
-    )
+    slotted = pairs.map_batches(slot_rows, batch_format="pandas")
     return (
-        pairs.union(sk.map_batches(blob_rows, batch_format="pandas"))
+        slotted.union(
+            blobs_ds.map_batches(blob_rows, batch_format="pandas")
+        )
         .groupby("_db")
         .map_groups(attach, batch_format="pandas")
         .groupby("_pb")
         .map_groups(estimate, batch_format="pandas")
+    )
+
+
+def lsh_registry_write(ds, path: str, k: int = 16, shingle: int = 4,
+                       parts: int = 32) -> dict:
+    """Persist a near-duplicate REGISTRY for incremental ingestion: the
+    corpus's bottom-k shingle sketches written as two hive-partitioned
+    parquet layouts under ``path`` —
+
+    - ``hashes/hp=<p>/`` — exploded ``(sh, doc_id)`` sketch-hash rows,
+      partitioned by ``hp = knuth(sh) % parts``: the candidate-probe side
+      (docs sharing any bottom-k hash are near-dup candidates);
+    - ``sketches/dp=<p>/`` — per-doc sketch blobs ``(doc_id, sk)``,
+      partitioned by ``dp = knuth(doc_id) % parts``: the verification
+      side;
+
+    plus ``meta.json`` (k, shingle, parts).  Both writes stream
+    (``write_parquet``, never a driver materialize).
+    :func:`lsh_registry_query` then dedups an INCOMING batch against the
+    registry reading ONLY the partitions its own hashes / candidate docs
+    touch (``PathPartitionFilter`` — the IVF probed-bytes pruning story),
+    without recomputing or rescanning the corpus.  Returns the meta dict.
+    """
+    import json
+    import os
+
+    kn = np.uint64(2654435761)
+
+    sk = bottomk_sketch_rows(ds, k=k, shingle=shingle).materialize()
+
+    def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        blobs = list(batch["sk"])
+        lens = np.asarray([len(b) // 8 for b in blobs], dtype=np.int64)
+        sh = (
+            np.frombuffer(b"".join(blobs), dtype=np.int64)
+            if blobs
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "sh": pd.array(sh, dtype="int64"),
+                "doc_id": pd.array(np.repeat(ids, lens), dtype="int64"),
+                "hp": pd.array(
+                    ((sh.astype(np.uint64) * kn) % np.uint64(parts)).astype(
+                        np.int64
+                    ),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def blob_part(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "sk": pd.array(list(batch["sk"]), dtype="object"),
+                "dp": pd.array(
+                    ((ids.astype(np.uint64) * kn) % np.uint64(parts)).astype(
+                        np.int64
+                    ),
+                    dtype="int64",
+                ),
+            }
+        )
+        return out
+
+    os.makedirs(path, exist_ok=True)
+    sk.map_batches(hash_rows, batch_format="pandas").write_parquet(
+        os.path.join(path, "hashes"), partition_cols=["hp"]
+    )
+    sk.map_batches(blob_part, batch_format="pandas").write_parquet(
+        os.path.join(path, "sketches"), partition_cols=["dp"]
+    )
+    meta = {"k": k, "shingle": shingle, "parts": parts}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
+                       min_inter: int = 1, coarse_buckets: int = 256):
+    """Near-dup matches of an INCOMING document batch against a persisted
+    :func:`lsh_registry_write` registry — the production incremental-
+    ingestion flow: the corpus is never rescanned, only the registry
+    partitions the batch actually touches are read.
+
+    Plan: sketch the incoming docs once (materialized — consumed by both
+    the probe and the verify); probe = the batch's exploded sketch hashes
+    joined per hash-bucket against ONLY the ``hashes/hp=<p>/`` partitions
+    whose ``hp`` appears in the batch (``PathPartitionFilter``);
+    candidate (new, registry) pairs then verify with the exact bottom-k
+    union estimator (:func:`bottomk_pair_estimates`), reading ONLY the
+    ``sketches/dp=<p>/`` partitions holding candidate registry docs.
+    Kept pairs satisfy ``inter * tden >= tnum * denom`` (estimated
+    jaccard >= tnum/tden, integer-exact).  Incoming and registry doc ids
+    MUST be disjoint (the pair estimator unions blob sides by id).
+    Returns a pandas DataFrame ``(doc_id, reg_doc_id, inter, denom)``
+    sorted (doc_id, reg_doc_id); candidate-bounded like every pair list.
+    """
+    import json
+    import os
+
+    import ray
+    import ray.data
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    k, shingle, parts = meta["k"], meta["shingle"], meta["parts"]
+    kn = np.uint64(2654435761)
+    cb = np.uint64(coarse_buckets)
+
+    nsk = bottomk_sketch_rows(new_ds, k=k, shingle=shingle).materialize()
+
+    def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        blobs = list(batch["sk"])
+        lens = np.asarray([len(b) // 8 for b in blobs], dtype=np.int64)
+        sh = (
+            np.frombuffer(b"".join(blobs), dtype=np.int64)
+            if blobs
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "sh": pd.array(sh, dtype="int64"),
+                "doc_id": pd.array(np.repeat(ids, lens), dtype="int64"),
+                "hp": pd.array(
+                    ((sh.astype(np.uint64) * kn) % np.uint64(parts)).astype(
+                        np.int64
+                    ),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    new_hashes = nsk.map_batches(
+        hash_rows, batch_format="pandas"
+    ).materialize()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype="int64"),
+            "reg_doc_id": pd.array([], dtype="int64"),
+            "inter": pd.array([], dtype="int64"),
+            "denom": pd.array([], dtype="int64"),
+        }
+    )
+    if new_hashes.count() == 0:
+        return empty
+    touched_hp = set(
+        int(x)
+        for x in new_hashes.select_columns(["hp"])
+        .to_pandas()["hp"]
+        .unique()
+    )  # bounded by `parts`
+
+    pf = PathPartitionFilter.of(
+        lambda kv: "hp" in kv and int(kv["hp"]) in touched_hp,
+        style="hive",
+        base_dir=os.path.join(path, "hashes"),
+    )
+    reg_hashes = ray.data.read_parquet(
+        os.path.join(path, "hashes"),
+        partition_filter=pf,
+        columns=["sh", "doc_id"],
+    )
+
+    def tag_side(side: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            sh = batch["sh"].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "sh": pd.array(sh, dtype="int64"),
+                    "doc_id": pd.array(
+                        batch["doc_id"].to_numpy().astype(np.int64),
+                        dtype="int64",
+                    ),
+                    "side": pd.array(
+                        np.full(len(sh), side, np.int64), dtype="int64"
+                    ),
+                    "_sb": pd.array(
+                        ((sh.astype(np.uint64) * kn) % cb).astype(np.int64),
+                        dtype="int64",
+                    ),
+                }
+            )
+
+        return fn
+
+    def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in group.groupby("sh", sort=False):
+            nids = np.unique(
+                sub.loc[sub["side"] == 1, "doc_id"].to_numpy()
+            )
+            rids = np.unique(
+                sub.loc[sub["side"] == 0, "doc_id"].to_numpy()
+            )
+            if len(nids) and len(rids):
+                out_a.append(np.repeat(nids, len(rids)))
+                out_b.append(np.tile(rids, len(nids)))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+            }
+        )
+        return df.drop_duplicates(["doc_a", "doc_b"]).astype("int64")
+
+    pairs = (
+        new_hashes.map_batches(tag_side(1), batch_format="pandas")
+        .union(
+            reg_hashes.map_batches(tag_side(0), batch_format="pandas")
+        )
+        .groupby("_sb")
+        .map_groups(cross_pairs, batch_format="pandas")
+        .materialize()  # consumed twice: reg-id extraction + estimation
+    )
+    if pairs.count() == 0:
+        return empty
+    # candidate registry ids -> the dp partitions to open (candidate-
+    # bounded driver array, the keep_best/minhash contract)
+    reg_ids = np.unique(
+        pairs.select_columns(["doc_b"]).to_pandas()["doc_b"].to_numpy()
+    )
+    touched_dp = set(
+        int(x)
+        for x in np.unique(
+            (reg_ids.astype(np.uint64) * kn) % np.uint64(parts)
+        )
+    )
+    pf2 = PathPartitionFilter.of(
+        lambda kv: "dp" in kv and int(kv["dp"]) in touched_dp,
+        style="hive",
+        base_dir=os.path.join(path, "sketches"),
+    )
+    reg_blobs = ray.data.read_parquet(
+        os.path.join(path, "sketches"),
+        partition_filter=pf2,
+        columns=["doc_id", "sk"],
+    )
+    est = bottomk_pair_estimates(
+        pairs,
+        nsk.union(reg_blobs),
+        k=k,
+        min_inter=min_inter,
+        coarse_buckets=coarse_buckets,
+    ).to_pandas()
+    if len(est) == 0:
+        return empty
+    keep = (
+        est["inter"].to_numpy() * np.int64(tden)
+        >= np.int64(tnum) * est["denom"].to_numpy()
+    )
+    out = est.loc[keep].rename(
+        columns={"doc_a": "doc_id", "doc_b": "reg_doc_id"}
+    )
+    return (
+        out[["doc_id", "reg_doc_id", "inter", "denom"]]
+        .sort_values(["doc_id", "reg_doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
     )

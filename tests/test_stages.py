@@ -4193,3 +4193,88 @@ def test_bleu_overlap_vs_counter(ray_session):
         n_max=2,
     )
     assert list(e["matched"]) == [0, 0] and list(e["total"]) == [0, 0]
+
+
+def test_lsh_registry_roundtrip_vs_bruteforce(ray_session):
+    import re
+    import shutil
+
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        lsh_registry_query,
+        lsh_registry_write,
+    )
+    from searchengines_ray.stages.text import _M31
+
+    vocab = [f"tok{i}" for i in range(200)]
+
+    def mktext(seed, mut=0):
+        r = np.random.RandomState(seed)
+        words = list(r.choice(vocab, size=30))
+        for _ in range(mut):
+            words[r.randint(len(words))] = str(r.choice(vocab))
+        return " ".join(words)
+
+    reg_rows = [{"doc_id": i, "text": mktext(i)} for i in range(100)]
+    new_rows = [
+        {"doc_id": 10000, "text": mktext(5)},  # exact dup of reg 5
+        {"doc_id": 10001, "text": mktext(17, mut=2)},  # near dup of 17
+        {"doc_id": 10002, "text": mktext(99999)},  # novel
+        {"doc_id": 10003, "text": None},
+        {"doc_id": 10004, "text": "a b"},  # too short for shingles
+    ]
+    path = "/tmp/lsh_reg_pytest"
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        lsh_registry_write(
+            ray.data.from_pandas(pd.DataFrame(reg_rows)).repartition(5),
+            path,
+            parts=8,
+        )
+        out = lsh_registry_query(
+            ray.data.from_pandas(pd.DataFrame(new_rows)).repartition(3),
+            path,
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def wordhash(w):
+        h = 0
+        for c in w.encode():
+            h = (h * 131 + c) % _M31
+        return h
+
+    def sketch(t, k=16, sh=4):
+        toks = re.findall(r"[0-9a-z]+", (t or "").lower())
+        if len(toks) < sh:
+            return []
+        whs = [wordhash(w) for w in toks]
+        gs = set()
+        for i in range(len(whs) - sh + 1):
+            a = 0
+            for x in whs[i: i + sh]:
+                a = (a * 1000003 + x) % _M31
+            gs.add(a)
+        return sorted(gs)[:k]
+
+    exp = []
+    for nr in new_rows:
+        sa = set(sketch(nr["text"]))
+        if not sa:
+            continue
+        for rr in reg_rows:
+            sb = set(sketch(rr["text"]))
+            if not sb or not (sa & sb):
+                continue
+            u = sorted(sa | sb)
+            ku = min(16, len(u))
+            inter = sum(1 for h in u[:ku] if h in sa and h in sb)
+            if inter >= 1 and inter * 2 >= ku:
+                exp.append((nr["doc_id"], rr["doc_id"], inter, ku))
+    exp.sort()
+    got = list(
+        zip(out["doc_id"], out["reg_doc_id"], out["inter"], out["denom"])
+    )
+    assert got == exp
+    assert (10000, 5, 16, 16) in got  # the exact dup scores 16/16
