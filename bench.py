@@ -300,6 +300,46 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
     ).materialize()
     timings["random_walks"] = time.perf_counter() - t0
 
+    # persisted LSH registry: build over the 90% registry side, then an
+    # incremental 200-doc incoming batch with partition-pruned reads.
+    # The SKETCH side prunes to candidate docs (the measurable win); the
+    # hash side must see every incoming hash, so its fraction only drops
+    # for tiny batches / many partitions — reported honestly as-is.
+    import tempfile
+
+    from searchengines_ray.stages.dedup import (
+        lsh_registry_query,
+        lsh_registry_write,
+    )
+
+    def reg_side(b):
+        return b[b["doc_id"].to_numpy() % 10 != 0]
+
+    def new_side(b):
+        ids = b["doc_id"].to_numpy()
+        m = b[(ids % 10 == 0) & (ids < 2000)].copy()
+        m["doc_id"] = m["doc_id"] + 10_000_000
+        return m
+
+    reg_path = tempfile.mkdtemp(prefix="lshreg_bench_", dir="/tmp")
+    try:
+        t0 = time.perf_counter()
+        lsh_registry_write(
+            docs.map_batches(reg_side, batch_format="pandas"),
+            reg_path,
+            parts=64,
+        )
+        timings["lsh_registry_write"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        reg_pairs, reg_stats = lsh_registry_query(
+            docs.map_batches(new_side, batch_format="pandas"),
+            reg_path,
+            return_stats=True,
+        )
+        timings["lsh_registry_query"] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(reg_path, ignore_errors=True)
+
     total = sum(timings.values())
     result = {
         "metric": "SPIMI index build + BM25 query batch + data pipelines",
@@ -315,6 +355,17 @@ def run_bench(num_cpus: int, sf_dir: str, repl: int, build_only: bool = False) -
         "ivf_bytes_nprobe2": int(ivf_bytes_np2),
         "ivf_bytes_full": int(ivf_bytes_full),
         "ivf_io_fraction": round(ivf_bytes_np2 / max(1, ivf_bytes_full), 3),
+        "lsh_registry_pairs": int(len(reg_pairs)),
+        "lsh_sketch_io_fraction": round(
+            reg_stats["sketch_bytes_probed"]
+            / max(1, reg_stats["sketch_bytes_total"]),
+            3,
+        ),
+        "lsh_hash_io_fraction": round(
+            reg_stats["hash_bytes_probed"]
+            / max(1, reg_stats["hash_bytes_total"]),
+            3,
+        ),
     }
     ray.shutdown()
     return result

@@ -2574,7 +2574,8 @@ def lsh_registry_write(ds, path: str, k: int = 16, shingle: int = 4,
 
 
 def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
-                       min_inter: int = 1, coarse_buckets: int = 256):
+                       min_inter: int = 1, coarse_buckets: int = 256,
+                       return_stats: bool = False):
     """Near-dup matches of an INCOMING document batch against a persisted
     :func:`lsh_registry_write` registry — the production incremental-
     ingestion flow: the corpus is never rescanned, only the registry
@@ -2592,6 +2593,9 @@ def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
     MUST be disjoint (the pair estimator unions blob sides by id).
     Returns a pandas DataFrame ``(doc_id, reg_doc_id, inter, denom)``
     sorted (doc_id, reg_doc_id); candidate-bounded like every pair list.
+    With ``return_stats=True`` also returns a dict of probed/total
+    partition counts and bytes for both layouts (the IVF
+    ``ivf_io_fraction`` evidence pattern).
     """
     import json
     import os
@@ -2641,14 +2645,39 @@ def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
             "denom": pd.array([], dtype="int64"),
         }
     )
-    if new_hashes.count() == 0:
-        return empty
-    touched_hp = set(
-        int(x)
-        for x in new_hashes.select_columns(["hp"])
-        .to_pandas()["hp"]
-        .unique()
-    )  # bounded by `parts`
+    def _stats(touched_hp, touched_dp):
+        def part_bytes(base, key, touched):
+            tot = prb = 0
+            for d in os.listdir(base):
+                if not d.startswith(key + "="):
+                    continue
+                sz = sum(
+                    os.path.getsize(os.path.join(base, d, f))
+                    for f in os.listdir(os.path.join(base, d))
+                )
+                tot += sz
+                if int(d.split("=", 1)[1]) in touched:
+                    prb += sz
+            return prb, tot
+
+        hb, ht = part_bytes(os.path.join(path, "hashes"), "hp", touched_hp)
+        sb, st = part_bytes(
+            os.path.join(path, "sketches"), "dp", touched_dp
+        )
+        return {
+            "parts": parts,
+            "hash_parts_probed": len(touched_hp),
+            "sketch_parts_probed": len(touched_dp),
+            "hash_bytes_probed": hb,
+            "hash_bytes_total": ht,
+            "sketch_bytes_probed": sb,
+            "sketch_bytes_total": st,
+        }
+
+    hp_col = new_hashes.select_columns(["hp"]).to_pandas()["hp"]
+    if len(hp_col) == 0:
+        return (empty, _stats(set(), set())) if return_stats else empty
+    touched_hp = set(int(x) for x in hp_col.unique())  # bounded by parts
 
     pf = PathPartitionFilter.of(
         lambda kv: "hp" in kv and int(kv["hp"]) in touched_hp,
@@ -2719,13 +2748,15 @@ def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
         .map_groups(cross_pairs, batch_format="pandas")
         .materialize()  # consumed twice: reg-id extraction + estimation
     )
-    if pairs.count() == 0:
-        return empty
     # candidate registry ids -> the dp partitions to open (candidate-
     # bounded driver array, the keep_best/minhash contract)
     reg_ids = np.unique(
         pairs.select_columns(["doc_b"]).to_pandas()["doc_b"].to_numpy()
     )
+    if len(reg_ids) == 0:
+        return (
+            (empty, _stats(touched_hp, set())) if return_stats else empty
+        )
     touched_dp = set(
         int(x)
         for x in np.unique(
@@ -2750,7 +2781,11 @@ def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
         coarse_buckets=coarse_buckets,
     ).to_pandas()
     if len(est) == 0:
-        return empty
+        return (
+            (empty, _stats(touched_hp, touched_dp))
+            if return_stats
+            else empty
+        )
     keep = (
         est["inter"].to_numpy() * np.int64(tden)
         >= np.int64(tnum) * est["denom"].to_numpy()
@@ -2758,9 +2793,10 @@ def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
     out = est.loc[keep].rename(
         columns={"doc_a": "doc_id", "doc_b": "reg_doc_id"}
     )
-    return (
+    res = (
         out[["doc_id", "reg_doc_id", "inter", "denom"]]
         .sort_values(["doc_id", "reg_doc_id"], kind="mergesort")
         .reset_index(drop=True)
         .astype("int64")
     )
+    return (res, _stats(touched_hp, touched_dp)) if return_stats else res
