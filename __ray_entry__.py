@@ -3775,6 +3775,24 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_anomaly_hours(sf_dir: str) -> pd.DataFrame:
+    """Trailing z-score anomalies over hourly event-type counts
+    (stages/windows.py anomaly_hours): hour flags when its count beats
+    the previous 24 dense-grid hours' mean by > 3 population stddevs —
+    ALL-INTEGER squared-form test (no sqrt/division), one bucketed count
+    shuffle, driver holds the (hours x types) grid only."""
+    import ray.data
+
+    from searchengines_ray.stages.windows import anomaly_hours
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return anomaly_hours(ev, window=24, z_milli=3000).reset_index(
+        drop=True
+    )
+
+
 def _q_lsh_registry(sf_dir: str) -> pd.DataFrame:
     """Incremental near-dup ingestion against a PERSISTED sketch registry
     (stages/dedup.py lsh_registry_write/query): the corpus's bottom-k
@@ -4037,6 +4055,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "anomaly_hours": _q_anomaly_hours,
         "lsh_registry": _q_lsh_registry,
         "bleu_overlap": _q_bleu_overlap,
         "adamic_adar": _q_adamic_adar,
@@ -5638,6 +5657,48 @@ def oracle_sql() -> dict[str, str]:
         FROM s{len(_PII)} ORDER BY doc_id
     """
     )
+    # anomaly_hours oracle: dense zero-filled hourly grid + exclusive
+    # 24-row window sums in HUGEINT; the squared z-test mirrors the
+    # engine's Python-int arithmetic exactly (all operands positive)
+    sqls["anomaly_hours"] = """
+        WITH e AS (
+          SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS h
+          FROM events
+        ),
+        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        types AS (SELECT DISTINCT event_type FROM e),
+        grid AS (
+          SELECT t.event_type, g.h
+          FROM types t CROSS JOIN (
+            SELECT unnest(generate_series((SELECT h0 FROM b),
+                                          (SELECT h1 FROM b))) AS h) g
+        ),
+        c AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2),
+        gc AS (
+          SELECT grid.event_type, grid.h,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS x
+          FROM grid LEFT JOIN c
+            ON grid.event_type = c.event_type AND grid.h = c.h
+        ),
+        w AS (
+          SELECT event_type, h, x,
+                 CAST(SUM(x) OVER win AS HUGEINT) AS s,
+                 CAST(SUM(x * x) OVER win AS HUGEINT) AS q,
+                 COUNT(*) OVER win AS nw
+          FROM gc
+          WINDOW win AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, h AS hour, x AS cnt
+        FROM w
+        WHERE nw = 24 AND (CAST(x AS HUGEINT) * 24 - s) > 0
+          AND (CAST(x AS HUGEINT) * 24 - s)
+              * (CAST(x AS HUGEINT) * 24 - s) * 1000000
+              > CAST(3000 AS HUGEINT) * 3000 * (24 * q - s * s)
+        ORDER BY event_type, hour
+    """
     # lsh_registry oracle: the cross-side bottom-k estimator over the
     # doc_id % 10 split — same sketch/estimate CTE chain as
     # bottomk_neardup, candidate = shared sketch hash ACROSS sides,

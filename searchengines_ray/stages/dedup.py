@@ -2674,9 +2674,12 @@ def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
             "sketch_bytes_total": st,
         }
 
-    hp_col = new_hashes.select_columns(["hp"]).to_pandas()["hp"]
-    if len(hp_col) == 0:
+    # count() is free metadata on the materialized dataset; the guard
+    # must run BEFORE select_columns/to_pandas — an empty Dataset drops
+    # its schema (the pinned edge-corpus contract) and KeyErrors
+    if new_hashes.count() == 0:
         return (empty, _stats(set(), set())) if return_stats else empty
+    hp_col = new_hashes.select_columns(["hp"]).to_pandas()["hp"]
     touched_hp = set(int(x) for x in hp_col.unique())  # bounded by parts
 
     pf = PathPartitionFilter.of(
@@ -2748,15 +2751,16 @@ def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
         .map_groups(cross_pairs, batch_format="pandas")
         .materialize()  # consumed twice: reg-id extraction + estimation
     )
+    # same guard-before-select rule on the materialized pair list
+    if pairs.count() == 0:
+        return (
+            (empty, _stats(touched_hp, set())) if return_stats else empty
+        )
     # candidate registry ids -> the dp partitions to open (candidate-
     # bounded driver array, the keep_best/minhash contract)
     reg_ids = np.unique(
         pairs.select_columns(["doc_b"]).to_pandas()["doc_b"].to_numpy()
     )
-    if len(reg_ids) == 0:
-        return (
-            (empty, _stats(touched_hp, set())) if return_stats else empty
-        )
     touched_dp = set(
         int(x)
         for x in np.unique(

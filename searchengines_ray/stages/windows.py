@@ -558,3 +558,103 @@ def event_transitions(events_ds, coarse_buckets: int = 256):
         .groupby("from_type")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def anomaly_hours(events_ds, window: int = 24, z_milli: int = 3000,
+                  coarse_buckets: int = 64) -> pd.DataFrame:
+    """Trailing z-score anomaly detection over hourly event-type counts —
+    the rate-spike monitor of an ingestion pipeline: hour h of type t is
+    anomalous when its count exceeds the mean of the previous ``window``
+    hours by more than ``z_milli``/1000 population standard deviations.
+
+    ALL-INTEGER contract (no sqrt, no division): with x the current
+    count, s / q the sum / sum-of-squares over the n = ``window``
+    previous hours of the DENSE zero-filled hourly grid, the test is
+
+        x*n - s > 0  AND  (x*n - s)^2 * 10^6  >  z_milli^2 * (n*q - s^2)
+
+    — the squared form of ``(x - s/n) > z * sqrt(q/n - (s/n)^2)``,
+    evaluated in unbounded Python ints (SQL mirror: HUGEINT window
+    sums).  Hours with fewer than ``window`` predecessors in the grid
+    never flag.
+
+    Scale posture: the distributed work is ONE bucketed (type, hour)
+    count aggregation over the unbounded event stream; the driver then
+    holds only the dense grid — (time-range-in-hours x types) rows,
+    bounded by the clock, not by event count.  Returns a DataFrame
+    ``(event_type, hour, cnt)`` of anomalous hours sorted
+    (event_type, hour); ``hour`` is the epoch hour.
+    """
+    import zlib
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            batch["ts"].astype("datetime64[us]").astype("int64")
+            // 3_600_000_000
+        )
+        df = pd.DataFrame({"event_type": batch["event_type"], "h": h})
+        c = df.groupby(["event_type", "h"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "event_type": c["event_type"],
+                "h": c["h"].astype("int64"),
+                "n": c["size"].astype("int64"),
+                "_cb": c["event_type"].map(
+                    lambda t: zlib.crc32(str(t).encode()) % coarse_buckets
+                ).astype("int64"),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby(["event_type", "h"], as_index=False)["n"].sum()
+        return c.astype({"h": "int64", "n": "int64"})
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # bounded: hours-in-range x types
+    )
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.array([], dtype=object),
+            "hour": pd.array([], dtype="int64"),
+            "cnt": pd.array([], dtype="int64"),
+        }
+    )
+    if len(counts) == 0:
+        return empty
+    h0, h1 = int(counts["h"].min()), int(counts["h"].max())
+    hours = np.arange(h0, h1 + 1, dtype=np.int64)
+    out_t, out_h, out_c = [], [], []
+    zz = int(z_milli) * int(z_milli)
+    n = int(window)
+    for t in sorted(counts["event_type"].unique()):
+        sub = counts[counts["event_type"] == t]
+        x = np.zeros(len(hours), dtype=np.int64)
+        x[sub["h"].to_numpy() - h0] = sub["n"].to_numpy()
+        xs = [int(v) for v in x]
+        s = q = 0
+        for i, xi in enumerate(xs):
+            if i >= n:
+                lhs = xi * n - s
+                if lhs > 0 and lhs * lhs * 1_000_000 > zz * (n * q - s * s):
+                    out_t.append(t)
+                    out_h.append(h0 + i)
+                    out_c.append(xi)
+            # slide the exclusive trailing window: after adding x_i the
+            # sums cover xs[i-n+1..i] once xs[i-n] drops, so the NEXT
+            # iteration tests exactly the n preceding hours
+            s += xi
+            q += xi * xi
+            if i >= n:
+                old = xs[i - n]
+                s -= old
+                q -= old * old
+    return pd.DataFrame(
+        {
+            "event_type": pd.array(out_t, dtype=object),
+            "hour": pd.array(out_h, dtype="int64"),
+            "cnt": pd.array(out_c, dtype="int64"),
+        }
+    )

@@ -4278,3 +4278,103 @@ def test_lsh_registry_roundtrip_vs_bruteforce(ray_session):
     )
     assert got == exp
     assert (10000, 5, 16, 16) in got  # the exact dup scores 16/16
+
+
+def test_anomaly_hours_vs_bruteforce(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.windows import anomaly_hours
+
+    rng = np.random.RandomState(37)
+    base = pd.Timestamp("2024-02-01")
+    rows = []
+    eid = 0
+    # two types: steady background + one planted spike hour each
+    for t, lam, spike_hour, spike_n in [
+        ("a", 3, 100, 30),
+        ("b", 1, 200, 15),
+    ]:
+        for h in range(300):
+            n = int(rng.poisson(lam)) + (spike_n if h == spike_hour else 0)
+            for _ in range(n):
+                rows.append(
+                    {
+                        "event_type": t,
+                        "ts": base
+                        + pd.Timedelta(hours=h)
+                        + pd.Timedelta(minutes=int(rng.randint(0, 60))),
+                    }
+                )
+                eid += 1
+    df = pd.DataFrame(rows)
+
+    got = anomaly_hours(
+        ray.data.from_pandas(df).repartition(7), window=24, z_milli=3000
+    )
+
+    # independent scalar reimplementation over the dense grid
+    h = (
+        df["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000
+    ).to_numpy()
+    h0, h1 = int(h.min()), int(h.max())
+    want = []
+    for t in sorted(df["event_type"].unique()):
+        x = np.zeros(h1 - h0 + 1, dtype=np.int64)
+        hh = h[(df["event_type"] == t).to_numpy()]
+        for v in hh:
+            x[v - h0] += 1
+        for i in range(24, len(x)):
+            win = [int(v) for v in x[i - 24: i]]
+            s, q = sum(win), sum(v * v for v in win)
+            lhs = int(x[i]) * 24 - s
+            if lhs > 0 and lhs * lhs * 10**6 > 3000**2 * (24 * q - s * s):
+                want.append((t, h0 + i, int(x[i])))
+    assert list(zip(got["event_type"], got["hour"], got["cnt"])) == want
+    # the planted spikes flag
+    flagged = set(zip(got["event_type"], got["hour"]))
+    base_h = int(
+        pd.Timestamp("2024-02-01").value // 10**3 // 3_600_000_000
+    )
+    assert ("a", base_h + 100) in flagged
+    assert ("b", base_h + 200) in flagged
+
+    # empty input -> empty stable schema
+    e = anomaly_hours(
+        ray.data.from_pandas(df.head(1)).filter(lambda r: False)
+    )
+    assert len(e) == 0 and list(e.columns) == ["event_type", "hour", "cnt"]
+
+
+def test_lsh_registry_empty_incoming(ray_session):
+    import shutil
+
+    import ray.data
+
+    from searchengines_ray.stages.dedup import (
+        lsh_registry_query,
+        lsh_registry_write,
+    )
+
+    reg = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": [f"alpha beta gamma delta epsilon {i}" for i in range(20)],
+        }
+    )
+    # incoming: all null/too-short -> zero sketches (the edge-corpus
+    # shape that KeyError'd on the schema-less empty Dataset)
+    new = pd.DataFrame(
+        {"doc_id": [1000, 1001], "text": [None, "a b"]}
+    )
+    path = "/tmp/lsh_reg_empty_pytest"
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        lsh_registry_write(ray.data.from_pandas(reg), path, parts=4)
+        out, stats = lsh_registry_query(
+            ray.data.from_pandas(new), path, return_stats=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "reg_doc_id", "inter", "denom"]
+    assert stats["hash_parts_probed"] == 0
