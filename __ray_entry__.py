@@ -3775,6 +3775,45 @@ def _q_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_kcore_peel(sf_dir: str) -> pd.DataFrame:
+    """R-round k-core peeling (Seidman 1983; stages/graph.py kcore_peel)
+    over the high-value (value > 170) user <-> item event graph — the
+    dense-subgraph skeleton filter.  k=3, rounds=4 (the R-round bound is
+    part of the contract; peeling is idempotent once quiescent, so the
+    engine's early stop equals the oracle's unrolled rounds).  Adaptive
+    local fast path pinned bit-equal to the distributed
+    degree-count + two-semi-join rounds."""
+    import ray.data
+
+    from searchengines_ray.stages.graph import kcore_peel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "props", "value"],
+    )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["value"].to_numpy() > 170.0]
+        kk = (
+            m["props"]
+            .str.extract(r'"k": (\d+)', expand=False)
+            .astype("int64")
+        )
+        u = m["user_id"].to_numpy().astype(np.int64)
+        it = (1_000_000 + kk).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([u, it]),
+                "dst": np.concatenate([it, u]),
+            }
+        )
+
+    out = kcore_peel(
+        ev.map_batches(to_edges, batch_format="pandas"), k=3, rounds=4
+    )
+    return out.reset_index(drop=True)
+
+
 def _q_anomaly_hours(sf_dir: str) -> pd.DataFrame:
     """Trailing z-score anomalies over hourly event-type counts
     (stages/windows.py anomaly_hours): hour flags when its count beats
@@ -4055,6 +4094,7 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROUND-5 NEW ENTRIES FIRST (driver samples the first 50):
+        "kcore_peel": _q_kcore_peel,
         "anomaly_hours": _q_anomaly_hours,
         "lsh_registry": _q_lsh_registry,
         "bleu_overlap": _q_bleu_overlap,
@@ -5657,6 +5697,25 @@ def oracle_sql() -> dict[str, str]:
         FROM s{len(_PII)} ORDER BY doc_id
     """
     )
+    sqls["kcore_peel"] = """
+        -- 4 unrolled peel rounds over the symmetrized distinct
+        -- high-value edge set; the final HAVING mirrors the engine's
+        -- last-round survivor filter
+        WITH ke0 AS (
+          SELECT user_id AS src,
+                 1000000 + CAST(regexp_extract(props,
+                   '"k": (\\d+)', 1) AS BIGINT) AS dst
+          FROM events WHERE value > 170
+        ),\n        kb0 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM ke0
+            UNION ALL SELECT dst, src FROM ke0)
+          WHERE src <> dst
+        ),\n        ks1 AS MATERIALIZED (SELECT src AS node FROM kb0 GROUP BY src HAVING COUNT(*) >= 3),\n        kb1 AS MATERIALIZED (SELECT e.src, e.dst FROM kb0 e JOIN ks1 a ON e.src = a.node JOIN ks1 b ON e.dst = b.node),\n        ks2 AS MATERIALIZED (SELECT src AS node FROM kb1 GROUP BY src HAVING COUNT(*) >= 3),\n        kb2 AS MATERIALIZED (SELECT e.src, e.dst FROM kb1 e JOIN ks2 a ON e.src = a.node JOIN ks2 b ON e.dst = b.node),\n        ks3 AS MATERIALIZED (SELECT src AS node FROM kb2 GROUP BY src HAVING COUNT(*) >= 3),\n        kb3 AS MATERIALIZED (SELECT e.src, e.dst FROM kb2 e JOIN ks3 a ON e.src = a.node JOIN ks3 b ON e.dst = b.node),\n        ks4 AS MATERIALIZED (SELECT src AS node FROM kb3 GROUP BY src HAVING COUNT(*) >= 3),\n        kb4 AS MATERIALIZED (SELECT e.src, e.dst FROM kb3 e JOIN ks4 a ON e.src = a.node JOIN ks4 b ON e.dst = b.node)
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM kb4 GROUP BY src HAVING COUNT(*) >= 3
+        ORDER BY node
+    """
     # anomaly_hours oracle: dense zero-filled hourly grid + exclusive
     # 24-row window sums in HUGEINT; the squared z-test mirrors the
     # engine's Python-int arithmetic exactly (all operands positive)

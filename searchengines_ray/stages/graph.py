@@ -1430,3 +1430,183 @@ def adamic_adar(edges_ds, cap: int = 64, topk: int = 50,
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+KCORE_LOCAL_MAX_EDGES = 200_000
+
+
+def kcore_peel(edges_ds, k: int = 8, rounds: int = 6,
+               coarse_buckets: int = 64,
+               local_max_edges: int = KCORE_LOCAL_MAX_EDGES) -> pd.DataFrame:
+    """R-round k-core peeling (Seidman 1983 "Network structure and
+    minimum degree") over the undirected distinct-neighbor graph — the
+    dense-subgraph / spam-farm / community-skeleton filter: each round
+    SIMULTANEOUSLY removes every node with fewer than ``k`` surviving
+    distinct neighbors, ``rounds`` times.
+
+    The R-round bound is PART OF THE CONTRACT (the bounded-iteration
+    production job; the exact k-core is the fixpoint).  Peeling is
+    idempotent once quiescent, so the engine's early-stop on a no-change
+    round returns exactly the R-round result the SQL oracle's unrolled
+    CTEs compute.  Input rows are directed ``(src, dst)``; the op
+    symmetrizes and dedups first, so degree = distinct neighbors.
+
+    Plan: one src-bucketed symmetrize+dedup exchange; per round ONE
+    bucketed degree count and TWO semi-joins (src / dst endpoint kept
+    iff its node survives) — the connected-components cost shape, R
+    times.  Adaptive local fast path at <= ``local_max_edges`` deduped
+    edges solves all rounds in one task (np.unique degree counts +
+    boolean masks), pinned bit-equal to the distributed plan;
+    ``local_max_edges=0`` forces distributed.  Returns the surviving
+    ``(node, degree)`` table sorted node asc (degree within the
+    surviving subgraph).
+    """
+    from .joins import hash_equijoin
+
+    def sym_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy().astype(np.int64)
+        d = batch["dst"].to_numpy().astype(np.int64)
+        keep = s != d  # self-loops never count toward degree
+        s, d = s[keep], d[keep]
+        ss = np.concatenate([s, d])
+        dd = np.concatenate([d, s])
+        df = pd.DataFrame({"src": ss, "dst": dd}).drop_duplicates()
+        df["_sb"] = _nbucket(df["src"].to_numpy(), coarse_buckets)
+        return df
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["src", "dst"]].drop_duplicates()
+
+    ewd = (
+        edges_ds.map_batches(sym_partial, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    empty = pd.DataFrame(
+        {
+            "node": pd.array([], dtype="int64"),
+            "degree": pd.array([], dtype="int64"),
+        }
+    )
+    n_edges = ewd.count()
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= local_max_edges:
+        df = ewd.to_pandas()
+        src = df["src"].to_numpy().astype(np.int64)
+        dst = df["dst"].to_numpy().astype(np.int64)
+        for _ in range(rounds):
+            nodes_l, deg = np.unique(src, return_counts=True)
+            alive = nodes_l[deg >= k]
+            m = np.isin(src, alive) & np.isin(dst, alive)
+            if m.all():
+                break  # quiescent: further rounds are no-ops
+            src, dst = src[m], dst[m]
+            if len(src) == 0:
+                return empty
+        nodes_l, deg = np.unique(src, return_counts=True)
+        keep = deg >= k  # nodes peeled in the LAST round drop too
+        if rounds == 0:
+            keep = np.ones(len(nodes_l), bool)
+        return pd.DataFrame(
+            {
+                "node": nodes_l[keep] if rounds > 0 else nodes_l,
+                "degree": deg[keep] if rounds > 0 else deg,
+            }
+        ).astype("int64")
+
+    import ray.data  # noqa: F401  (Dataset ops below)
+
+    cur = ewd
+    schema_hint = {"src": np.dtype("int64"), "dst": np.dtype("int64")}
+    surv_hint = {"node": np.dtype("int64")}
+    for _ in range(rounds):
+        def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = batch.groupby("src", as_index=False).size()
+            out = pd.DataFrame(
+                {
+                    "src": c["src"].astype("int64"),
+                    "n": c["size"].astype("int64"),
+                }
+            )
+            out["_cb"] = _nbucket(out["src"].to_numpy(), coarse_buckets)
+            return out
+
+        def deg_final(group: pd.DataFrame) -> pd.DataFrame:
+            c = group.groupby("src", as_index=False)["n"].sum()
+            alive = c.loc[c["n"] >= k, ["src"]].rename(
+                columns={"src": "node"}
+            )
+            return alive.astype("int64")
+
+        survivors = (
+            cur.map_batches(deg_partial, batch_format="pandas")
+            .groupby("_cb")
+            .map_groups(deg_final, batch_format="pandas")
+            .materialize()  # consumed by two semi-joins
+        )
+        nxt = hash_equijoin(
+            cur,
+            survivors,
+            left_on="src",
+            right_on="node",
+            how="semi",
+            coarse_buckets=coarse_buckets,
+            left_schema_hint=schema_hint,
+            right_schema_hint=surv_hint,
+        )
+        nxt = hash_equijoin(
+            nxt,
+            survivors,
+            left_on="dst",
+            right_on="node",
+            how="semi",
+            coarse_buckets=coarse_buckets,
+            left_schema_hint=schema_hint,
+            right_schema_hint=surv_hint,
+        ).materialize()
+        n_next = nxt.count()
+        if n_next == 0:
+            return empty
+        if n_next == cur.count():
+            cur = nxt
+            break  # quiescent
+        cur = nxt
+
+    def final_deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch.groupby("src", as_index=False).size()
+        out = pd.DataFrame(
+            {
+                "src": c["src"].astype("int64"),
+                "n": c["size"].astype("int64"),
+            }
+        )
+        out["_cb"] = _nbucket(out["src"].to_numpy(), coarse_buckets)
+        return out
+
+    def final_deg(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby("src", as_index=False)["n"].sum()
+        keep = c.loc[c["n"] >= k]
+        return pd.DataFrame(
+            {
+                "node": keep["src"].astype("int64"),
+                "degree": keep["n"].astype("int64"),
+            }
+        )
+
+    out = (
+        cur.map_batches(final_deg_partial, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(final_deg, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    return (
+        out.sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )

@@ -4378,3 +4378,69 @@ def test_lsh_registry_empty_incoming(ray_session):
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "reg_doc_id", "inter", "denom"]
     assert stats["hash_parts_probed"] == 0
+
+
+def test_kcore_peel_vs_bruteforce_both_paths(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.graph import kcore_peel
+
+    def brute(edges, k, rounds):
+        E = set()
+        for s, d in edges:
+            if s != d:
+                E.add((s, d))
+                E.add((d, s))
+        for _ in range(rounds):
+            deg = {}
+            for s, d in E:
+                deg[s] = deg.get(s, 0) + 1
+            alive = {n for n, c in deg.items() if c >= k}
+            E2 = {(s, d) for s, d in E if s in alive and d in alive}
+            if E2 == E:
+                break
+            E = E2
+            if not E:
+                return []
+        deg = {}
+        for s, d in E:
+            deg[s] = deg.get(s, 0) + 1
+        return sorted((n, c) for n, c in deg.items() if c >= k)
+
+    # clique (survives) + path (peels from the ends) + bridge +
+    # pendants + self loops + duplicate rows
+    edges = []
+    clique = list(range(100, 108))
+    for i in clique:
+        for j in clique:
+            if i < j:
+                edges.append((i, j))
+    path = list(range(200, 230))
+    edges += list(zip(path[:-1], path[1:]))
+    edges += [(100, 200), (5, 5), (6, 6)]
+    edges += [(i, 300 + i) for i in clique]
+    edges += edges[:10]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    for k, r in [(2, 3), (2, 50), (3, 2), (7, 4)]:
+        want = brute(edges, k, r)
+        got = kcore_peel(
+            ray.data.from_pandas(df).repartition(5), k=k, rounds=r
+        )
+        assert list(zip(got["node"], got["degree"])) == want
+    # forced-distributed plan pinned bit-equal (small round counts:
+    # each distributed round pays ~3 shuffle barriers)
+    for k, r in [(2, 3), (3, 2)]:
+        want = brute(edges, k, r)
+        got = kcore_peel(
+            ray.data.from_pandas(df).repartition(5),
+            k=k,
+            rounds=r,
+            local_max_edges=0,
+        )
+        assert list(zip(got["node"], got["degree"])) == want
+    # all-self-loop graph -> empty with stable schema
+    e = kcore_peel(
+        ray.data.from_pandas(pd.DataFrame({"src": [1], "dst": [1]})), k=2
+    )
+    assert len(e) == 0 and list(e.columns) == ["node", "degree"]
