@@ -5969,11 +5969,15 @@ def oracle_sql() -> dict[str, str]:
         )
         _bt_ctes.append(
             f"""s{_t} AS MATERIALIZED (
-          SELECT i, CASE WHEN r > 0
-                    THEN GREATEST(CAST(1 AS HUGEINT),
-                         (r * {_bt_scale}) // (SELECT MAX(r) FROM r{_t}))
-                    ELSE CAST(0 AS HUGEINT) END AS s
-          FROM r{_t}
+          SELECT r.i,
+                 CASE WHEN (SELECT MAX(r2.r) FROM r{_t} r2) = 0 THEN p.s
+                      WHEN w.w > 0
+                      THEN GREATEST(CAST(1 AS HUGEINT),
+                           (r.r * {_bt_scale})
+                             // (SELECT MAX(r2.r) FROM r{_t} r2))
+                      ELSE CAST(0 AS HUGEINT) END AS s
+          FROM r{_t} r JOIN s{_t - 1} p ON r.i = p.i
+                       JOIN wins w ON r.i = w.i
         )"""
         )
     sqls["bradley_terry"] = (

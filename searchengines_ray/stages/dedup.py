@@ -2495,6 +2495,35 @@ def bottomk_pair_estimates(pairs, blobs_ds, k: int = 16,
     )
 
 
+def _sketch_hash_rows(batch: pd.DataFrame, parts: int) -> pd.DataFrame:
+    """Explode per-doc bottom-k sketch blobs into ``(sh, doc_id, hp)``
+    rows with the registry's hash-partition fold — ONE implementation
+    shared by :func:`lsh_registry_write` (the written layout) and
+    :func:`lsh_registry_query` (the probe), so the partition key can
+    never silently desync between the two sides."""
+    kn = np.uint64(2654435761)
+    ids = batch["doc_id"].to_numpy().astype(np.int64)
+    blobs = list(batch["sk"])
+    lens = np.asarray([len(b) // 8 for b in blobs], dtype=np.int64)
+    sh = (
+        np.frombuffer(b"".join(blobs), dtype=np.int64)
+        if blobs
+        else np.empty(0, dtype=np.int64)
+    )
+    return pd.DataFrame(
+        {
+            "sh": pd.array(sh, dtype="int64"),
+            "doc_id": pd.array(np.repeat(ids, lens), dtype="int64"),
+            "hp": pd.array(
+                ((sh.astype(np.uint64) * kn) % np.uint64(parts)).astype(
+                    np.int64
+                ),
+                dtype="int64",
+            ),
+        }
+    )
+
+
 def lsh_registry_write(ds, path: str, k: int = 16, shingle: int = 4,
                        parts: int = 32) -> dict:
     """Persist a near-duplicate REGISTRY for incremental ingestion: the
@@ -2523,26 +2552,7 @@ def lsh_registry_write(ds, path: str, k: int = 16, shingle: int = 4,
     sk = bottomk_sketch_rows(ds, k=k, shingle=shingle).materialize()
 
     def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy().astype(np.int64)
-        blobs = list(batch["sk"])
-        lens = np.asarray([len(b) // 8 for b in blobs], dtype=np.int64)
-        sh = (
-            np.frombuffer(b"".join(blobs), dtype=np.int64)
-            if blobs
-            else np.empty(0, dtype=np.int64)
-        )
-        return pd.DataFrame(
-            {
-                "sh": pd.array(sh, dtype="int64"),
-                "doc_id": pd.array(np.repeat(ids, lens), dtype="int64"),
-                "hp": pd.array(
-                    ((sh.astype(np.uint64) * kn) % np.uint64(parts)).astype(
-                        np.int64
-                    ),
-                    dtype="int64",
-                ),
-            }
-        )
+        return _sketch_hash_rows(batch, parts)
 
     def blob_part(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy().astype(np.int64)
@@ -2613,26 +2623,7 @@ def lsh_registry_query(new_ds, path: str, tnum: int = 1, tden: int = 2,
     nsk = bottomk_sketch_rows(new_ds, k=k, shingle=shingle).materialize()
 
     def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy().astype(np.int64)
-        blobs = list(batch["sk"])
-        lens = np.asarray([len(b) // 8 for b in blobs], dtype=np.int64)
-        sh = (
-            np.frombuffer(b"".join(blobs), dtype=np.int64)
-            if blobs
-            else np.empty(0, dtype=np.int64)
-        )
-        return pd.DataFrame(
-            {
-                "sh": pd.array(sh, dtype="int64"),
-                "doc_id": pd.array(np.repeat(ids, lens), dtype="int64"),
-                "hp": pd.array(
-                    ((sh.astype(np.uint64) * kn) % np.uint64(parts)).astype(
-                        np.int64
-                    ),
-                    dtype="int64",
-                ),
-            }
-        )
+        return _sketch_hash_rows(batch, parts)
 
     new_hashes = nsk.map_batches(
         hash_rows, batch_format="pandas"

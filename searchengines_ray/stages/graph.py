@@ -1409,6 +1409,10 @@ def adamic_adar(edges_ds, cap: int = 64, topk: int = 50,
         .map_batches(sum_tag, batch_format="pandas")
         .groupby("_cb")
         .map_groups(sum_final, batch_format="pandas")
+        # materialize before grouped_topk: its ds.schema() probe would
+        # otherwise partially EXECUTE the lazy wedge pipeline a second
+        # time (the paid-for schema-on-lazy lesson)
+        .materialize()
     )
     top = grouped_topk(
         sums, by="const", val_col="w", k=topk, tie_col="pair"
@@ -1508,14 +1512,12 @@ def kcore_peel(edges_ds, k: int = 8, rounds: int = 6,
             if len(src) == 0:
                 return empty
         nodes_l, deg = np.unique(src, return_counts=True)
-        keep = deg >= k  # nodes peeled in the LAST round drop too
-        if rounds == 0:
-            keep = np.ones(len(nodes_l), bool)
+        # the final deg >= k filter applies at EVERY rounds value
+        # (including 0) — the distributed plan and the SQL oracle's
+        # final HAVING do the same, keeping the paths bit-equal
+        keep = deg >= k
         return pd.DataFrame(
-            {
-                "node": nodes_l[keep] if rounds > 0 else nodes_l,
-                "degree": deg[keep] if rounds > 0 else deg,
-            }
+            {"node": nodes_l[keep], "degree": deg[keep]}
         ).astype("int64")
 
     import ray.data  # noqa: F401  (Dataset ops below)

@@ -438,14 +438,17 @@ def bradley_terry(events_ds, iters: int = 5, scale: int = 10**6,
         ]
         mx = max(raw)
         if mx == 0:
-            s = raw
-            break
-        # winning items clamp to >= 1 micro-unit: a duel's denominator
-        # s_i + s_j can only vanish if BOTH sides are winless, and a
-        # dueling pair always contains a winner — so with the clamp no
-        # denominator is ever 0
+            # every winner's ratio floored to 0 this round (extreme
+            # skew): keep the previous scores — a no-op round, and the
+            # fixpoint thereafter (the SQL mirrors this CASE exactly)
+            continue
+        # items WITH WINS clamp to >= 1 micro-unit (raw itself can
+        # floor to 0 for a weak winner): a duel's denominator s_i + s_j
+        # can only vanish if BOTH sides are winless, and a dueling pair
+        # always contains a winner — so no denominator is ever 0
         s = [
-            max(1, (r * int(scale)) // mx) if r > 0 else 0 for r in raw
+            max(1, (r * int(scale)) // mx) if wins[i] > 0 else 0
+            for i, r in enumerate(raw)
         ]
     out = pd.DataFrame(
         {

@@ -833,8 +833,11 @@ def kcenter_select(emb_ds, k: int = 8, vec_col: str = "embedding",
             [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
         )
         q = np.floor(mat * float(scale)).astype(np.int64)
-        # d * (2 * max|q|)^2 must fit int64 for the exact distance sums
-        m = np.abs(q).max(initial=0)
+        # d * (2 * max|q|)^2 must fit int64 for the exact distance sums;
+        # the guard itself must run in Python ints — in np.int64 the
+        # square wraps for |q| >= 2^31 and the check silently passes
+        # exactly when it should fire
+        m = int(np.abs(q).max(initial=0))
         if q.shape[1] * (2 * m) ** 2 >= 2**62:
             raise ValueError("quantized magnitude too large for exact int64")
         return q

@@ -124,6 +124,20 @@ def _hll_hash(ids: np.ndarray) -> np.ndarray:
     return ((np.bitwise_xor(h1, h1 >> 16) % _M31P1) * _KNUTH) % _M32
 
 
+def _rho_suffix(y: np.ndarray, suffix_bits: int) -> np.ndarray:
+    """HLL rho: leading-zero count of the ``suffix_bits``-bit value plus
+    one (``suffix_bits + 1`` when all zero) via exact integer halving —
+    the ONE implementation shared by the global and per-group register
+    builders (the SQL-pinned contract)."""
+    bl = np.zeros(len(y), np.int64)
+    tmp = y.copy()
+    while tmp.any():
+        nz = tmp > 0
+        bl[nz] += 1
+        tmp >>= 1
+    return np.where(y > 0, suffix_bits - bl + 1, suffix_bits + 1)
+
+
 def hll_registers(ds, key: str = "doc_id", p: int = 8):
     """HyperLogLog register table over a key column: ``2^p`` registers,
     register = low ``p`` hash bits, rho = leading-zero count of the
@@ -142,15 +156,7 @@ def hll_registers(ds, key: str = "doc_id", p: int = 8):
         h = _hll_hash(batch[key].to_numpy())
         bucket = h % m
         y = h // m  # the remaining 32-p bits
-        # exact vectorized bit_length (no float log2): <= suffix_bits
-        # halving steps
-        bl = np.zeros(len(y), np.int64)
-        tmp = y.copy()
-        while tmp.any():
-            nz = tmp > 0
-            bl[nz] += 1
-            tmp >>= 1
-        rho = np.where(y > 0, suffix_bits - bl + 1, suffix_bits + 1)
+        rho = _rho_suffix(y, suffix_bits)
         df = pd.DataFrame({"bucket": bucket, "rho": rho})
         g = df.groupby("bucket", as_index=False)["rho"].max()
         return pd.DataFrame(
@@ -320,13 +326,7 @@ def hll_group_registers(ds, group_col: str = "event_type",
         h = _hll_hash(batch[key].to_numpy())
         bucket = h % m
         y = h // m
-        bl = np.zeros(len(y), np.int64)
-        tmp = y.copy()
-        while tmp.any():
-            nz = tmp > 0
-            bl[nz] += 1
-            tmp >>= 1
-        rho = np.where(y > 0, suffix_bits - bl + 1, suffix_bits + 1)
+        rho = _rho_suffix(y, suffix_bits)
         df = pd.DataFrame(
             {group_col: batch[group_col], "bucket": bucket, "rho": rho}
         )

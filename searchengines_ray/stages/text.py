@@ -3546,12 +3546,15 @@ def heavy_hitters(ds, k: int = 100, cap: int | None = None) -> pd.DataFrame:
             }
         )
 
-    sk = (
-        ds.map_batches(sketch_fn, batch_format="pyarrow")
-        .to_pandas()  # bounded: (cap+1) rows per input block
-        .groupby("term", as_index=False)["cnt"]
-        .sum()
+    sk = ds.map_batches(
+        sketch_fn, batch_format="pyarrow"
+    ).to_pandas()  # bounded: (cap+1) rows per input block
+    empty_out = pd.DataFrame(
+        {"term": pd.array([], dtype=object), "cnt": pd.array([], dtype="int64")}
     )
+    if "term" not in sk.columns:  # zero-block input drops the schema
+        return empty_out
+    sk = sk.groupby("term", as_index=False)["cnt"].sum()
     n_total = int(sk.loc[sk["term"] == "", "cnt"].sum())
     sk = sk[sk["term"] != ""]
     cand_terms, _ = _mg_reduce(
@@ -3559,9 +3562,7 @@ def heavy_hitters(ds, k: int = 100, cap: int | None = None) -> pd.DataFrame:
     )
     cand = np.sort(cand_terms.astype(str))
     if n_total == 0 or len(cand) == 0:
-        return pd.DataFrame(
-            {"term": pd.array([], dtype=object), "cnt": pd.array([], dtype="int64")}
-        )
+        return empty_out
     cref = ray.put(cand)
 
     def recount_fn(batch):

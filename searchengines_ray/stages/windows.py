@@ -588,10 +588,16 @@ def anomaly_hours(events_ds, window: int = 24, z_milli: int = 3000,
     import zlib
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        h = (
-            batch["ts"].astype("datetime64[us]").astype("int64")
-            // 3_600_000_000
-        )
+        us = batch["ts"].astype("datetime64[us]").astype("int64")
+        # positives-only contract: numpy // floors while DuckDB //
+        # truncates, so a pre-1970 timestamp would bucket differently
+        # on the two sides — refuse loudly instead of mismatching
+        if len(us) and int(us.min()) < 0:
+            raise ValueError(
+                "anomaly_hours requires post-epoch timestamps (the "
+                "floor/trunc division contract)"
+            )
+        h = us // 3_600_000_000
         df = pd.DataFrame({"event_type": batch["event_type"], "h": h})
         c = df.groupby(["event_type", "h"], as_index=False).size()
         return pd.DataFrame(

@@ -4444,3 +4444,69 @@ def test_kcore_peel_vs_bruteforce_both_paths(ray_session):
         ray.data.from_pandas(pd.DataFrame({"src": [1], "dst": [1]})), k=2
     )
     assert len(e) == 0 and list(e.columns) == ["node", "degree"]
+
+
+def test_bradley_terry_skewed_duels_no_zero_denominator(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.rank import bradley_terry
+
+    # {B beats A once, C beats B 1000x}: B's MM ratio floors to 0, and
+    # without the wins>0 clamp the next round divides by s_A + s_B = 0
+    rows = []
+    eid = 0
+
+    def duel(w, l, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(seconds=eid),
+                    "user_id": eid // 2 + 10**6,
+                    "event_type": l,
+                    "value": 1.0,
+                }
+            )
+            eid += 1
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(seconds=eid),
+                    "user_id": (eid - 1) // 2 + 10**6,
+                    "event_type": w,
+                    "value": 2.0,
+                }
+            )
+            eid += 1
+
+    duel("B", "A", 1)
+    duel("C", "B", 1000)
+    out = bradley_terry(
+        ray.data.from_pandas(pd.DataFrame(rows)), iters=5
+    )
+    got = dict(zip(out["item"], out["score"]))
+    assert got["C"] == 10**6  # dominant winner max-normalizes to scale
+    assert got["B"] >= 1  # weak winner clamps positive, never 0
+    assert got["A"] == 0  # winless item fixes at 0
+
+
+def test_kcenter_quantize_guard_fires_in_python_ints(ray_session):
+    import ray.data
+
+    from searchengines_ray.stages.similarity import kcenter_select
+
+    # |q| ~ 2^32 at micro scale: the np.int64 square would WRAP and the
+    # guard would silently pass — it must raise instead
+    big = pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "embedding": [[4.3e3] * 64, [-4.3e3] * 64],
+        }
+    )
+    # the ValueError surfaces wrapped in RayTaskError (quantize runs
+    # inside the map task) — match on the message
+    with pytest.raises(Exception, match="quantized magnitude"):
+        kcenter_select(ray.data.from_pandas(big), k=2)
